@@ -1,0 +1,184 @@
+"""Block-max document-at-a-time top-k over the compressed block index.
+
+This is the from-scratch analogue of FTS5's doclist traversal + bm25
+ranking (the layer the reference delegates entirely to SQLite,
+reference pkg/server/db.go:49). Execution model:
+
+- the driver resolves query-term idfs from term_stats (a few rows) and
+  computes nothing else;
+- block rows for the query terms are read with term_bucket partition
+  pruning + `term IN (...)` pushdown — only those terms' compressed
+  blocks ever leave disk;
+- each *segment* (disjoint doc_id hash class, the index's skew-splitting
+  axis) is scored independently by an Arrow-batched `applyInPandas`
+  kernel: numpy varint decode, document-at-a-time intersection for AND,
+  accumulator-bounded evaluation with block-max upper bounds for OR
+  (Ding & Suel 2011 block-max WAND family);
+- per-segment top-k candidates feed a global
+  `TakeOrderedAndProject(k)` — the only data crossing segments is
+  <= k rows per segment.
+
+Scores are rank-identical to SQLite FTS5 bm25() (pinned by
+tests/test_rank_identity.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gopensearch_spark import codecs
+from gopensearch_spark.index.builder import read_corpus_stats
+from gopensearch_spark.search.bm25 import K1, B, idf, term_buckets_for
+
+
+def _block_upper_bound(max_tf: np.ndarray, min_dl: np.ndarray, idf_t: float, avgdl: float) -> np.ndarray:
+    """BM25 upper bound for a block: w() is increasing in tf, decreasing
+    in dl, so (max_tf, min_dl) bounds every posting in the block."""
+    tf = max_tf.astype(np.float64)
+    dl = min_dl.astype(np.float64)
+    return idf_t * tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / avgdl))
+
+
+def _decode_term(rows: pd.DataFrame) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode one term's blocks (already sorted by block_id) to arrays."""
+    ids = np.concatenate([codecs.delta_decode(b) for b in rows["doc_ids"]])
+    tfs = np.concatenate([codecs.varint_decode(b) for b in rows["tfs"]])
+    dls = np.concatenate([codecs.varint_decode(b) for b in rows["doc_lens"]])
+    return ids.astype(np.int64), tfs.astype(np.float64), dls.astype(np.float64)
+
+
+def _scores(tfs: np.ndarray, dls: np.ndarray, idf_t: float, avgdl: float) -> np.ndarray:
+    return idf_t * tfs * (K1 + 1.0) / (tfs + K1 * (1.0 - B + B * dls / avgdl))
+
+
+def _score_segment_and(groups: dict, idfs: dict, avgdl: float, k: int) -> pd.DataFrame:
+    """DAAT conjunctive intersection, rarest term first, with block-range
+    skipping: later (bigger) terms only decode blocks whose
+    [min_doc_id, max_doc_id] overlaps surviving candidates."""
+    order = sorted(groups, key=lambda t: int(groups[t]["n"].sum()))  # rarest term first
+    cand_ids, cand_score = None, None
+    for t in order:
+        rows = groups[t].sort_values("block_id")
+        if cand_ids is not None:
+            lo = rows["max_doc_id"].to_numpy() >= cand_ids[0]
+            hi = rows["min_doc_id"].to_numpy() <= cand_ids[-1]
+            keep = lo & hi
+            if not keep.any():
+                return pd.DataFrame({"doc_id": [], "score": []})
+            rows = rows[keep]
+        ids, tfs, dls = _decode_term(rows)
+        sc = _scores(tfs, dls, idfs[t], avgdl)
+        if cand_ids is None:
+            cand_ids, cand_score = ids, sc
+        else:
+            common, ia, ib = np.intersect1d(cand_ids, ids, assume_unique=True, return_indices=True)
+            if common.size == 0:
+                return pd.DataFrame({"doc_id": [], "score": []})
+            cand_ids, cand_score = common, cand_score[ia] + sc[ib]
+    return _topk_frame(cand_ids, cand_score, k)
+
+
+def _score_segment_or(groups: dict, idfs: dict, avgdl: float, k: int) -> pd.DataFrame:
+    """Disjunctive top-k with accumulator bounding (TAAT quit/continue +
+    block-max): terms are processed in descending max-impact order; once
+    the sum of remaining terms' upper bounds cannot beat the running
+    k-th score, no NEW accumulators are created — remaining terms only
+    update existing candidates, and only blocks overlapping them are
+    decoded. Exact top-k (scores of all surviving candidates are
+    completed over every term)."""
+    term_ub = {}
+    for t, rows in groups.items():
+        ub = _block_upper_bound(rows["max_tf"].to_numpy(), rows["min_doc_len"].to_numpy(), idfs[t], avgdl)
+        term_ub[t] = float(ub.max())
+    order = sorted(groups, key=lambda t: -term_ub[t])
+    remaining_ub = sum(term_ub.values())
+
+    acc_ids = np.empty(0, dtype=np.int64)
+    acc_sc = np.empty(0, dtype=np.float64)
+    for t in order:
+        rows = groups[t].sort_values("block_id")
+        kth = np.partition(acc_sc, -k)[-k] if acc_sc.size >= k else -np.inf
+        open_new = remaining_ub >= kth  # a brand-new doc could still reach top-k
+        if not open_new and acc_ids.size:
+            lo = rows["max_doc_id"].to_numpy() >= acc_ids.min()
+            hi = rows["min_doc_id"].to_numpy() <= acc_ids.max()
+            rows = rows[lo & hi]
+            if rows.empty:
+                remaining_ub -= term_ub[t]
+                continue
+        ids, tfs, dls = _decode_term(rows)
+        sc = _scores(tfs, dls, idfs[t], avgdl)
+        if open_new:
+            merged = np.concatenate([acc_ids, ids])
+            scores = np.concatenate([acc_sc, sc])
+            uniq, inv = np.unique(merged, return_inverse=True)
+            summed = np.zeros(uniq.size, dtype=np.float64)
+            np.add.at(summed, inv, scores)
+            acc_ids, acc_sc = uniq, summed
+        else:
+            common, ia, ib = np.intersect1d(acc_ids, ids, assume_unique=True, return_indices=True)
+            acc_sc = acc_sc.copy()
+            acc_sc[ia] += sc[ib]
+        remaining_ub -= term_ub[t]
+    return _topk_frame(acc_ids, acc_sc, k)
+
+
+def _topk_frame(ids: np.ndarray, scores: np.ndarray, k: int) -> pd.DataFrame:
+    if ids is None or ids.size == 0:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"), "score": pd.Series([], dtype="float64")})
+    if ids.size > k:
+        # score desc, doc_id asc — matches FTS5's (bm25, rowid) order
+        sel = np.lexsort((ids, -scores))[:k]
+    else:
+        sel = np.lexsort((ids, -scores))
+    return pd.DataFrame({"doc_id": ids[sel].astype("int64"), "score": scores[sel]})
+
+
+def wand_match(
+    spark: SparkSession,
+    index_dir: str,
+    query: str | list[str],
+    k: int = 10,
+    mode: str = "and",
+) -> DataFrame:
+    """Top-k BM25 match over the compressed block index."""
+    from gopensearch_spark.analysis import tokenize
+
+    terms = sorted(set(tokenize(query) if isinstance(query, str) else query))
+    if not terms:
+        raise ValueError("empty query after tokenization")
+    stats = read_corpus_stats(index_dir)
+    n_docs, avgdl = stats["n_docs"], stats["avg_doc_len"]
+    buckets = sorted(set(term_buckets_for(spark, terms, stats["term_buckets"]).values()))
+
+    tstats = (
+        spark.read.parquet(os.path.join(index_dir, "term_stats"))
+        .where(F.col("term_bucket").isin(buckets) & F.col("term").isin(terms))
+        .select("term", "df")
+        .collect()
+    )
+    idfs = {r["term"]: idf(n_docs, r["df"]) for r in tstats}
+    if mode == "and" and len(idfs) < len(terms):
+        return spark.createDataFrame([], "doc_id long, score double")
+    present = sorted(idfs)
+
+    blocks = (
+        spark.read.parquet(os.path.join(index_dir, "blocks"))
+        .where(F.col("term_bucket").isin(buckets) & F.col("term").isin(present))
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        groups = {t: g for t, g in pdf.groupby("term")}
+        if mode == "and":
+            if len(groups) < len(present):
+                return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"), "score": pd.Series([], dtype="float64")})
+            return _score_segment_and(groups, idfs, avgdl, k)
+        return _score_segment_or(groups, idfs, avgdl, k)
+
+    per_seg = blocks.groupBy("seg_id").applyInPandas(kernel, "doc_id long, score double")
+    return per_seg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

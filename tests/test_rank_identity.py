@@ -1,0 +1,66 @@
+"""Rank-identity vs SQLite FTS5 (the reference's backend): top-k doc_ids
+AND BM25 scores must match, both for the pure-DataFrame engine and the
+compressed block-max WAND engine. BASELINE.json north_rule's core gate.
+"""
+
+import math
+
+import pytest
+
+from gopensearch_spark.search import bm25_match, wand_match
+
+# (query_terms, mode) — head terms, tail terms, AND/OR, multi-term;
+# picked from the synthetic corpus vocabulary (Zipfian head = spark/data/...).
+QUERIES = [
+    (["spark"], "and"),
+    (["data"], "and"),
+    (["window"], "and"),
+    (["spark", "join"], "and"),
+    (["spark", "join"], "or"),
+    (["merge", "sort", "batch"], "and"),
+    (["merge", "sort", "batch"], "or"),
+    (["stream", "filter"], "and"),
+    (["zzz_absent_term"], "or"),
+    (["spark", "zzz_absent_term"], "and"),
+]
+
+
+def _ours(df):
+    return [(int(r["doc_id"]), float(r["score"])) for r in df.collect()]
+
+
+def _assert_rank_identical(ours, ref):
+    assert len(ours) == len(ref), f"len {len(ours)} != {len(ref)}"
+    for (d1, s1), (d2, s2) in zip(ours, ref):
+        assert d1 == d2, f"doc order diverges: {ours} vs {ref}"
+        assert math.isclose(s1, s2, rel_tol=1e-9, abs_tol=1e-12), (d1, s1, s2)
+
+
+@pytest.mark.parametrize("terms,mode", QUERIES)
+@pytest.mark.parametrize("k", [10, 100])
+def test_dataframe_engine_rank_identity(spark, index_small, oracle_small, terms, mode, k):
+    ref = oracle_small.match(terms, k=k, mode=mode)
+    if not ref and mode == "and":
+        # engine returns empty too
+        if any(t == "zzz_absent_term" for t in terms):
+            got = _ours(bm25_match(spark, index_small, terms, k=k, mode=mode))
+            assert got == []
+            return
+    got = _ours(bm25_match(spark, index_small, terms, k=k, mode=mode))
+    _assert_rank_identical(got, ref)
+
+
+@pytest.mark.parametrize("terms,mode", QUERIES)
+@pytest.mark.parametrize("k", [10, 100])
+def test_wand_engine_rank_identity(spark, index_small, oracle_small, terms, mode, k):
+    ref = oracle_small.match(terms, k=k, mode=mode)
+    got = _ours(wand_match(spark, index_small, terms, k=k, mode=mode))
+    _assert_rank_identical(got, ref)
+
+
+def test_engines_agree_on_phrase_query(spark, index_small, oracle_small):
+    a = _ours(bm25_match(spark, index_small, "spark join data", k=25, mode="or"))
+    b = _ours(wand_match(spark, index_small, "spark join data", k=25, mode="or"))
+    ref = oracle_small.match(["spark", "join", "data"], k=25, mode="or")
+    _assert_rank_identical(a, ref)
+    _assert_rank_identical(b, ref)
