@@ -1,0 +1,215 @@
+"""DSL -> DataFrame compiler.
+
+The reference transpiles its DSL tree to SQLite SQL strings
+(reference pkg/server/sql.go:35-60 GenPlan and the handle* family).
+We compile the same tree to declarative DataFrame expressions and let
+Catalyst plan them — predicate pushdown, column pruning and partition
+pruning come for free; the per-aggregation re-scan of the reference
+(one SQL statement per agg label, sql.go:39-58) becomes independent
+aggregations over one cached filtered DataFrame.
+
+Semantics choices (ES-correct by default, reference quirks available
+and test-pinned):
+
+- `term`/`match` literals: int-vs-string inference like the reference's
+  strconv.ParseInt branch (sql.go:131-137, 146-151).
+- `bool.should` compiles to a real OR; the reference ANDs everything
+  (sql.go:98-109) — ``quirk_should_is_and=True`` reproduces that.
+- `range` applies every field; the reference `break`s after the first
+  (sql.go:193) — ``quirk_first_range_only=True`` reproduces that.
+- `.keyword` suffix stripped (sql.go:158-162).
+- `query_string` is a SQLite GLOB over the raw document in the
+  reference (sql.go:198-205); we translate glob -> anchored rlike over
+  the designated default field, and treat ``analyze_wildcard`` with a
+  bare ``*`` as match-all (the Grafana probe, pkg/dsl/complex_test.go:24).
+- fields resolve to typed columns when present, else to
+  ``get_json_object(json_col, '$.field')`` — the dynamic-JSON path the
+  reference uses for everything (sql.go:134 etc.).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field as dc_field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from gopensearch_spark.dsl import model
+
+
+def strip_keyword(field: str) -> str:
+    """ES `.keyword` multi-field suffix is ignored (reference sql.go:158-162)."""
+    return field.split(".keyword")[0]
+
+
+def glob_to_regex(glob: str) -> str:
+    """SQLite GLOB pattern -> anchored Java regex (for rlike)."""
+    out = []
+    i = 0
+    while i < len(glob):
+        c = glob[i]
+        if c == "*":
+            out.append(".*")
+        elif c == "?":
+            out.append(".")
+        elif c == "[":
+            j = glob.find("]", i + 1)
+            if j == -1:
+                out.append(re.escape(c))
+            else:
+                out.append(glob[i : j + 1])
+                i = j
+        else:
+            out.append(re.escape(c))
+        i += 1
+    return "^" + "".join(out) + "$"
+
+
+def _literal(value: str):
+    """Int-vs-string inference (reference sql.go:131-137)."""
+    try:
+        return int(value)
+    except (TypeError, ValueError):
+        return value
+
+
+@dataclass
+class CompileContext:
+    df: DataFrame
+    json_col: str | None = None  # fallback column holding a JSON doc
+    date_fields: dict[str, str] = dc_field(default_factory=dict)  # field -> format (template analogue)
+    quirk_should_is_and: bool = False
+    quirk_first_range_only: bool = False
+    # callback(field, Match) -> Column predicate, installed by the Engine
+    # to route full-text `match` on indexed fields to the BM25 engine.
+    fulltext_predicate: object = None
+
+    def resolve(self, field: str) -> Column:
+        field = strip_keyword(field)
+        if field in self.df.columns:
+            return F.col(field)
+        if self.json_col:
+            return F.get_json_object(F.col(self.json_col), f"$.{field}")
+        return F.col(field)
+
+    def field_type(self, field: str):
+        field = strip_keyword(field)
+        for f in self.df.schema.fields:
+            if f.name == field:
+                return f.dataType
+        return None
+
+
+def _range_bound(ctx: CompileContext, field: str, value) -> tuple[Column, Column]:
+    """Resolve (column, literal) for a range bound, honoring date formats.
+
+    A template-mapped date field (format epoch_millis/epoch_second,
+    reference pkg/date/dates.go) compares as a timestamp; a native
+    TimestampType column accepts epoch-millis numbers the same way.
+    """
+    col = ctx.resolve(field)
+    fmt = ctx.date_fields.get(strip_keyword(field))
+    ftype = ctx.field_type(field)
+    if isinstance(ftype, (T.TimestampType, T.TimestampNTZType)):
+        # cast the LITERAL to the column's type (session TZ is pinned UTC)
+        # so the column itself stays eligible for parquet min/max pushdown
+        if isinstance(value, (int, float)) or (isinstance(value, str) and value.lstrip("-").isdigit()):
+            v = int(value)
+            lit = F.timestamp_seconds(F.lit(v)) if fmt == "epoch_second" else F.timestamp_millis(F.lit(v))
+        else:
+            lit = F.to_timestamp(F.lit(value))
+        return col, lit.cast(ftype)
+    if fmt == "epoch_millis" or fmt == "epoch_second":
+        # numeric epoch column compared numerically
+        return col, F.lit(int(value))
+    return col, F.lit(_literal(value) if isinstance(value, str) else value)
+
+
+def compile_range(ctx: CompileContext, ranges: dict[str, model.Range]) -> Column:
+    preds = []
+    for field, r in ranges.items():
+        p = F.lit(True)
+        if r.gte is not None:
+            c, v = _range_bound(ctx, field, r.gte)
+            p = p & (c >= v)
+        if r.gt is not None:
+            c, v = _range_bound(ctx, field, r.gt)
+            p = p & ((c >= v) if r.include_lower else (c > v))
+        if r.lte is not None:
+            c, v = _range_bound(ctx, field, r.lte)
+            p = p & (c <= v)
+        if r.lt is not None:
+            c, v = _range_bound(ctx, field, r.lt)
+            p = p & ((c <= v) if r.include_upper else (c < v))
+        preds.append(p)
+        if ctx.quirk_first_range_only:
+            break  # reference processes only the first range field (sql.go:193)
+    return _and_all(preds)
+
+
+def _and_all(preds: list[Column]) -> Column:
+    out = None
+    for p in preds:
+        out = p if out is None else (out & p)
+    return out if out is not None else F.lit(True)
+
+
+def _or_all(preds: list[Column]) -> Column:
+    out = None
+    for p in preds:
+        out = p if out is None else (out | p)
+    return out if out is not None else F.lit(True)
+
+
+def compile_query(ctx: CompileContext, q: model.Query | None) -> Column:
+    """Query tree -> boolean Column (the WHERE side; scoring is separate)."""
+    if q is None:
+        return F.lit(True)  # reference emits WHERE 1=1 (sql.go:65-68)
+    preds: list[Column] = []
+    for field, t in q.term.items():
+        preds.append(ctx.resolve(field) == F.lit(_literal(t.value)))
+    for field, m in q.match.items():
+        if ctx.fulltext_predicate is not None:
+            ft = ctx.fulltext_predicate(strip_keyword(field), m)
+            if ft is not None:
+                preds.append(ft)
+                continue
+        # reference behavior: match == term equality ("glorified terms
+        # query", sql.go:126-141)
+        preds.append(ctx.resolve(field) == F.lit(_literal(m.query)))
+    if q.range:
+        preds.append(compile_range(ctx, q.range))
+    if q.query_string is not None:
+        qs = q.query_string
+        if qs.analyze_wildcard and qs.query.strip("*") == "":
+            preds.append(F.lit(True))  # bare-'*' Grafana probe -> match-all
+        else:
+            target = qs.default_field or ctx.json_col or ctx.df.columns[0]
+            preds.append(ctx.resolve(target).rlike(glob_to_regex(qs.query)))
+    if q.bool_ is not None:
+        b = q.bool_
+        for sub in b.must:
+            preds.append(compile_query(ctx, sub))
+        for sub in b.filter:  # scoring-exempt, same predicate (dsl.go:52-54)
+            preds.append(compile_query(ctx, sub))
+        if b.should:
+            should = [compile_query(ctx, s) for s in b.should]
+            preds.append(_and_all(should) if ctx.quirk_should_is_and else _or_all(should))
+    return _and_all(preds)
+
+
+def compile_search(ctx: CompileContext, d: model.Dsl) -> DataFrame:
+    """Full hits pipeline: filter -> sort -> limit (reference GenPlan's
+    hits subquery, sql.go:50-58)."""
+    out = ctx.df.where(compile_query(ctx, d.query))
+    if d.sort:
+        out = out.orderBy(
+            *[
+                ctx.resolve(s.field).desc() if s.order.lower() == "desc" else ctx.resolve(s.field).asc()
+                for s in d.sort
+            ]
+        )
+    size = 10 if d.size is None else d.size  # default LIMIT 10 (sql.go:326-332)
+    return out.limit(size)

@@ -1,0 +1,227 @@
+"""ES query-DSL model + JSON normalization.
+
+From-scratch Python analogue of the reference's DSL structs and custom
+unmarshalers (reference pkg/dsl/dsl.go:10-87, pkg/dsl/json.go:8-138,
+pkg/dsl/agg.go:3-39). Normalization rules reproduced:
+
+- `match` / `term` accept shorthand (`{"match": {"f": "v"}}`) or verbose
+  (`{"match": {"f": {"query": "v", ...}}}`) forms (json.go:22-66),
+- `aggregations` aliases `aggs`, `aggregations` wins (json.go:81-85),
+- `bool.must` / `bool.should` accept a single object or an array
+  (json.go:90-138). Reference quirk preserved behind
+  ``compat_must_drops_should``: its unmarshaler RETURNS EARLY after
+  parsing `must`, silently dropping `should` (json.go:104-115) — we
+  parse both and let the compiler decide which semantics to apply.
+- `range` treats `from`/`to` as `gt`/`lt` aliases (dsl.go:57-62) and
+  carries the deprecated `include_lower`/`include_upper` flags.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+
+
+@dataclass
+class Match:
+    query: str
+    fuzziness: str = ""
+    operator: str = ""  # "OR" (default) | "AND"
+
+
+@dataclass
+class Term:
+    value: str
+
+
+@dataclass
+class Range:
+    gt: object = None
+    gte: object = None
+    lt: object = None
+    lte: object = None
+    format: str | None = None
+    include_lower: bool = False
+    include_upper: bool = False
+
+
+@dataclass
+class QueryString:
+    query: str
+    analyze_wildcard: bool = False
+    default_field: str = ""
+
+
+@dataclass
+class Sort:
+    field: str
+    order: str = "asc"
+
+
+@dataclass
+class Bool:
+    must: list["Query"] = field(default_factory=list)
+    should: list["Query"] = field(default_factory=list)
+    filter: list["Query"] = field(default_factory=list)
+
+
+@dataclass
+class Query:
+    match: dict[str, Match] = field(default_factory=dict)
+    term: dict[str, Term] = field(default_factory=dict)
+    bool_: Bool | None = None
+    range: dict[str, Range] = field(default_factory=dict)
+    query_string: QueryString | None = None
+
+
+@dataclass
+class AggTerms:
+    field: str
+    size: int = 10  # ES default; reference parses but never applies (sql.go:241-250)
+
+
+@dataclass
+class DateHistogram:
+    field: str
+    fixed_interval: str = ""
+    calendar_interval: str = ""
+    buckets: int = 0
+
+
+@dataclass
+class AggField:
+    field: str
+    missing: str = ""
+
+
+@dataclass
+class Aggregate:
+    terms: AggTerms | None = None
+    date_histogram: DateHistogram | None = None
+    avg: AggField | None = None
+    max: AggField | None = None
+    aggs: dict[str, "Aggregate"] = field(default_factory=dict)
+
+
+@dataclass
+class Dsl:
+    query: Query | None = None
+    size: int | None = None  # None -> default 10 at limit time (sql.go:326-332)
+    aggs: dict[str, Aggregate] = field(default_factory=dict)
+    sort: list[Sort] = field(default_factory=list)
+
+
+def _parse_match(raw: dict) -> dict[str, Match]:
+    out = {}
+    for k, v in raw.items():
+        if isinstance(v, dict):
+            out[k] = Match(
+                query=str(v.get("query", "")),
+                fuzziness=str(v.get("fuzziness", "")),
+                operator=str(v.get("operator", "")),
+            )
+        else:
+            out[k] = Match(query=str(v))
+    return out
+
+
+def _parse_term(raw: dict) -> dict[str, Term]:
+    out = {}
+    for k, v in raw.items():
+        if isinstance(v, dict):
+            out[k] = Term(value=str(v.get("value", "")))
+        else:
+            out[k] = Term(value=str(v))
+    return out
+
+
+def _parse_range(raw: dict) -> dict[str, Range]:
+    out = {}
+    for k, v in raw.items():
+        out[k] = Range(
+            gt=v.get("gt", v.get("from")),  # from == gt (reference dsl.go:57-59)
+            gte=v.get("gte"),
+            lt=v.get("lt", v.get("to")),  # to == lt
+            lte=v.get("lte"),
+            format=v.get("format"),
+            include_lower=bool(v.get("include_lower", False)),
+            include_upper=bool(v.get("include_upper", False)),
+        )
+    return out
+
+
+def _parse_query(raw: dict) -> Query:
+    q = Query()
+    if "match" in raw:
+        q.match = _parse_match(raw["match"])
+    if "term" in raw:
+        q.term = _parse_term(raw["term"])
+    if "range" in raw:
+        q.range = _parse_range(raw["range"])
+    if "bool" in raw:
+        b = raw["bool"]
+        q.bool_ = Bool(
+            must=_as_query_list(b.get("must")),
+            should=_as_query_list(b.get("should")),
+            filter=_as_query_list(b.get("filter")),
+        )
+    if "query_string" in raw:
+        s = raw["query_string"]
+        q.query_string = QueryString(
+            query=str(s.get("query", "")),
+            analyze_wildcard=bool(s.get("analyze_wildcard", False)),
+            default_field=str(s.get("default_field", "")),
+        )
+    return q
+
+
+def _as_query_list(raw) -> list[Query]:
+    """must/should accept one object or an array (reference json.go:90-138)."""
+    if raw is None:
+        return []
+    if isinstance(raw, dict):
+        return [_parse_query(raw)]
+    return [_parse_query(x) for x in raw]
+
+
+def _parse_agg(raw: dict) -> Aggregate:
+    a = Aggregate()
+    if "terms" in raw:
+        t = raw["terms"]
+        a.terms = AggTerms(field=t["field"], size=int(t.get("size", 10)))
+    if "date_histogram" in raw:
+        d = raw["date_histogram"]
+        a.date_histogram = DateHistogram(
+            field=d["field"],
+            # legacy `interval` (the Grafana explore probe,
+            # reference pkg/dsl/complex_test.go:30) treated as fixed
+            fixed_interval=str(d.get("fixed_interval", "") or d.get("interval", "")),
+            calendar_interval=str(d.get("calendar_interval", "")),
+            buckets=int(d.get("buckets", 0)),
+        )
+    if "avg" in raw:
+        a.avg = AggField(field=raw["avg"]["field"], missing=str(raw["avg"].get("missing", "")))
+    if "max" in raw:
+        a.max = AggField(field=raw["max"]["field"], missing=str(raw["max"].get("missing", "")))
+    sub = raw.get("aggregations", raw.get("aggs"))
+    if sub:
+        a.aggs = {k: _parse_agg(v) for k, v in sub.items()}
+    return a
+
+
+def parse_dsl(body: str | dict) -> Dsl:
+    """Parse an ES search body (JSON string or dict) into the model."""
+    raw = json.loads(body) if isinstance(body, str) else body
+    d = Dsl()
+    if raw.get("query") is not None:
+        d.query = _parse_query(raw["query"])
+    if raw.get("size") is not None:
+        d.size = int(raw["size"])
+    # `aggregations` wins over `aggs` (reference json.go:81-85)
+    aggs = raw.get("aggregations") or raw.get("aggs") or {}
+    d.aggs = {k: _parse_agg(v) for k, v in aggs.items()}
+    for s in raw.get("sort", []) or []:
+        for f, spec in s.items():
+            order = spec.get("order", "asc") if isinstance(spec, dict) else str(spec)
+            d.sort.append(Sort(field=f, order=order))
+    return d

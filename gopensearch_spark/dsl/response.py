@@ -1,0 +1,74 @@
+"""ES-shaped response assembly (reference pkg/server/types.go:62-78,
+server.go:217-236, db.go:110-168).
+
+Divergences from the reference, on purpose (ES-correct):
+- terms buckets report real doc_count (the reference's empty
+  `case *dsl.AggTerms:` leaves 0, db.go:131-137);
+- hits.total is the returned-hit count like the reference
+  (post-LIMIT, server.go:222-230) — callers wanting true totals
+  count the filtered DataFrame before limiting.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+
+def _json_safe(v):
+    if isinstance(v, _dt.datetime):
+        return v.strftime("%Y-%m-%dT%H:%M:%S.%f")[:-3] + "Z"
+    if isinstance(v, (_dt.date,)):
+        return v.isoformat()
+    if isinstance(v, bytearray):
+        return bytes(v).hex()
+    if isinstance(v, bytes):
+        return v.hex()
+    return v
+
+
+def _bucket_key(v):
+    # bucket keys are string-coerced like the reference (db.go:118-129)
+    v = _json_safe(v)
+    if isinstance(v, bool):
+        return str(v).lower()
+    return v if isinstance(v, str) else v
+
+
+def shape_response(index: str, rows, agg_rows: dict, id_col: str, took_ms: int) -> dict:
+    hits = []
+    for i, r in enumerate(rows):
+        src = {k: _json_safe(v) for k, v in r.asDict().items()}
+        score = src.pop("score", None)
+        hits.append(
+            {
+                "_index": index,
+                "_id": str(src.get(id_col, i)),
+                "_score": score,
+                "_source": src,
+            }
+        )
+    resp = {
+        "took": took_ms,
+        "timed_out": False,
+        "_shards": {"total": 1, "successful": 1, "skipped": 0, "failed": 0},
+        "hits": {
+            "total": {"value": len(hits), "relation": "eq"},
+            "hits": hits,
+        },
+    }
+    if agg_rows:
+        aggs = {}
+        for label, (kind, rws) in agg_rows.items():
+            if kind == "metric":
+                aggs[label] = {"value": _json_safe(rws[0]["value"]) if rws else None}
+            else:
+                buckets = []
+                for r in rws:
+                    d = r.asDict()
+                    b = {"key": _bucket_key(d.pop("key")), "doc_count": int(d.pop("doc_count"))}
+                    for sublabel, v in d.items():
+                        b[sublabel] = {"value": _json_safe(v)}
+                    buckets.append(b)
+                aggs[label] = {"buckets": buckets}
+        resp["aggregations"] = aggs
+    return resp

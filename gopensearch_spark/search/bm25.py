@@ -78,19 +78,14 @@ def load_postings_for_terms(
     return post, tstats, stats
 
 
-def bm25_match(
+def bm25_scores(
     spark: SparkSession,
     index_dir: str,
     query: str | list[str],
-    k: int = 10,
     mode: str = "and",
 ) -> DataFrame:
-    """Top-k BM25 `match` over the flat postings index.
-
-    ``mode='and'`` = FTS5 ``a b`` implicit-AND (doc must contain every
-    term); ``mode='or'`` = ``a OR b``. Returns (doc_id, score) ordered by
-    score desc, doc_id asc (FTS5 tie order = rowid).
-    """
+    """Unlimited (doc_id, score) for a match query — the scoring relation
+    the Engine joins against filters before its own top-k."""
     from gopensearch_spark.analysis import tokenize
 
     terms = sorted(set(tokenize(query) if isinstance(query, str) else query))
@@ -111,8 +106,24 @@ def bm25_match(
     )
     if mode == "and":
         agg = agg.where(F.col("n_terms") == len(terms))
+    return agg.select("doc_id", "score")
+
+
+def bm25_match(
+    spark: SparkSession,
+    index_dir: str,
+    query: str | list[str],
+    k: int = 10,
+    mode: str = "and",
+) -> DataFrame:
+    """Top-k BM25 `match` over the flat postings index.
+
+    ``mode='and'`` = FTS5 ``a b`` implicit-AND (doc must contain every
+    term); ``mode='or'`` = ``a OR b``. Returns (doc_id, score) ordered by
+    score desc, doc_id asc (FTS5 tie order = rowid).
+    """
     return (
-        agg.select("doc_id", "score")
+        bm25_scores(spark, index_dir, query, mode=mode)
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(k)
     )

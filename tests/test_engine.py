@@ -1,0 +1,212 @@
+"""End-to-end Engine tests: ES DSL in -> ES-shaped response out,
+cross-checked against DuckDB on the same parquet (and the FTS5 oracle
+for full-text match)."""
+
+import math
+import os
+
+import duckdb
+import pytest
+
+from gopensearch_spark.dsl import Engine
+
+SF = os.path.join(os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata"), "sf0.001")
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in ["events", "documents"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.fixture(scope="module")
+def engine(spark, docs_small, index_small):
+    e = Engine(spark)
+    e.create_index("events", spark.read.parquet(os.path.join(SF, "events.parquet")),
+                   json_col="props", id_col="event_id")
+    e.create_index("docs", docs_small, text_field="text", index_dir=index_small)
+    return e
+
+
+def test_term_filter(engine, duck):
+    r = engine.search("events", '{"query": {"term": {"event_type": "error"}}, "size": 10000}')
+    n = duck.execute("SELECT count(*) FROM events WHERE event_type = 'error'").fetchone()[0]
+    assert r["hits"]["total"]["value"] == n
+    assert all(h["_source"]["event_type"] == "error" for h in r["hits"]["hits"])
+
+
+def test_default_size_10(engine):
+    r = engine.search("events", '{"query": {"term": {"event_type": "error"}}}')
+    assert len(r["hits"]["hits"]) == 10  # reference default LIMIT 10 (sql.go:326-332)
+
+
+def test_range_epoch_millis_on_timestamp(engine, duck):
+    lo, hi = 1704067200000, 1704075000000  # 2024-01-01 00:00 .. 02:10 UTC
+    body = {"query": {"range": {"ts": {"gte": lo, "lte": hi, "format": "epoch_millis"}}}, "size": 100000}
+    r = engine.search("events", body)
+    n = duck.execute(
+        "SELECT count(*) FROM events WHERE ts >= to_timestamp(?/1000.0) AND ts <= to_timestamp(?/1000.0)",
+        [lo, hi],
+    ).fetchone()[0]
+    assert r["hits"]["total"]["value"] == n > 0
+
+
+def test_json_field_via_props(engine, duck):
+    # field not in schema -> get_json_object(props, '$.k')
+    r = engine.search("events", '{"query": {"term": {"k": 87}}, "size": 100000}')
+    n = duck.execute("SELECT count(*) FROM events WHERE json_extract_string(props, '$.k') = '87'").fetchone()[0]
+    assert r["hits"]["total"]["value"] == n > 0
+
+
+def test_sort_and_size(engine, duck):
+    body = {"query": None, "sort": [{"value": {"order": "desc"}}], "size": 5}
+    r = engine.search("events", {k: v for k, v in body.items() if v is not None})
+    exp = [x[0] for x in duck.execute("SELECT value FROM events ORDER BY value DESC LIMIT 5").fetchall()]
+    got = [h["_source"]["value"] for h in r["hits"]["hits"]]
+    assert got == exp
+
+
+def test_bool_must_and_filter(engine, duck):
+    body = {
+        "query": {"bool": {
+            "must": [{"term": {"event_type": "click"}}],
+            "filter": [{"range": {"value": {"gte": 100}}}],
+        }},
+        "size": 100000,
+    }
+    r = engine.search("events", body)
+    n = duck.execute("SELECT count(*) FROM events WHERE event_type='click' AND value >= 100").fetchone()[0]
+    assert r["hits"]["total"]["value"] == n > 0
+
+
+def test_bool_should_is_or(engine, duck):
+    body = {"query": {"bool": {"should": [
+        {"term": {"event_type": "click"}}, {"term": {"event_type": "signup"}}]}},
+        "size": 100000}
+    r = engine.search("events", body)
+    n = duck.execute("SELECT count(*) FROM events WHERE event_type IN ('click','signup')").fetchone()[0]
+    assert r["hits"]["total"]["value"] == n > 0
+
+
+def test_quirk_should_is_and(spark, duck):
+    # reference ANDs should clauses (sql.go:98-109); pin the quirk mode
+    e = Engine(spark, compat_quirks=True)
+    import os as _os
+    e.create_index("events", spark.read.parquet(_os.path.join(SF, "events.parquet")),
+                   json_col="props", id_col="event_id")
+    body = {"query": {"bool": {"should": [
+        {"term": {"event_type": "click"}}, {"term": {"event_type": "signup"}}]}},
+        "size": 100000}
+    r = e.search("events", body)
+    assert r["hits"]["total"]["value"] == 0  # type='click' AND type='signup'
+
+
+def test_terms_agg_with_size_and_doc_count(engine, duck):
+    r = engine.search("events", '{"size": 0, "aggs": {"types": {"terms": {"field": "event_type", "size": 3}}}}')
+    exp = duck.execute(
+        "SELECT event_type, count(*) FROM events GROUP BY 1 ORDER BY 2 DESC, 1 ASC LIMIT 3"
+    ).fetchall()
+    got = [(b["key"], b["doc_count"]) for b in r["aggregations"]["types"]["buckets"]]
+    assert got == [(k, int(n)) for k, n in exp]
+
+
+def test_date_histogram_fixed_interval(engine, duck):
+    r = engine.search("events", '{"size": 0, "aggs": {"hist": {"date_histogram": {"field": "ts", "fixed_interval": "1h"}}}}')
+    exp = duck.execute(
+        "SELECT (epoch_ms(ts) // 3600000) * 3600000 AS k, count(*) FROM events GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+    got = [(b["key"], b["doc_count"]) for b in r["aggregations"]["hist"]["buckets"]]
+    assert got == [(int(k), int(n)) for k, n in exp]
+
+
+def test_avg_max_metrics(engine, duck):
+    r = engine.search("events", '{"size": 0, "aggs": {"a": {"avg": {"field": "value"}}, "m": {"max": {"field": "value"}}}}')
+    ea, em = duck.execute("SELECT avg(value), max(value) FROM events").fetchone()
+    assert math.isclose(r["aggregations"]["a"]["value"], ea, rel_tol=1e-9)
+    assert math.isclose(r["aggregations"]["m"]["value"], em, rel_tol=1e-9)
+
+
+def test_sub_aggregate_metric_under_terms(engine, duck):
+    body = {"size": 0, "aggs": {"types": {"terms": {"field": "event_type", "size": 2},
+            "aggs": {"avg_val": {"avg": {"field": "value"}}}}}}
+    r = engine.search("events", body)
+    exp = duck.execute(
+        "SELECT event_type, count(*) c, avg(value) FROM events GROUP BY 1 ORDER BY c DESC, 1 ASC LIMIT 2"
+    ).fetchall()
+    for b, (k, n, av) in zip(r["aggregations"]["types"]["buckets"], exp):
+        assert b["key"] == k and b["doc_count"] == int(n)
+        assert math.isclose(b["avg_val"]["value"], av, rel_tol=1e-9)
+
+
+def test_fulltext_match_through_engine(engine, oracle_small):
+    r = engine.search("docs", '{"query": {"match": {"text": "spark join"}}, "size": 10}')
+    # default operator OR (ES default); verify scores vs FTS5
+    ref = oracle_small.match(["spark", "join"], k=10, mode="or")
+    got = [(int(h["_id"]), h["_score"]) for h in r["hits"]["hits"]]
+    assert [d for d, _ in got] == [d for d, _ in ref]
+    for (_, s1), (_, s2) in zip(got, ref):
+        assert math.isclose(s1, s2, rel_tol=1e-9)
+
+
+def test_fulltext_match_operator_and(engine, oracle_small):
+    body = {"query": {"match": {"text": {"query": "merge sort batch", "operator": "AND"}}}, "size": 10}
+    r = engine.search("docs", body)
+    ref = oracle_small.match(["merge", "sort", "batch"], k=10, mode="and")
+    assert [int(h["_id"]) for h in r["hits"]["hits"]] == [d for d, _ in ref]
+
+
+def test_fulltext_match_with_filter(engine, duck, oracle_small):
+    # filter context restricts, scoring unchanged (ES filter semantics)
+    body = {"query": {"bool": {
+        "must": [{"match": {"text": "spark"}}],
+        "filter": [{"term": {"lang": "en"}}]}}, "size": 5}
+    r = engine.search("docs", body)
+    assert all(h["_source"]["lang"] == "en" for h in r["hits"]["hits"])
+    assert len(r["hits"]["hits"]) == 5
+    # every hit's score matches the oracle score for that doc
+    ref = dict(oracle_small.match(["spark"], k=10000, mode="or"))
+    for h in r["hits"]["hits"]:
+        assert math.isclose(h["_score"], ref[int(h["_id"])], rel_tol=1e-9)
+
+
+def test_query_string_glob(engine, duck):
+    r = engine.search("events", '{"query": {"query_string": {"query": "err*", "default_field": "event_type"}}, "size": 100000}')
+    n = duck.execute("SELECT count(*) FROM events WHERE event_type GLOB 'err*'").fetchone()[0]
+    assert r["hits"]["total"]["value"] == n > 0
+
+
+def test_query_string_wildcard_matchall(engine, duck):
+    r = engine.search("events", '{"query": {"query_string": {"analyze_wildcard": true, "query": "*"}}, "size": 100000}')
+    n = duck.execute("SELECT count(*) FROM events").fetchone()[0]
+    assert r["hits"]["total"]["value"] == n
+
+
+def test_msearch(engine):
+    out = engine.msearch([
+        {"index": "events"}, {"query": {"term": {"event_type": "error"}}, "size": 1},
+        {"indices": ["events", "other"]}, {"size": 2},
+    ])
+    assert len(out) == 2
+    assert len(out[0]["hits"]["hits"]) == 1
+    assert len(out[1]["hits"]["hits"]) == 2
+
+
+def test_template_date_mapping(spark):
+    e = Engine(spark)
+    e.put_template("spans", {
+        "index_patterns": "*jaeger-span*",
+        "properties": {"startTimeMillis": {"type": "date", "ignore_above": 0, "format": "epoch_millis"}},
+    })
+    assert e.templates["spans"].matches("jaeger-span-2022-11-11")
+    assert not e.templates["spans"].matches("jaeger-service-2022-11-11")
+    assert e._date_fields_for("jaeger-span-x") == {"startTimeMillis": "epoch_millis"}
+
+
+def test_cat_indices(engine):
+    s = engine.cat_indices()
+    assert "green open docs" in s and "green open events" in s
