@@ -1,38 +1,468 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every operator family from SURVEY.md §2 has a `queries()` entry; each
+SQL-expressible one has a matching `oracle_sql()` DuckDB statement that
+computes the identical result (column names aligned, floats rounded the
+same on both sides so the driver's order-insensitive value-hash is
+stable). BM25 is fully SQL-expressible — the oracle reproduces SQLite
+FTS5's exact formulation (idf floor 1e-6, k1=1.2, b=0.75) in CTEs.
+
+Full-text queries build (and cache) a real inverted index under /tmp
+for the requested sf_dir, then query it through the engine's public
+API; relational/DSL queries exercise the ES-DSL compiler
+(gopensearch_spark.dsl.Engine); datapipe queries exercise the
+training-data operators.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+_INDEX_CACHE: dict[str, str] = {}
+
+K1, B = 1.2, 0.75
+_ROUND = 10  # BM25 scores are ~1e-6 magnitude; 10 decimals kills libm 1-ulp noise
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _index_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per process+sf) the inverted index over documents."""
+    if sf_dir in _INDEX_CACHE:
+        return _INDEX_CACHE[sf_dir]
+    from gopensearch_spark.index import build_index, read_corpus_stats
+
+    out = os.path.join("/tmp/gopensearch_entry_idx", os.path.basename(os.path.normpath(sf_dir)))
+    if not os.path.exists(os.path.join(out, "corpus_stats.json")):
+        build_index(
+            spark,
+            _docs(spark, sf_dir),
+            out,
+            slices=1,
+            term_buckets=16,
+            num_segments=8,
+            input_lineage=f"{sf_dir}/documents.parquet",
+        )
+    _INDEX_CACHE[sf_dir] = out
+    return out
+
+
+def _bm25(terms: list[str], mode: str, k: int):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from gopensearch_spark.search import bm25_scores
+
+        scores = bm25_scores(spark, _index_dir(spark, sf_dir), terms, mode=mode)
+        return (
+            scores.withColumn("score", F.round("score", _ROUND))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+            .select("doc_id", "score")
+        )
+
+    return q
+
+
+def _bm25_oracle(terms: list[str], mode: str, k: int) -> str:
+    vals = ", ".join(f"('{t}')" for t in terms)
+    nt_filter = f"WHERE nt = {len(set(terms))}" if mode == "and" else ""
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+q(term) AS (VALUES {vals}),
+scored AS (
+  SELECT tf.doc_id,
+    (CASE WHEN ln((s.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)) > 0
+          THEN ln((s.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)) ELSE 1e-6 END)
+    * (tf.tf * {K1 + 1.0}) / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl)) AS contrib
+  FROM tf
+  JOIN q USING (term)
+  JOIN dfs USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+),
+agg AS (SELECT doc_id, sum(contrib) AS score, count(*) AS nt FROM scored GROUP BY 1)
+SELECT doc_id, round(score, {_ROUND}) AS score FROM agg {nt_filter}
+ORDER BY round(score, {_ROUND}) DESC, doc_id ASC LIMIT {k}
+"""
+
+
+def _engine(spark: SparkSession, sf_dir: str):
+    from gopensearch_spark.dsl import Engine
+
+    e = Engine(spark)
+    e.create_index(
+        "events",
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet")),
+        json_col="props",
+        id_col="event_id",
+    )
+    e.create_index("documents", _docs(spark, sf_dir), id_col="doc_id")
+    return e
+
+
+# --- relational / DSL-compiled queries --------------------------------------
+
+def _dsl_term_filter(spark, sf_dir):
+    hits, _, _ = _engine(spark, sf_dir).search_df(
+        "events", {"query": {"term": {"event_type": "error"}}, "size": 10_000_000}
+    )
+    return hits.select("event_id", "event_type")
+
+
+def _dsl_range_epoch_millis(spark, sf_dir):
+    body = {
+        "query": {"range": {"ts": {"gte": 1704067200000, "lt": 1704153600000, "format": "epoch_millis"}}},
+        "size": 10_000_000,
+    }
+    hits, _, _ = _engine(spark, sf_dir).search_df("events", body)
+    return hits.select("event_id")
+
+
+def _dsl_bool_must_filter(spark, sf_dir):
+    body = {
+        "query": {"bool": {
+            "must": [{"term": {"event_type": "click"}}],
+            "filter": [{"range": {"value": {"gte": 100}}}],
+        }},
+        "size": 10_000_000,
+    }
+    hits, _, _ = _engine(spark, sf_dir).search_df("events", body)
+    return hits.select("event_id", F.round("value", 6).alias("value"))
+
+
+def _dsl_bool_should_or(spark, sf_dir):
+    body = {"query": {"bool": {"should": [
+        {"term": {"event_type": "signup"}},
+        {"term": {"event_type": "error"}},
+    ]}}, "size": 10_000_000}
+    hits, _, _ = _engine(spark, sf_dir).search_df("events", body)
+    return hits.select("event_id", "event_type")
+
+
+def _dsl_sort_limit(spark, sf_dir):
+    body = {"sort": [{"value": {"order": "desc"}}, {"event_id": {"order": "asc"}}], "size": 10}
+    hits, _, _ = _engine(spark, sf_dir).search_df("events", body)
+    return hits.select("event_id", F.round("value", 6).alias("value"))
+
+
+def _dsl_query_string_glob(spark, sf_dir):
+    e = _engine(spark, sf_dir)
+    body = {"query": {"query_string": {"query": "*dup*", "default_field": "text"}}, "size": 10_000_000}
+    hits, _, _ = e.search_df("documents", body)
+    return hits.select("doc_id")
+
+
+def _dsl_terms_agg(spark, sf_dir):
+    body = {"size": 0, "aggs": {"types": {"terms": {"field": "event_type", "size": 3}}}}
+    _, aggs, _ = _engine(spark, sf_dir).search_df("events", body)
+    _, df = aggs["types"]
+    return df.select("key", "doc_count")
+
+
+def _dsl_date_histogram(spark, sf_dir):
+    body = {"size": 0, "aggs": {"hist": {"date_histogram": {"field": "ts", "fixed_interval": "1h"}}}}
+    _, aggs, _ = _engine(spark, sf_dir).search_df("events", body)
+    _, df = aggs["hist"]
+    return df.select(F.col("key").alias("bucket_ms"), "doc_count")
+
+
+def _dsl_avg_metric(spark, sf_dir):
+    body = {"size": 0, "aggs": {"a": {"avg": {"field": "value"}}}}
+    _, aggs, _ = _engine(spark, sf_dir).search_df("events", body)
+    _, df = aggs["a"]
+    return df.select(F.round("value", 6).alias("avg_value"))
+
+
+def _dsl_max_metric(spark, sf_dir):
+    body = {"size": 0, "aggs": {"m": {"max": {"field": "value"}}}}
+    _, aggs, _ = _engine(spark, sf_dir).search_df("events", body)
+    _, df = aggs["m"]
+    return df.select(F.round("value", 6).alias("max_value"))
+
+
+def _dsl_subagg(spark, sf_dir):
+    body = {"size": 0, "aggs": {"types": {
+        "terms": {"field": "event_type", "size": 5},
+        "aggs": {"avg_val": {"avg": {"field": "value"}}},
+    }}}
+    _, aggs, _ = _engine(spark, sf_dir).search_df("events", body)
+    _, df = aggs["types"]
+    return df.select("key", "doc_count", F.round("avg_val", 6).alias("avg_val"))
+
+
+# --- datapipe ----------------------------------------------------------------
+
+def _dedup_exact(spark, sf_dir):
+    from gopensearch_spark.datapipe import exact_dedup
+
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+def _dedup_ngram_jaccard(spark, sf_dir):
+    from gopensearch_spark.datapipe import ngram_jaccard_pairs
+
+    out = ngram_jaccard_pairs(_docs(spark, sf_dir), n=5, threshold=0.8)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _dedup_minhash_lsh(spark, sf_dir):
+    from gopensearch_spark.datapipe import minhash_lsh_pairs
+
+    out = minhash_lsh_pairs(_docs(spark, sf_dir), num_perm=64, bands=16, threshold=0.7)
+    return out.select("id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
+
+
+def _dedup_simhash(spark, sf_dir):
+    from gopensearch_spark.datapipe import simhash_pairs
+
+    return simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
+
+
+def _ann_cosine_topk(spark, sf_dir):
+    from gopensearch_spark.datapipe import cosine_topk
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.where(F.col("vec_id") < 3).select(F.col("vec_id").alias("query_id"), "embedding")
+    out = cosine_topk(emb, queries, k=5)
+    return out.select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"))
+
+
+def _ann_lsh_topk(spark, sf_dir):
+    from gopensearch_spark.datapipe import ann_lsh_topk
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.where(F.col("vec_id") < 3).select(F.col("vec_id").alias("query_id"), "embedding")
+    out = ann_lsh_topk(spark, emb, queries, k=5, n_bits=4, n_tables=16)
+    return out.select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"))
+
+
+def _qc_token_stats(spark, sf_dir):
+    from gopensearch_spark.datapipe import token_stats
+
+    out = token_stats(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id", "n_tokens", "n_chars",
+        F.round("avg_token_len", 6).alias("avg_token_len"),
+        "n_types", "bpe_est_tokens",
+    )
+
+
+def _qc_quality_score(spark, sf_dir):
+    from gopensearch_spark.datapipe import quality_score
+
+    out = quality_score(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id", "n_tokens",
+        F.round("type_token_ratio", 6).alias("type_token_ratio"),
+        "stopword_hits",
+        F.round("mean_word_len", 6).alias("mean_word_len"),
+        F.round("quality", 2).alias("quality"),
+    )
+
+
+def _qc_lang_id(spark, sf_dir):
+    from gopensearch_spark.datapipe import lang_id
+
+    return lang_id(_docs(spark, sf_dir))
+
+
+def _qc_fingerprint(spark, sf_dir):
+    from gopensearch_spark.datapipe import fingerprint
+
+    return fingerprint(_docs(spark, sf_dir))
+
+
+def _sql_q1(spark, sf_dir):
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).createOrReplaceTempView("li")
+    return spark.sql("""
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 4) AS sum_qty,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+               count(*) AS n_rows
+        FROM li
+        WHERE l_shipdate <= date '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """)
+
+
+# --- driver contract ---------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: build the inverted index over sf0.001 documents and run a
+    BM25 match, returning top-10 hits with their text metadata."""
+    sf_dir = "/root/testdata/sf0.001"
+    from gopensearch_spark.search import bm25_match
+
+    top = bm25_match(spark, _index_dir(spark, sf_dir), "spark join", k=10, mode="or")
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+    return top.join(docs, "doc_id").select("doc_id", F.round("score", _ROUND).alias("score"), "lang", "n_chars")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # full-text BM25 (the FTS5-equivalent core)
+        "bm25_head_term": _bm25(["data"], "or", 10),
+        "bm25_tail_term": _bm25(["dup"], "or", 10),
+        "bm25_and2": _bm25(["spark", "join"], "and", 10),
+        "bm25_or3": _bm25(["merge", "sort", "batch"], "or", 25),
+        "bm25_and3_k100": _bm25(["data", "scan", "batch"], "and", 100),
+        # ES-DSL relational surface (compiled to DataFrame ops)
+        "dsl_term_filter": _dsl_term_filter,
+        "dsl_range_epoch_millis": _dsl_range_epoch_millis,
+        "dsl_bool_must_filter": _dsl_bool_must_filter,
+        "dsl_bool_should_or": _dsl_bool_should_or,
+        "dsl_sort_limit": _dsl_sort_limit,
+        "dsl_query_string_glob": _dsl_query_string_glob,
+        "dsl_terms_agg": _dsl_terms_agg,
+        "dsl_date_histogram": _dsl_date_histogram,
+        "dsl_avg_metric": _dsl_avg_metric,
+        "dsl_max_metric": _dsl_max_metric,
+        "dsl_subagg": _dsl_subagg,
+        # training-data pipeline operators
+        "dedup_exact": _dedup_exact,
+        "dedup_ngram_jaccard": _dedup_ngram_jaccard,
+        "dedup_minhash_lsh": _dedup_minhash_lsh,
+        "dedup_simhash": _dedup_simhash,
+        "ann_cosine_topk": _ann_cosine_topk,
+        "ann_lsh_topk": _ann_lsh_topk,
+        "qc_token_stats": _qc_token_stats,
+        "qc_quality_score": _qc_quality_score,
+        "qc_lang_id": _qc_lang_id,
+        "qc_fingerprint": _qc_fingerprint,
+        # plain SQL surface
+        "sql_q1": _sql_q1,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from gopensearch_spark.datapipe.textqc import LANG_MARKERS
+
+    def _lst(words):
+        return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+    langs = sorted(LANG_MARKERS)
+    score_cols = ", ".join(
+        f"len(list_intersect(list_distinct(string_split(text, ' ')), {_lst(LANG_MARKERS[l])})) AS s_{l}"
+        for l in langs
+    )
+    # lexicographically-first argmax: lang l wins when >= every LATER lang
+    # (any earlier lang that lost was strictly beaten by something later,
+    # which l dominates transitively)
+    parts = []
+    for i, l in enumerate(langs):
+        conds = " AND ".join(f"s_{l} >= s_{m}" for m in langs[i + 1 :])
+        parts.append(f"WHEN {conds} THEN '{l}'" if conds else f"ELSE '{l}'")
+    case = "CASE " + " ".join(parts) + " END"
+
+    en = _lst(LANG_MARKERS["en"])
+
+    return {
+        "bm25_head_term": _bm25_oracle(["data"], "or", 10),
+        "bm25_tail_term": _bm25_oracle(["dup"], "or", 10),
+        "bm25_and2": _bm25_oracle(["spark", "join"], "and", 10),
+        "bm25_or3": _bm25_oracle(["merge", "sort", "batch"], "or", 25),
+        "bm25_and3_k100": _bm25_oracle(["data", "scan", "batch"], "and", 100),
+        "dsl_term_filter": "SELECT event_id, event_type FROM events WHERE event_type = 'error'",
+        "dsl_range_epoch_millis": (
+            "SELECT event_id FROM events "
+            "WHERE ts >= epoch_ms(1704067200000) AND ts < epoch_ms(1704153600000)"
+        ),
+        "dsl_bool_must_filter": (
+            "SELECT event_id, round(value, 6) AS value FROM events "
+            "WHERE event_type = 'click' AND value >= 100"
+        ),
+        "dsl_bool_should_or": (
+            "SELECT event_id, event_type FROM events WHERE event_type IN ('signup', 'error')"
+        ),
+        "dsl_sort_limit": (
+            "SELECT event_id, round(value, 6) AS value FROM events "
+            "ORDER BY value DESC, event_id ASC LIMIT 10"
+        ),
+        "dsl_query_string_glob": "SELECT doc_id FROM documents WHERE text LIKE '%dup%'",
+        "dsl_terms_agg": (
+            "SELECT event_type AS key, count(*) AS doc_count FROM events "
+            "GROUP BY 1 ORDER BY doc_count DESC, key ASC LIMIT 3"
+        ),
+        "dsl_date_histogram": (
+            "SELECT (epoch_ms(ts) // 3600000) * 3600000 AS bucket_ms, count(*) AS doc_count "
+            "FROM events GROUP BY 1 ORDER BY 1"
+        ),
+        "dsl_avg_metric": "SELECT round(avg(value), 6) AS avg_value FROM events",
+        "dsl_max_metric": "SELECT round(max(value), 6) AS max_value FROM events",
+        "dsl_subagg": (
+            "SELECT event_type AS key, count(*) AS doc_count, round(avg(value), 6) AS avg_val "
+            "FROM events GROUP BY 1 ORDER BY doc_count DESC, key ASC LIMIT 5"
+        ),
+        "dedup_exact": (
+            "SELECT min(doc_id) AS doc_id, count(*) AS dup_count FROM documents GROUP BY text"
+        ),
+        "dedup_ngram_jaccard": """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (SELECT DISTINCT doc_id, array_to_string(w[j:j+4], ' ') AS s
+       FROM t, unnest(range(1, len(w) - 3)) AS u(j) WHERE len(w) >= 5),
+pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+          FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)
+SELECT id_a, id_b, round(inter * 1.0 / (x.n + y.n - inter), 6) AS jaccard
+FROM pairs JOIN sz x ON x.doc_id = id_a JOIN sz y ON y.doc_id = id_b
+WHERE inter * 1.0 / (x.n + y.n - inter) >= 0.8
+""",
+        "ann_cosine_topk": """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 3),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(e.embedding::DOUBLE[], q.qv) AS cos,
+         row_number() OVER (
+           PARTITION BY q.query_id
+           ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv) DESC, e.vec_id ASC) AS rn
+  FROM embeddings e CROSS JOIN q)
+SELECT query_id, vec_id, round(cos, 6) AS cosine FROM scored WHERE rn <= 5
+""",
+        "qc_token_stats": (
+            "SELECT doc_id, len(string_split(text, ' ')) AS n_tokens, length(text) AS n_chars, "
+            "round(length(text) * 1.0 / len(string_split(text, ' ')), 6) AS avg_token_len, "
+            "len(list_distinct(string_split(text, ' '))) AS n_types, "
+            "cast(ceil(length(text) / 4.0) AS bigint) AS bpe_est_tokens FROM documents"
+        ),
+        "qc_quality_score": f"""
+WITH s AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(list_distinct(string_split(text, ' '))) * 1.0 / len(string_split(text, ' ')) AS ttr,
+         len(list_intersect(string_split(text, ' '), {en})) AS stopword_hits,
+         length(text) * 1.0 / len(string_split(text, ' ')) AS mwl
+  FROM documents)
+SELECT doc_id, n_tokens, round(ttr, 6) AS type_token_ratio, stopword_hits,
+       round(mwl, 6) AS mean_word_len,
+       round((CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 0.25 ELSE 0 END
+        + CASE WHEN mwl BETWEEN 3 AND 12 THEN 0.25 ELSE 0 END
+        + CASE WHEN ttr >= 0.1 THEN 0.25 ELSE 0 END
+        + CASE WHEN stopword_hits >= 1 THEN 0.25 ELSE 0 END), 2) AS quality
+FROM s
+""",
+        "qc_lang_id": f"""
+WITH s AS (SELECT doc_id, {score_cols} FROM documents)
+SELECT doc_id, {case} AS pred_lang FROM s
+""",
+        "qc_fingerprint": "SELECT doc_id, md5(lower(text)) AS fp FROM documents",
+        "sql_q1": (
+            "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 4) AS sum_qty, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue, count(*) AS n_rows "
+            "FROM lineitem WHERE l_shipdate <= date '1998-09-02' GROUP BY l_returnflag, l_linestatus"
+        ),
+    }

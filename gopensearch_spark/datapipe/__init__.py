@@ -1,0 +1,13 @@
+from gopensearch_spark.datapipe.dedup import (  # noqa: F401
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from gopensearch_spark.datapipe.similarity import ann_lsh_topk, cosine_topk  # noqa: F401
+from gopensearch_spark.datapipe.textqc import (  # noqa: F401
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_stats,
+)

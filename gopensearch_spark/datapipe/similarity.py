@@ -1,0 +1,130 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``: exact brute-force cosine top-k against a small query
+  set — the correctness baseline. The query side is broadcast (it's k
+  vectors, not the corpus); the corpus is scanned once; score math is
+  built-in ``F.zip_with``/``F.aggregate`` (JVM-side, codegen'd), and the
+  result is a per-query TakeOrderedAndProject. Nothing is collected.
+- ``ann_lsh_topk``: the scale path — signed-random-projection LSH
+  (Charikar 2002): h(v) = sign(v . r) over ``n_bits`` seeded hyperplanes;
+  candidates share a bucket in any of ``n_tables`` tables; exact cosine
+  rerank inside buckets only. At 10^12 rows the bucket join replaces the
+  full scan; recall tunes with n_bits/n_tables.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_SEED = 7
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine_expr(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k by cosine for each query row: (query_id, vec_id, cosine).
+
+    ``queries``: (query_id, embedding). Broadcast; corpus scanned once.
+    """
+    q = F.broadcast(
+        queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    )
+    scored = emb.crossJoin(q).select(
+        "query_id",
+        F.col(id_col).alias("vec_id"),
+        cosine_expr(F.col(vec_col), F.col("qv")).alias("cosine"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+        .orderBy("query_id", F.desc("cosine"), F.asc("vec_id"))
+    )
+
+
+def _hyperplanes(dim: int, n_bits: int, n_tables: int) -> np.ndarray:
+    rng = np.random.default_rng(_SEED)
+    return rng.standard_normal((n_tables, n_bits, dim))
+
+
+def srp_signature_col(vec_col, planes: np.ndarray):
+    """Signature for one table: packed sign bits via built-in array ops."""
+    n_bits = planes.shape[0]
+    bits = []
+    for i in range(n_bits):
+        row = planes[i].tolist()
+        dot = F.aggregate(
+            F.zip_with(vec_col, F.array(*[F.lit(float(x)) for x in row]), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(dot >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def ann_lsh_topk(
+    spark: SparkSession,
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_bits: int = 12,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """SRP-LSH bucketed ANN: bucket-join then exact rerank within buckets."""
+    dim = len(emb.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_bits, n_tables)
+
+    def with_sigs(df, idc, vc, out_id):
+        cols = [F.col(idc).alias(out_id), F.col(vc).alias(f"{out_id}_v")]
+        sig_structs = [
+            F.struct(F.lit(t).alias("table"), srp_signature_col(F.col(vc), planes[t]).alias("sig"))
+            for t in range(n_tables)
+        ]
+        return df.select(*cols, F.explode(F.array(*sig_structs)).alias("ts")).select(
+            out_id, f"{out_id}_v", F.col("ts.table").alias("table"), F.col("ts.sig").alias("sig")
+        )
+
+    e = with_sigs(emb, id_col, vec_col, "vec_id")
+    q = F.broadcast(with_sigs(queries, query_id_col, vec_col, "query_id"))
+    cand = (
+        e.join(q, ["table", "sig"])
+        .select("query_id", "vec_id", cosine_expr(F.col("vec_id_v"), F.col("query_id_v")).alias("cosine"))
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+        .orderBy("query_id", F.desc("cosine"), F.asc("vec_id"))
+    )

@@ -1,0 +1,97 @@
+"""Text analysis for training-data pipelines: language ID, quality
+scoring, token counting, document fingerprinting.
+
+Everything here is built-in-expression only (JVM-side, codegen'd) so
+the same logic is expressible in the DuckDB oracle SQL verbatim — these
+are the `queries()`/`oracle_sql()` pairs the driver hash-compares.
+Tokenization for QC purposes is simple whitespace/regex (NOT the FTS5
+tokenizer — QC wants cheap, index wants exact).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# tiny seeded stopword lists per language — the n-gram/stopword-hit
+# heuristic; deterministic and SQL-portable.
+LANG_MARKERS: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "nicht", "ist", "ein", "zu"],
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es"],
+    "fr": ["le", "la", "et", "les", "des", "un", "une", "est"],
+    "zh": ["de5", "shi4", "bu4", "le5", "zai4", "wo3", "you3", "he2"],
+}
+
+_TOKENS = lambda c: F.split(c, " ")  # noqa: E731  (corpus is space-joined)
+
+
+def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, n_tokens, n_chars, avg_token_len, n_types) —
+    whitespace tokens + a BPE-ish subword estimate (chars/4 heuristic,
+    the common rule-of-thumb for byte-level BPE)."""
+    toks = _TOKENS(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.length(text_col).alias("n_chars"),
+        (F.length(text_col) / F.size(toks)).alias("avg_token_len"),
+        F.size(F.array_distinct(toks)).alias("n_types"),
+        F.ceil(F.length(text_col) / 4).cast("long").alias("bpe_est_tokens"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Gopher/C4-style quality signals + a composite score in [0, 1]:
+    length band, type-token ratio, stopword presence, mean word length
+    band. Deterministic arithmetic only."""
+    toks = _TOKENS(F.col(text_col))
+    n = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)) / n
+    stop_hits = F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in LANG_MARKERS["en"]])))
+    mwl = F.length(text_col) / n
+    score = (
+        F.when((n >= 10) & (n <= 100000), F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when((mwl >= 3) & (mwl <= 12), F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when(ttr >= 0.1, F.lit(0.25)).otherwise(F.lit(0.0))
+        + F.when(stop_hits >= 1, F.lit(0.25)).otherwise(F.lit(0.0))
+    )
+    return df.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        ttr.alias("type_token_ratio"),
+        stop_hits.alias("stopword_hits"),
+        mwl.alias("mean_word_len"),
+        score.alias("quality"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-hit language ID: distinct-marker intersection count per
+    language, argmax with lexicographic tie-break. (doc_id, pred_lang)."""
+    toks = F.array_distinct(_TOKENS(F.col(text_col)))
+    scored = F.array(
+        *[
+            F.struct(
+                F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))).alias("score"),
+                F.lit(lang).alias("lang"),
+            )
+            for lang, words in sorted(LANG_MARKERS.items())
+        ]
+    )
+    # max score, ties -> lexicographically smallest lang: sort by
+    # (-score, lang) and take element 1
+    best = F.sort_array(
+        F.transform(scored, lambda s: F.struct((-s["score"]).alias("neg"), s["lang"].alias("lang")))
+    )[0]["lang"]
+    return df.select(F.col(id_col), best.alias("pred_lang"))
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Deterministic document fingerprint: md5 over the normalized
+    (lowercased, single-space) token stream — identical in DuckDB
+    (md5(lower(text))) so exact-dup detection is oracle-checkable."""
+    return df.select(
+        F.col(id_col),
+        F.md5(F.lower(F.col(text_col))).alias("fp"),
+    )

@@ -1,0 +1,184 @@
+"""Training-data pipeline operators: dedup, similarity, text QC,
+multimodal plumbing — cross-checked against DuckDB where expressible."""
+
+import math
+import os
+
+import duckdb
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from gopensearch_spark.datapipe import (
+    ann_lsh_topk,
+    cosine_topk,
+    exact_dedup,
+    fingerprint,
+    lang_id,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    quality_score,
+    simhash_pairs,
+    token_stats,
+)
+
+SF = os.path.join(os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata"), "sf0.001")
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')")
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{SF}/embeddings.parquet')")
+    yield con
+    con.close()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(os.path.join(SF, "embeddings.parquet"))
+
+
+def test_exact_dedup(docs_small, duck):
+    got = exact_dedup(docs_small).count()
+    exp = duck.execute("SELECT count(DISTINCT text) FROM documents").fetchone()[0]
+    assert got == exp
+
+
+def test_ngram_jaccard_pairs_vs_duckdb(docs_small, duck):
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs_small, n=5, threshold=0.8).collect()
+    }
+    exp = duck.execute("""
+      WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+      sh AS (SELECT DISTINCT doc_id, array_to_string(w[j:j+4],' ') AS s
+             FROM t, unnest(range(1, len(w)-3)) AS u(j) WHERE len(w) >= 5),
+      pairs AS (SELECT a.doc_id ia, b.doc_id ib, count(*) inter FROM sh a JOIN sh b USING (s)
+                WHERE a.doc_id < b.doc_id GROUP BY 1,2),
+      sz AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1)
+      SELECT ia, ib, inter*1.0/(x.n + y.n - inter) jac FROM pairs
+      JOIN sz x ON x.doc_id=ia JOIN sz y ON y.doc_id=ib
+      WHERE inter*1.0/(x.n + y.n - inter) >= 0.8
+    """).fetchall()
+    assert len(got) == len(exp) > 0
+    for ia, ib, jac in exp:
+        assert math.isclose(got[(ia, ib)], jac, rel_tol=1e-9)
+
+
+def test_minhash_lsh_finds_planted_dups(docs_small, duck):
+    exact = duck.execute("""
+      WITH t AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+      sh AS (SELECT DISTINCT doc_id, array_to_string(w[j:j+4],' ') AS s
+             FROM t, unnest(range(1, len(w)-3)) AS u(j) WHERE len(w) >= 5),
+      pairs AS (SELECT a.doc_id ia, b.doc_id ib, count(*) inter FROM sh a JOIN sh b USING (s)
+                WHERE a.doc_id < b.doc_id GROUP BY 1,2),
+      sz AS (SELECT doc_id, count(*) n FROM sh GROUP BY 1)
+      SELECT ia, ib FROM pairs JOIN sz x ON x.doc_id=ia JOIN sz y ON y.doc_id=ib
+      WHERE inter*1.0/(x.n + y.n - inter) >= 0.9
+    """).fetchall()
+    truth = {(a, b) for a, b in exact}
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(docs_small, num_perm=64, bands=16, threshold=0.7).collect()
+    }
+    # LSH with 16 bands of 4 rows catches j>=0.9 pairs with prob ~1
+    assert truth, "fixture should contain planted near-dups"
+    assert truth <= got, f"missed planted dups: {truth - got}"
+
+
+def test_simhash_finds_exact_dups(spark, docs_small):
+    # append an exact duplicate of doc 0 with a new id; simhash distance 0
+    d0 = docs_small.where(F.col("doc_id") == 0).select(
+        F.lit(100000).alias("doc_id"), "text", "lang", "source", "n_chars"
+    )
+    df = docs_small.select("doc_id", "text", "lang", "source", "n_chars").union(d0)
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_pairs(df, max_hamming=0).collect()}
+    assert (0, 100000) in pairs and pairs[(0, 100000)] == 0
+
+
+def test_cosine_topk_vs_duckdb(emb, duck):
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = cosine_topk(emb, queries, k=5).collect()
+    exp = duck.execute("""
+      WITH q AS (SELECT vec_id qid, embedding qv FROM embeddings WHERE vec_id < 3)
+      SELECT qid, vec_id, cos FROM (
+        SELECT q.qid, e.vec_id,
+               list_cosine_similarity(e.embedding, q.qv) AS cos,
+               row_number() OVER (PARTITION BY q.qid ORDER BY list_cosine_similarity(e.embedding, q.qv) DESC, e.vec_id) rn
+        FROM embeddings e, q) WHERE rn <= 5 ORDER BY qid, cos DESC, vec_id
+    """).fetchall()
+    assert [(r["query_id"], r["vec_id"]) for r in got] == [(q, v) for q, v, _ in exp]
+    for r, (_, _, c) in zip(got, exp):
+        assert math.isclose(r["cosine"], c, rel_tol=1e-6)
+    # self-match is rank 1 with cosine ~1
+    assert got[0]["vec_id"] == got[0]["query_id"] and math.isclose(got[0]["cosine"], 1.0, rel_tol=1e-6)
+
+
+def test_ann_lsh_recall(spark, emb):
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = cosine_topk(emb, queries, k=5).collect()
+    # gaussian fixtures have weak neighbor structure; coarse buckets
+    # (fewer bits, more tables) trade compute for recall
+    approx = ann_lsh_topk(spark, emb, queries, k=5, n_bits=4, n_tables=16).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [
+        len(exact_sets[q] & approx_sets.get(q, set())) / len(exact_sets[q]) for q in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.5  # sane recall at these params
+    for q in approx_sets:
+        assert q in approx_sets[q] or q in exact_sets[q]  # self always bucket-collides
+
+
+def test_token_stats_vs_duckdb(docs_small, duck):
+    got = {r["doc_id"]: r for r in token_stats(docs_small).collect()}
+    exp = duck.execute(
+        "SELECT doc_id, len(string_split(text,' ')), length(text) FROM documents"
+    ).fetchall()
+    for did, ntok, nch in exp:
+        assert got[did]["n_tokens"] == ntok and got[did]["n_chars"] == nch
+
+
+def test_quality_score_bounds(docs_small):
+    rows = quality_score(docs_small).collect()
+    assert all(0.0 <= r["quality"] <= 1.0 for r in rows)
+    assert any(r["quality"] >= 0.75 for r in rows)
+
+
+def test_lang_id_deterministic(docs_small):
+    a = {r["doc_id"]: r["pred_lang"] for r in lang_id(docs_small).collect()}
+    b = {r["doc_id"]: r["pred_lang"] for r in lang_id(docs_small).collect()}
+    assert a == b
+    assert set(a.values()) <= set("de en es fr zh".split())
+
+
+def test_fingerprint_matches_duckdb(docs_small, duck):
+    got = {r["doc_id"]: r["fp"] for r in fingerprint(docs_small).collect()}
+    exp = duck.execute("SELECT doc_id, md5(lower(text)) FROM documents").fetchall()
+    for did, fp in exp:
+        assert got[did] == fp
+
+
+def test_multimodal_feature_plumbing(spark):
+    from gopensearch_spark.datapipe.multimodal import MEDIA_SCHEMA, extract_features, resize_images
+
+    rows = [(i, "image", bytes([i]) * 16, 32, 32, None, None) for i in range(20)]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = extract_features(media, dim=8).collect()
+    assert len(feats) == 20 and all(len(r["feature"]) == 8 for r in feats)
+    # deterministic: same payload -> same feature
+    again = extract_features(media, dim=8).collect()
+    assert [r["feature"] for r in feats] == [r["feature"] for r in again]
+    resized = resize_images(media, 64, 64).collect()
+    assert all(r["width"] == 64 and r["height"] == 64 for r in resized)
+    with pytest.raises(NotImplementedError):
+        extract_features(media, fake=False).count()
