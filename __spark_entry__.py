@@ -229,6 +229,49 @@ def _dedup_simhash(spark, sf_dir):
     return simhash_pairs(_docs(spark, sf_dir), max_hamming=3)
 
 
+def _dedup_embedding_cosine(spark, sf_dir):
+    from gopensearch_spark.datapipe import embedding_neardup_pairs
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    out = embedding_neardup_pairs(emb, threshold=0.4, method="exact")
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+def _dedup_embedding_cosine_lsh(spark, sf_dir):
+    """Scale path (SRP-LSH blocking); rows-only check — LSH recall < 1
+    by construction, so no SQL oracle claims exactness."""
+    from gopensearch_spark.datapipe import embedding_neardup_pairs
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    out = embedding_neardup_pairs(emb, threshold=0.4, method="lsh", n_bits=6, n_tables=8)
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+def _mm_extract_features(spark, sf_dir):
+    """Multimodal plumbing: binary payload -> fake-decoded features via
+    Arrow-batched mapInPandas; the oracle checks the deterministic
+    metadata surface (ids, type, dim, payload byte size)."""
+    from gopensearch_spark.datapipe import extract_features
+
+    media = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.lit("image").alias("media_type"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit(0).alias("width"), F.lit(0).alias("height"),
+        F.lit(0).alias("sample_rate"), F.lit(0).alias("duration_ms"),
+    )
+    feats = extract_features(media, dim=64, fake=True)
+    sizes = media.select("doc_id", F.octet_length("payload").alias("payload_bytes"))
+    return (
+        feats.join(sizes, "doc_id")
+        .select("doc_id", "media_type", "feat_dim", "payload_bytes")
+    )
+
+
 def _ann_cosine_topk(spark, sf_dir):
     from gopensearch_spark.datapipe import cosine_topk
 
@@ -338,6 +381,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_simhash": _dedup_simhash,
+        "dedup_embedding_cosine": _dedup_embedding_cosine,
+        "dedup_embedding_cosine_lsh": _dedup_embedding_cosine_lsh,
+        "mm_extract_features": _mm_extract_features,
         "ann_cosine_topk": _ann_cosine_topk,
         "ann_lsh_topk": _ann_lsh_topk,
         "qc_token_stats": _qc_token_stats,
@@ -410,6 +456,16 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_exact": (
             "SELECT min(doc_id) AS doc_id, count(*) AS dup_count FROM documents GROUP BY text"
+        ),
+        "dedup_embedding_cosine": """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+""",
+        "mm_extract_features": (
+            "SELECT doc_id, 'image' AS media_type, 64 AS feat_dim, "
+            "octet_length(encode(text)) AS payload_bytes FROM documents"
         ),
         "dedup_ngram_jaccard": """
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

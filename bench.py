@@ -1,0 +1,199 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Default mode: run the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE JSON
+line: {"metric", "value" (total sec), "unit": "sec", "queries": {name:
+sec}, "sf", plus index-build throughput fields}.
+
+Scaling mode (north-rule evidence, run manually):
+
+    python bench.py --scaling            # local[8] vs local[32] subprocesses
+    python bench.py --index-only         # one build at current SPARK_GRAFT_CPUS
+
+The scaling run replicates the seeded documents corpus into a larger
+web_pages table (deterministic; same input bytes for both cluster
+sizes) and measures end-to-end index-build docs/sec at both
+parallelism levels; efficiency = (T_big/T_small) / (cpus_big/cpus_small).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# Headline query subset (keys must exist in __spark_entry__.queries()).
+BENCH_QUERIES = [
+    "bm25_head_term",
+    "bm25_and2",
+    "bm25_or3",
+    "dsl_bool_must_filter",
+    "dsl_terms_agg",
+    "dsl_date_histogram",
+    "dsl_subagg",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
+    "qc_quality_score",
+    "sql_q1",
+]
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def _fresh_dir(path: str) -> str:
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
+def _build_web_pages(spark, sf_dir: str, copies: int, out: str) -> str:
+    """Materialize the deterministic web_pages fixture once (parquet)."""
+    from gopensearch_spark.webtext import synth_web_pages
+
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        synth_web_pages(spark, docs, copies=copies).write.mode("overwrite").parquet(out)
+    return out
+
+
+def run_index_build(spark, web_pages_path: str, idx_out: str) -> dict:
+    """End-to-end: read web_pages -> extract -> postings+blocks+stats."""
+    from gopensearch_spark.index import build_index
+    from gopensearch_spark.webtext import prepare_corpus
+
+    _fresh_dir(idx_out)
+    web_pages = spark.read.parquet(web_pages_path)
+    t0 = time.time()
+    stats = build_index(
+        spark,
+        prepare_corpus(web_pages),
+        idx_out,
+        slices=1,
+        term_buckets=32,
+        num_segments=32,
+        input_lineage=f"parquet:{web_pages_path}",
+    )
+    dt = time.time() - t0
+    return {
+        "n_docs": stats["n_docs"],
+        "total_tokens": stats["total_tokens"],
+        "index_build_sec": round(dt, 3),
+        "docs_per_sec": round(stats["n_docs"] / dt, 1),
+    }
+
+
+def run_queries(spark, sf_dir: str) -> dict[str, float]:
+    import __spark_entry__ as entry
+
+    qmap = entry.queries()
+    # Warm the JVM + parquet footers once so timings measure the query,
+    # not session startup.
+    qmap["bm25_tail_term"](spark, sf_dir).collect()
+    times: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        runs = []
+        for _ in range(3):
+            t0 = time.time()
+            qmap[name](spark, sf_dir).collect()
+            runs.append(time.time() - t0)
+        times[name] = round(sorted(runs)[1], 3)  # per-query p50
+    return times
+
+
+def bench_default() -> dict:
+    from gopensearch_spark.session import get_spark
+
+    spark = get_spark("bench", master=f"local[{CPUS}]")
+    wp = _build_web_pages(spark, SF_DIR, copies=1, out="/tmp/gopensearch_bench/web_pages")
+    build = run_index_build(spark, wp, "/tmp/gopensearch_bench/idx")
+
+    # Point the entry module's index cache at a driver-contract build so
+    # query timings don't pay a second index build.
+    import __spark_entry__ as entry
+
+    entry._index_dir(spark, SF_DIR)  # builds (or reuses) the /tmp cache
+    queries = run_queries(spark, SF_DIR)
+    total = round(sum(queries.values()) + build["index_build_sec"], 3)
+    return {
+        "metric": "index build + headline query latency",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": _sf_of(SF_DIR),
+        "cpus": CPUS,
+        **build,
+    }
+
+
+def bench_index_only(copies: int) -> dict:
+    from gopensearch_spark.session import get_spark
+
+    spark = get_spark("bench-index", master=f"local[{CPUS}]")
+    wp = _build_web_pages(
+        spark, SF_DIR, copies=copies, out=f"/tmp/gopensearch_bench/web_pages_x{copies}"
+    )
+    # Warm-up: small build so JVM/codegen/Arrow paths are hot before timing.
+    run_index_build(spark, _build_web_pages(spark, SF_DIR, 1, "/tmp/gopensearch_bench/web_pages"),
+                    f"/tmp/gopensearch_bench/idx_warm_{CPUS}")
+    build = run_index_build(spark, wp, f"/tmp/gopensearch_bench/idx_scale_{CPUS}")
+    return {"metric": "index build", "unit": "sec", "cpus": CPUS, "copies": copies,
+            "sf": _sf_of(SF_DIR), **build}
+
+
+def bench_scaling(small: int, big: int, copies: int) -> dict:
+    """Same job + same input at two parallelism levels, subprocess-isolated
+    so each gets a fresh JVM sized to its core count."""
+    results = {}
+    for n in (small, big):
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(n))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--index-only", "--copies", str(copies)],
+            capture_output=True, text=True, env=env, cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        if out.returncode != 0:
+            raise RuntimeError(f"scaling run cpus={n} failed:\n{out.stderr[-3000:]}")
+        results[n] = json.loads(out.stdout.strip().splitlines()[-1])
+    speedup = results[big]["docs_per_sec"] / results[small]["docs_per_sec"]
+    eff = speedup / (big / small)
+    return {
+        "metric": "indexing-throughput scaling efficiency",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "sf": _sf_of(SF_DIR),
+        "copies": copies,
+        "small": {"cpus": small, **{k: results[small][k] for k in ("index_build_sec", "docs_per_sec", "n_docs")}},
+        "big": {"cpus": big, **{k: results[big][k] for k in ("index_build_sec", "docs_per_sec", "n_docs")}},
+        "speedup": round(speedup, 3),
+    }
+
+
+if __name__ == "__main__":
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--index-only", action="store_true")
+    p.add_argument("--scaling", action="store_true")
+    p.add_argument("--copies", type=int, default=20)
+    p.add_argument("--small", type=int, default=8)
+    p.add_argument("--big", type=int, default=32)
+    a = p.parse_args()
+    if a.scaling:
+        print(json.dumps(bench_scaling(a.small, a.big, a.copies)))
+    elif a.index_only:
+        print(json.dumps(bench_index_only(a.copies)))
+    else:
+        print(json.dumps(bench_default()))

@@ -1,9 +1,11 @@
 from gopensearch_spark.datapipe.dedup import (  # noqa: F401
+    embedding_neardup_pairs,
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_pairs,
 )
+from gopensearch_spark.datapipe.multimodal import extract_features, resize_images  # noqa: F401
 from gopensearch_spark.datapipe.similarity import ann_lsh_topk, cosine_topk  # noqa: F401
 from gopensearch_spark.datapipe.textqc import (  # noqa: F401
     fingerprint,

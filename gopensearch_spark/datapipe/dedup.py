@@ -249,3 +249,71 @@ def simhash_pairs(
         .dropDuplicates(["id_a", "id_b"])
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "exact",
+    n_bits: int = 6,
+    n_tables: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine >= threshold).
+
+    ``method='exact'``: upper-triangle self-join with the cosine computed
+    by built-in array ops (JVM-side) — the correctness baseline, O(n^2)
+    comparisons, only viable on a bounded candidate set.
+
+    ``method='lsh'``: the scale path — signed-random-projection bucketing
+    (same construction as similarity.ann_lsh_topk): ids only meet through
+    a shared (table, signature) bucket, then candidates are verified with
+    the exact cosine, so output pairs are always true positives; recall
+    tunes with n_bits/n_tables. At 10^12 rows this replaces the cross
+    product with an equi-join whose key is (table, sig).
+    """
+    from gopensearch_spark.datapipe.similarity import (
+        _hyperplanes,
+        cosine_expr,
+        srp_signature_col,
+    )
+
+    if method == "exact":
+        a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+        b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    elif method == "lsh":
+        dim = len(emb.select(vec_col).first()[0])
+        planes = _hyperplanes(dim, n_bits, n_tables)
+        sig_structs = [
+            F.struct(
+                F.lit(t).alias("table"),
+                srp_signature_col(F.col(vec_col), planes[t]).alias("sig"),
+            )
+            for t in range(n_tables)
+        ]
+        banded = emb.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            F.explode(F.array(*sig_structs)).alias("ts"),
+        ).select("id", "v", F.col("ts.table").alias("table"), F.col("ts.sig").alias("sig"))
+        a, b = banded.alias("a"), banded.alias("b")
+        pairs = (
+            a.join(b, ["table", "sig"])
+            .where(F.col("a.id") < F.col("b.id"))
+            .select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                F.col("a.v").alias("va"),
+                F.col("b.v").alias("vb"),
+            )
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    else:
+        raise ValueError(f"unknown method {method!r}")
+
+    return (
+        pairs.select("id_a", "id_b", cosine_expr(F.col("va"), F.col("vb")).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,102 @@
+"""web_pages fixture + extraction invariants (BASELINE.json input_hint).
+
+The reference stores documents verbatim (INSERT of the raw blob,
+reference pkg/server/db.go:14-44), so extraction must be a pure,
+byte-identical function of the page — pinned here both at the Python
+level and through the vectorized Spark path, plus determinism of the
+synthetic web_pages generator and stability of url-derived doc_ids.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from gopensearch_spark.webtext import (
+    extract_text,
+    prepare_corpus,
+    render_html,
+    synth_web_pages,
+)
+
+
+@pytest.fixture(scope="module")
+def web_pages_small(spark, docs_small):
+    return synth_web_pages(spark, docs_small, copies=1).cache()
+
+
+def test_render_extract_roundtrip_unicode():
+    cases = [
+        "plain ascii words",
+        "café naïve façade — déjà vu",
+        "中文 test ストリーム",
+        "",
+        "nested </body></html> markers inside text </body></html>",
+    ]
+    for text in cases[:-1]:
+        assert extract_text(render_html("https://x/y", text)) == text
+    # trailing marker case: rfind keeps everything before the LAST suffix
+    t = cases[-1]
+    assert extract_text(render_html("https://x/y", t)).startswith(
+        "nested </body></html> markers inside text"
+    )
+
+
+def test_extract_byte_identical_via_spark(web_pages_small):
+    got = web_pages_small.select(
+        "url",
+        F.col("text").alias("orig"),
+    ).join(prepare_corpus(web_pages_small).select("url", "text"), "url")
+    assert got.where(F.col("text") != F.col("orig")).count() == 0
+
+
+def test_synth_deterministic(spark, docs_small, web_pages_small):
+    again = synth_web_pages(spark, docs_small, copies=1)
+    a = web_pages_small.select("url", F.md5(F.base64("html")).alias("h"), "warc_ts", "lang")
+    b = again.select("url", F.md5(F.base64("html")).alias("h2"),
+                     F.col("warc_ts").alias("t2"), F.col("lang").alias("l2"))
+    j = a.join(b, "url", "full")
+    n = web_pages_small.count()
+    assert j.count() == n
+    assert j.where("h != h2 OR warc_ts != t2 OR lang != l2").count() == 0
+
+
+def test_doc_id_stable_across_partitioning(spark, web_pages_small):
+    c1 = prepare_corpus(web_pages_small).select("url", "doc_id")
+    c2 = prepare_corpus(web_pages_small.repartition(7)).select(
+        "url", F.col("doc_id").alias("doc_id2")
+    )
+    j = c1.join(c2, "url")
+    assert j.where("doc_id != doc_id2").count() == 0
+    # ids unique + non-negative (FTS5-oracle rowid compatible)
+    assert c1.select("doc_id").distinct().count() == c1.count()
+    assert c1.where("doc_id < 0").count() == 0
+
+
+def test_build_index_job_end_to_end(spark, web_pages_small, tmp_path):
+    """spark-submit entrypoint: web_pages parquet -> index -> queryable."""
+    wp_path = str(tmp_path / "web_pages")
+    idx = str(tmp_path / "idx")
+    web_pages_small.write.parquet(wp_path)
+
+    from gopensearch_spark.jobs.build_index_job import main
+
+    rc = main([
+        "--input", wp_path, "--output", idx,
+        "--slices", "2", "--term-buckets", "8", "--segments", "4",
+    ])
+    assert rc == 0
+    assert os.path.exists(os.path.join(idx, "corpus_stats.json"))
+    # resumable: both slice checkpoints committed
+    from gopensearch_spark.index.builder import completed_slices
+
+    assert completed_slices(idx) == {0, 1}
+
+    from gopensearch_spark.search import bm25_match, wand_match
+
+    flat = bm25_match(spark, idx, "data", k=5, mode="or").collect()
+    blocked = wand_match(spark, idx, "data", k=5, mode="or").collect()
+    assert [r["doc_id"] for r in flat] == [r["doc_id"] for r in blocked]
+    assert len(flat) == 5
