@@ -38,7 +38,7 @@ def _index_dir(spark: SparkSession, sf_dir: str) -> str:
         return _INDEX_CACHE[sf_dir]
     from gopensearch_spark.index import build_index, read_corpus_stats
 
-    out = os.path.join("/tmp/gopensearch_entry_idx", os.path.basename(os.path.normpath(sf_dir)))
+    out = os.path.join("/tmp/gopensearch_entry_idx_v2", os.path.basename(os.path.normpath(sf_dir)))
     if not os.path.exists(os.path.join(out, "corpus_stats.json")):
         build_index(
             spark,
@@ -47,6 +47,7 @@ def _index_dir(spark: SparkSession, sf_dir: str) -> str:
             slices=1,
             term_buckets=16,
             num_segments=8,
+            with_positions=True,
             input_lineage=f"{sf_dir}/documents.parquet",
         )
     _INDEX_CACHE[sf_dir] = out
@@ -111,6 +112,76 @@ def _engine(spark: SparkSession, sf_dir: str):
     return e
 
 
+def _phrase(phrase: str, k: int):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from gopensearch_spark.search import phrase_match
+
+        out = phrase_match(spark, _index_dir(spark, sf_dir), phrase, k=k)
+        return out.select("doc_id", F.round("score", _ROUND).alias("score"))
+
+    return q
+
+
+def _phrase_oracle(t0: str, t1: str, k: int) -> str:
+    """DuckDB BM25 for a 2-term phrase: positional self-join computes
+    phrase tf; df = docs containing the exact phrase (FTS5 xQueryPhrase
+    semantics)."""
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS term,
+         unnest(range(len(string_split(text, ' ')))) AS pos
+  FROM documents
+),
+hits AS (
+  SELECT a.doc_id, count(*) AS tf FROM tok a
+  JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = '{t0}' AND b.term = '{t1}' GROUP BY 1
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+u AS (SELECT count(*) AS df FROM hits)
+SELECT h.doc_id,
+  round((CASE WHEN ln((s.n_docs - u.df + 0.5) / (u.df + 0.5)) > 0
+        THEN ln((s.n_docs - u.df + 0.5) / (u.df + 0.5)) ELSE 1e-6 END)
+   * (h.tf * {K1 + 1.0}) / (h.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl)), {_ROUND}) AS score
+FROM hits h JOIN dl USING (doc_id) CROSS JOIN stats s CROSS JOIN u
+ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
+def _prefix(prefix: str, k: int):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from gopensearch_spark.search import prefix_match
+
+        out = prefix_match(spark, _index_dir(spark, sf_dir), prefix, k=k)
+        return out.select("doc_id", F.round("score", _ROUND).alias("score"))
+
+    return q
+
+
+def _prefix_oracle(prefix: str, k: int) -> str:
+    """DuckDB BM25 for a prefix token: tf = total occurrences of any
+    matching term, df = docs containing any (FTS5 'p*' semantics)."""
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+hits AS (
+  SELECT doc_id, count(*) AS tf FROM tok WHERE term LIKE '{prefix}%' GROUP BY 1
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+u AS (SELECT count(*) AS df FROM hits)
+SELECT h.doc_id,
+  round((CASE WHEN ln((s.n_docs - u.df + 0.5) / (u.df + 0.5)) > 0
+        THEN ln((s.n_docs - u.df + 0.5) / (u.df + 0.5)) ELSE 1e-6 END)
+   * (h.tf * {K1 + 1.0}) / (h.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl)), {_ROUND}) AS score
+FROM hits h JOIN dl USING (doc_id) CROSS JOIN stats s CROSS JOIN u
+ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
 # --- relational / DSL-compiled queries --------------------------------------
 
 def _dsl_term_filter(spark, sf_dir):
@@ -146,6 +217,15 @@ def _dsl_bool_should_or(spark, sf_dir):
         {"term": {"event_type": "signup"}},
         {"term": {"event_type": "error"}},
     ]}}, "size": 10_000_000}
+    hits, _, _ = _engine(spark, sf_dir).search_df("events", body)
+    return hits.select("event_id", "event_type")
+
+
+def _dsl_bool_must_not(spark, sf_dir):
+    body = {"query": {"bool": {
+        "must": [{"range": {"value": {"gte": 100}}}],
+        "must_not": [{"term": {"event_type": "error"}}, {"term": {"event_type": "click"}}],
+    }}, "size": 10_000_000}
     hits, _, _ = _engine(spark, sf_dir).search_df("events", body)
     return hits.select("event_id", "event_type")
 
@@ -364,11 +444,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_and2": _bm25(["spark", "join"], "and", 10),
         "bm25_or3": _bm25(["merge", "sort", "batch"], "or", 25),
         "bm25_and3_k100": _bm25(["data", "scan", "batch"], "and", 100),
+        "bm25_phrase2": _phrase("spark join", 25),
+        "bm25_prefix": _prefix("dat", 25),
         # ES-DSL relational surface (compiled to DataFrame ops)
         "dsl_term_filter": _dsl_term_filter,
         "dsl_range_epoch_millis": _dsl_range_epoch_millis,
         "dsl_bool_must_filter": _dsl_bool_must_filter,
         "dsl_bool_should_or": _dsl_bool_should_or,
+        "dsl_bool_must_not": _dsl_bool_must_not,
         "dsl_sort_limit": _dsl_sort_limit,
         "dsl_query_string_glob": _dsl_query_string_glob,
         "dsl_terms_agg": _dsl_terms_agg,
@@ -423,6 +506,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_and2": _bm25_oracle(["spark", "join"], "and", 10),
         "bm25_or3": _bm25_oracle(["merge", "sort", "batch"], "or", 25),
         "bm25_and3_k100": _bm25_oracle(["data", "scan", "batch"], "and", 100),
+        "bm25_phrase2": _phrase_oracle("spark", "join", 25),
+        "bm25_prefix": _prefix_oracle("dat", 25),
         "dsl_term_filter": "SELECT event_id, event_type FROM events WHERE event_type = 'error'",
         "dsl_range_epoch_millis": (
             "SELECT event_id FROM events "
@@ -434,6 +519,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dsl_bool_should_or": (
             "SELECT event_id, event_type FROM events WHERE event_type IN ('signup', 'error')"
+        ),
+        "dsl_bool_must_not": (
+            "SELECT event_id, event_type FROM events "
+            "WHERE value >= 100 AND event_type NOT IN ('error', 'click')"
         ),
         "dsl_sort_limit": (
             "SELECT event_id, round(value, 6) AS value FROM events "

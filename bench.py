@@ -85,6 +85,7 @@ def run_index_build(spark, web_pages_path: str, idx_out: str) -> dict:
         slices=1,
         term_buckets=32,
         num_segments=32,
+        with_positions=True,  # FTS5 stores positions (detail=full); so do we
         input_lineage=f"parquet:{web_pages_path}",
     )
     dt = time.time() - t0

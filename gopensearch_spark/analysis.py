@@ -74,3 +74,30 @@ def term_freqs_udf(texts: pd.Series) -> pd.Series:
 @F.pandas_udf(T.IntegerType())
 def num_tokens_udf(texts: pd.Series) -> pd.Series:
     return texts.map(lambda s: len(tokenize(s)) if s is not None else 0)
+
+
+def term_positions(text: str) -> dict[str, list[int]]:
+    """term -> sorted 0-based token positions (FTS5 detail=full stores
+    the same per-posting position lists for phrase/NEAR matching)."""
+    pos: dict[str, list[int]] = {}
+    for i, tok in enumerate(tokenize(text)):
+        pos.setdefault(tok, []).append(i)
+    return pos
+
+
+@F.pandas_udf(T.MapType(T.StringType(), T.ArrayType(T.IntegerType())))
+def term_positions_udf(texts: pd.Series) -> pd.Series:
+    """term->positions map per doc; tf == len(positions), doc_len ==
+    sum of lens — one tokenizer pass feeds tf, doc_len AND positions."""
+    return texts.map(lambda s: term_positions(s) if s is not None else {})
+
+
+@F.pandas_udf(T.BinaryType())
+def encode_positions_udf(pos: pd.Series) -> pd.Series:
+    """array<int> positions -> delta+varint bytes (same codec family as
+    posting blocks; Arrow-batched)."""
+    import numpy as np
+
+    from gopensearch_spark import codecs
+
+    return pos.map(lambda p: codecs.delta_encode(np.asarray(p, dtype=np.uint64)))

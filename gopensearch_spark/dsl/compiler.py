@@ -82,8 +82,10 @@ class CompileContext:
     date_fields: dict[str, str] = dc_field(default_factory=dict)  # field -> format (template analogue)
     quirk_should_is_and: bool = False
     quirk_first_range_only: bool = False
-    # callback(field, Match) -> Column predicate, installed by the Engine
-    # to route full-text `match` on indexed fields to the BM25 engine.
+    # callback(field, clause, kind) -> Column predicate, installed by the
+    # Engine to route full-text `match`/`match_phrase`/`prefix` on
+    # indexed fields to the BM25/phrase engines. kind in
+    # {"match", "phrase", "prefix"}.
     fulltext_predicate: object = None
 
     def resolve(self, field: str) -> Column:
@@ -172,13 +174,32 @@ def compile_query(ctx: CompileContext, q: model.Query | None) -> Column:
         preds.append(ctx.resolve(field) == F.lit(_literal(t.value)))
     for field, m in q.match.items():
         if ctx.fulltext_predicate is not None:
-            ft = ctx.fulltext_predicate(strip_keyword(field), m)
+            ft = ctx.fulltext_predicate(strip_keyword(field), m, "match")
             if ft is not None:
                 preds.append(ft)
                 continue
         # reference behavior: match == term equality ("glorified terms
         # query", sql.go:126-141)
         preds.append(ctx.resolve(field) == F.lit(_literal(m.query)))
+    for field, m in q.match_phrase.items():
+        if ctx.fulltext_predicate is not None:
+            ft = ctx.fulltext_predicate(strip_keyword(field), m, "phrase")
+            if ft is not None:
+                preds.append(ft)
+                continue
+        raise ValueError(
+            f"match_phrase on {field!r} requires a full-text index (positions)"
+        )
+    for field, t in q.prefix.items():
+        if ctx.fulltext_predicate is not None:
+            ft = ctx.fulltext_predicate(
+                strip_keyword(field), model.Match(query=t.value), "prefix"
+            )
+            if ft is not None:
+                preds.append(ft)
+                continue
+        # ES-correct keyword-level prefix on a plain column
+        preds.append(ctx.resolve(field).startswith(t.value))
     if q.range:
         preds.append(compile_range(ctx, q.range))
     if q.query_string is not None:
@@ -197,6 +218,8 @@ def compile_query(ctx: CompileContext, q: model.Query | None) -> Column:
         if b.should:
             should = [compile_query(ctx, s) for s in b.should]
             preds.append(_and_all(should) if ctx.quirk_should_is_and else _or_all(should))
+        if b.must_not:
+            preds.append(~_or_all([compile_query(ctx, s) for s in b.must_not]))
     return _and_all(preds)
 
 

@@ -93,12 +93,12 @@ class Engine:
     # --- search ----------------------------------------------------------
     def _context(self, index: str) -> tuple[IndexSpec, CompileContext, list]:
         spec = self.indices[index]
-        ft_specs: list[tuple[str, str]] = []
+        ft_specs: list[tuple[str, str, str]] = []  # (kind, query, mode)
 
-        def fulltext(field: str, m: model.Match):
+        def fulltext(field: str, m: model.Match, kind: str = "match"):
             if spec.index_dir and field == spec.text_field:
                 mode = "and" if m.operator.upper() == "AND" else "or"
-                ft_specs.append((m.query, mode))
+                ft_specs.append((kind, m.query, mode))
                 return F.lit(True)  # membership enforced by the scores join
             return None
 
@@ -120,10 +120,16 @@ class Engine:
 
         scored = None
         if ft_specs:
-            from gopensearch_spark.search import bm25_scores
+            from gopensearch_spark.search import bm25_scores, phrase_match, prefix_match
 
-            for q, mode in ft_specs:
-                s = bm25_scores(self.spark, spec.index_dir, q, mode=mode)
+            for kind, q, mode in ft_specs:
+                if kind == "phrase":
+                    # unlimited matches: reuse phrase_match's relation pre-topk
+                    s = phrase_match(self.spark, spec.index_dir, q, k=2**31 - 1)
+                elif kind == "prefix":
+                    s = prefix_match(self.spark, spec.index_dir, q, k=2**31 - 1)
+                else:
+                    s = bm25_scores(self.spark, spec.index_dir, q, mode=mode)
                 scored = s if scored is None else (
                     scored.join(s.withColumnRenamed("score", "s2"), "doc_id")
                     .withColumn("score", F.col("score") + F.col("s2"))

@@ -63,11 +63,20 @@ class Bool:
     must: list["Query"] = field(default_factory=list)
     should: list["Query"] = field(default_factory=list)
     filter: list["Query"] = field(default_factory=list)
+    # ES-correct extension: the reference parses no must_not
+    # (pkg/dsl/dsl.go:41-49 has only Must/Should/Filter) but its ES 7.17
+    # surface implies it; we implement the real semantics.
+    must_not: list["Query"] = field(default_factory=list)
 
 
 @dataclass
 class Query:
     match: dict[str, Match] = field(default_factory=dict)
+    # ES match_phrase / prefix — the reference never parses these, but
+    # its FTS5 backend natively answers them ('"a b"' / 'ab*' MATCH
+    # expressions); our positional index restores the capability.
+    match_phrase: dict[str, Match] = field(default_factory=dict)
+    prefix: dict[str, Term] = field(default_factory=dict)
     term: dict[str, Term] = field(default_factory=dict)
     bool_: Bool | None = None
     range: dict[str, Range] = field(default_factory=dict)
@@ -154,6 +163,10 @@ def _parse_query(raw: dict) -> Query:
     q = Query()
     if "match" in raw:
         q.match = _parse_match(raw["match"])
+    if "match_phrase" in raw:
+        q.match_phrase = _parse_match(raw["match_phrase"])
+    if "prefix" in raw:
+        q.prefix = _parse_term(raw["prefix"])
     if "term" in raw:
         q.term = _parse_term(raw["term"])
     if "range" in raw:
@@ -164,6 +177,7 @@ def _parse_query(raw: dict) -> Query:
             must=_as_query_list(b.get("must")),
             should=_as_query_list(b.get("should")),
             filter=_as_query_list(b.get("filter")),
+            must_not=_as_query_list(b.get("must_not")),
         )
     if "query_string" in raw:
         s = raw["query_string"]

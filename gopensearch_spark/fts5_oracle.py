@@ -35,6 +35,16 @@ class Fts5Oracle:
         ).fetchall()
         return [(int(r[0]), float(r[1])) for r in rows]
 
+    def match_raw(self, match_expr: str, k: int = 10) -> list[tuple[int, float]]:
+        """Top-k for a raw FTS5 MATCH expression (phrase: '"a b"',
+        prefix: 'ab*')."""
+        rows = self.con.execute(
+            "SELECT rowid, -bm25(t) AS s FROM t WHERE t MATCH ? "
+            "ORDER BY s DESC, rowid ASC LIMIT ?",
+            (match_expr, k),
+        ).fetchall()
+        return [(int(r[0]), float(r[1])) for r in rows]
+
     def vocab(self) -> list[tuple[str, int, int]]:
         """(term, df, total_tf) from fts5vocab — pins tokenizer parity."""
         self.con.execute("CREATE VIRTUAL TABLE IF NOT EXISTS v USING fts5vocab(t, 'row')")

@@ -58,8 +58,35 @@ BLOCKS_SCHEMA = (
 )
 
 
-def _flat_postings(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """(doc_id, doc_len, term, tf) — tf computed partition-locally."""
+def _flat_postings(
+    docs: DataFrame, text_col: str, id_col: str, with_positions: bool = False
+) -> DataFrame:
+    """(doc_id, doc_len, term, tf[, positions]) — computed partition-locally.
+
+    With positions (FTS5 detail=full analogue, needed for phrase
+    queries) the tokenizer emits term->positions maps; tf and doc_len
+    derive from them, and per-posting position lists are delta+varint
+    encoded into a binary column before anything shuffles.
+    """
+    if with_positions:
+        from gopensearch_spark.analysis import encode_positions_udf, term_positions_udf
+
+        base = docs.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            term_positions_udf(F.col(text_col)).alias("pos_map"),
+        ).withColumn(
+            "doc_len",
+            F.aggregate(F.map_values("pos_map"), F.lit(0), lambda a, b: a + F.size(b)),
+        )
+        return base.select(
+            "doc_id", "doc_len", F.explode("pos_map").alias("term", "pos_arr")
+        ).select(
+            "doc_id",
+            "doc_len",
+            "term",
+            F.size("pos_arr").alias("tf"),
+            encode_positions_udf("pos_arr").alias("positions"),
+        )
     base = docs.select(
         F.col(id_col).cast("long").alias("doc_id"),
         term_freqs_udf(F.col(text_col)).alias("tf_map"),
@@ -130,9 +157,10 @@ def build_postings(
     num_segments: int = DEFAULT_NUM_SEGMENTS,
     mode: str = "overwrite",
     build_blocks: bool = True,
+    with_positions: bool = False,
 ) -> None:
     """One build pass over ``docs`` -> postings/, blocks/, doc_stats/."""
-    flat = _flat_postings(docs, text_col, id_col).withColumn(
+    flat = _flat_postings(docs, text_col, id_col, with_positions=with_positions).withColumn(
         "term_bucket", F.pmod(F.xxhash64("term"), F.lit(term_buckets)).cast("int")
     )
     # Materialize flat postings once; both outputs derive from it.
@@ -152,7 +180,9 @@ def build_postings(
             .parquet(os.path.join(out_dir, "doc_stats"))
         )
         if build_blocks:
-            seg = flat.withColumn(
+            # blocks carry no positions — select only what the kernel
+            # needs so position bytes never enter the segment shuffle
+            seg = flat.select("doc_id", "doc_len", "term", "tf").withColumn(
                 "seg_id",
                 F.pmod(F.xxhash64("doc_id"), F.lit(num_segments)).cast("int"),
             )
@@ -171,7 +201,12 @@ def build_postings(
         flat.unpersist()
 
 
-def finalize_stats(spark: SparkSession, out_dir: str, term_buckets: int = DEFAULT_TERM_BUCKETS) -> dict:
+def finalize_stats(
+    spark: SparkSession,
+    out_dir: str,
+    term_buckets: int = DEFAULT_TERM_BUCKETS,
+    with_positions: bool = False,
+) -> dict:
     """Global stats after all slices: term df + corpus N/avgdl.
 
     One groupBy over the postings table (the only unavoidable full
@@ -197,6 +232,7 @@ def finalize_stats(spark: SparkSession, out_dir: str, term_buckets: int = DEFAUL
         "avg_doc_len": float(row["avg_doc_len"]),
         "total_tokens": row["total_tokens"],
         "term_buckets": term_buckets,
+        "with_positions": with_positions,
     }
     with open(os.path.join(out_dir, "corpus_stats.json"), "w") as f:
         json.dump(stats, f)
@@ -236,6 +272,7 @@ def build_index(
     term_buckets: int = DEFAULT_TERM_BUCKETS,
     num_segments: int = DEFAULT_NUM_SEGMENTS,
     build_blocks: bool = True,
+    with_positions: bool = False,
     input_lineage: str = "",
 ) -> dict:
     """Full resumable build: slices -> postings/blocks -> global stats.
@@ -265,6 +302,7 @@ def build_index(
             num_segments=num_segments,
             mode="overwrite" if (s == 0 and not done) else "append",
             build_blocks=build_blocks,
+            with_positions=with_positions,
         )
         rec = {
             "slice_id": s,
@@ -281,4 +319,4 @@ def build_index(
         with open(tmp, "w") as f:
             json.dump(rec, f)
         os.replace(tmp, _ckpt_path(out_dir, s))
-    return finalize_stats(spark, out_dir, term_buckets=term_buckets)
+    return finalize_stats(spark, out_dir, term_buckets=term_buckets, with_positions=with_positions)

@@ -40,6 +40,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--term-buckets", type=int, default=64)
     p.add_argument("--segments", type=int, default=32)
     p.add_argument("--no-blocks", action="store_true", help="skip compressed block index")
+    p.add_argument("--positions", action="store_true",
+                   help="store per-posting position lists (phrase queries)")
     p.add_argument("--master", default=None, help="override master (tests); spark-submit normally provides it")
     args = p.parse_args(argv)
 
@@ -63,6 +65,7 @@ def main(argv: list[str] | None = None) -> int:
         term_buckets=args.term_buckets,
         num_segments=args.segments,
         build_blocks=not args.no_blocks,
+        with_positions=args.positions,
         input_lineage=f"{args.format}:{args.input}",
     )
     elapsed = time.time() - t0

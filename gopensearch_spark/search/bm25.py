@@ -51,13 +51,14 @@ def bm25_score_expr(avg_doc_len: float, idf_col: Column = None) -> Column:
 
 
 def term_buckets_for(spark: SparkSession, terms: list[str], n_buckets: int) -> dict[str, int]:
-    """term -> on-disk partition bucket, via Spark's own xxhash64 (tiny job)."""
-    rows = (
-        spark.createDataFrame([(t,) for t in terms], "term string")
-        .select("term", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int").alias("b"))
-        .collect()
-    )
-    return {r["term"]: r["b"] for r in rows}
+    """term -> on-disk partition bucket.
+
+    Driver-side pure-Python XXH64 identical to the builder's JVM
+    `pmod(xxhash64(term), B)` (parity pinned in tests) — launching a
+    Spark job just to hash a handful of terms cost ~0.5s per query."""
+    from gopensearch_spark.xxh64 import term_bucket
+
+    return {t: term_bucket(t, n_buckets) for t in terms}
 
 
 def load_postings_for_terms(

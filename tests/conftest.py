@@ -28,7 +28,10 @@ def index_small(spark, docs_small, tmp_path_factory):
     from gopensearch_spark.index import build_index
 
     out = str(tmp_path_factory.mktemp("idx") / "sf0.001")
-    build_index(spark, docs_small, out, slices=2, input_lineage="sf0.001/documents.parquet")
+    build_index(
+        spark, docs_small, out, slices=2, with_positions=True,
+        input_lineage="sf0.001/documents.parquet",
+    )
     return out
 
 

@@ -126,3 +126,15 @@ def test_grafana_explore():
     assert f[0].range["startTimeMillis"].gte == 1673789792872
     assert f[1].query_string.analyze_wildcard
     assert d.aggs["2"].date_histogram.fixed_interval == "1s"
+
+
+def test_match_phrase_and_prefix_parse():
+    d = parse_dsl('{"query": {"match_phrase": {"text": "a b"}, "prefix": {"text": "ab"}}}')
+    assert d.query.match_phrase["text"].query == "a b"
+    assert d.query.prefix["text"].value == "ab"
+
+
+def test_bool_must_not_parse():
+    d = parse_dsl('{"query": {"bool": {"must_not": {"term": {"k": "v"}}}}}')
+    assert len(d.query.bool_.must_not) == 1
+    assert d.query.bool_.must_not[0].term["k"].value == "v"

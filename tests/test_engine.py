@@ -210,3 +210,41 @@ def test_template_date_mapping(spark):
 def test_cat_indices(engine):
     s = engine.cat_indices()
     assert "green open docs" in s and "green open events" in s
+
+
+def test_match_phrase_through_engine(engine, oracle_small):
+    r = engine.search("docs", '{"query": {"match_phrase": {"text": "spark join"}}, "size": 10}')
+    ref = oracle_small.match_raw('"spark join"', k=10)
+    got = [(int(h["_id"]), h["_score"]) for h in r["hits"]["hits"]]
+    assert [d for d, _ in got] == [d for d, _ in ref]
+    for (_, s1), (_, s2) in zip(got, ref):
+        assert math.isclose(s1, s2, rel_tol=1e-9)
+
+
+def test_prefix_fulltext_through_engine(engine, oracle_small):
+    r = engine.search("docs", '{"query": {"prefix": {"text": "spar"}}, "size": 10}')
+    ref = oracle_small.match_raw("spar*", k=10)
+    got = [(int(h["_id"]), h["_score"]) for h in r["hits"]["hits"]]
+    assert [d for d, _ in got] == [d for d, _ in ref]
+    for (_, s1), (_, s2) in zip(got, ref):
+        assert math.isclose(s1, s2, rel_tol=1e-9)
+
+
+def test_prefix_keyword_fallback(engine, duck):
+    # prefix on a non-fulltext field -> plain startswith filter
+    r = engine.search("events", '{"query": {"prefix": {"event_type": "err"}}, "size": 100000}')
+    n = duck.execute("SELECT count(*) FROM events WHERE event_type LIKE 'err%'").fetchone()[0]
+    assert r["hits"]["total"]["value"] == n > 0
+
+
+def test_bool_must_not(engine, duck):
+    body = {"query": {"bool": {
+        "must": [{"range": {"value": {"gte": 100}}}],
+        "must_not": [{"term": {"event_type": "error"}}, {"term": {"event_type": "click"}}],
+    }}, "size": 100000}
+    r = engine.search("events", body)
+    n = duck.execute(
+        "SELECT count(*) FROM events WHERE value >= 100 AND event_type NOT IN ('error','click')"
+    ).fetchone()[0]
+    assert r["hits"]["total"]["value"] == n > 0
+    assert all(h["_source"]["event_type"] not in ("error", "click") for h in r["hits"]["hits"])

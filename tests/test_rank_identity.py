@@ -64,3 +64,33 @@ def test_engines_agree_on_phrase_query(spark, index_small, oracle_small):
     ref = oracle_small.match(["spark", "join", "data"], k=25, mode="or")
     _assert_rank_identical(a, ref)
     _assert_rank_identical(b, ref)
+
+
+# --- positional phrase / prefix queries (FTS5 '"a b"' and 'ab*') ------------
+
+PHRASES = [
+    "spark join",
+    "data scan",
+    "the data",
+    "merge sort batch",      # likely absent as an exact phrase
+    "spark spark",           # repeated-term phrase
+]
+
+
+@pytest.mark.parametrize("phrase", PHRASES)
+@pytest.mark.parametrize("k", [10, 100])
+def test_phrase_rank_identity(spark, index_small, oracle_small, phrase, k):
+    from gopensearch_spark.search import phrase_match
+
+    ref = oracle_small.match_raw(f'"{phrase}"', k=k)
+    got = _ours(phrase_match(spark, index_small, phrase, k=k))
+    _assert_rank_identical(got, ref)
+
+
+@pytest.mark.parametrize("prefix", ["spar", "dat", "s", "zzz"])
+def test_prefix_rank_identity(spark, index_small, oracle_small, prefix):
+    from gopensearch_spark.search import prefix_match
+
+    ref = oracle_small.match_raw(f"{prefix}*", k=25)
+    got = _ours(prefix_match(spark, index_small, prefix, k=25))
+    _assert_rank_identical(got, ref)

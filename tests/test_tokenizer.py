@@ -54,3 +54,29 @@ def test_term_freqs():
 def test_corpus_parity_small(docs_small):
     rows = docs_small.select("doc_id", "text").limit(200).collect()
     _assert_parity([(int(r["doc_id"]), r["text"]) for r in rows])
+
+
+def test_python_xxh64_matches_spark(spark, docs_small):
+    """The query-side pure-Python bucket hash must equal the builder's
+    JVM xxhash64 for every vocabulary term (and edge-case strings)."""
+    from pyspark.sql import functions as F
+
+    from gopensearch_spark.xxh64 import spark_xxhash64_str, term_bucket
+
+    vocab = (
+        docs_small.select(F.explode(F.split(F.lower("text"), r"\W+")).alias("t"))
+        .where(F.col("t") != "")
+        .distinct()
+        .select("t", F.xxhash64("t").alias("h"),
+                F.pmod(F.xxhash64("t"), F.lit(64)).cast("int").alias("b"))
+        .collect()
+    )
+    assert len(vocab) > 20
+    for r in vocab:
+        assert spark_xxhash64_str(r["t"]) == r["h"], r["t"]
+        assert term_bucket(r["t"], 64) == r["b"], r["t"]
+    edge = ["", "a", "0123456", "01234567", "0123456789abcdef0123456789abcdef!", "é漢字🙂"]
+    rows = spark.createDataFrame([(w,) for w in edge], "w string").select(
+        "w", F.xxhash64("w").alias("h")).collect()
+    for r in rows:
+        assert spark_xxhash64_str(r["w"]) == r["h"], repr(r["w"])
