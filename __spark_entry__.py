@@ -182,6 +182,51 @@ ORDER BY score DESC, doc_id ASC LIMIT {k}
 """
 
 
+def _match_expr(expr: str, k: int):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from gopensearch_spark.search import match_expr
+
+        out = match_expr(spark, _index_dir(spark, sf_dir), expr, k=k)
+        return out.select("doc_id", F.round("score", _ROUND).alias("score"))
+
+    return q
+
+
+def _match_expr_oracle_and_or_not(a: str, b: str, c: str, d: str, k: int) -> str:
+    """DuckDB BM25 for `a AND (b OR c) NOT d`: per-term FTS5 contribs,
+    presence logic in HAVING, absent-branch contribs coalesce to 0."""
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+    (CASE WHEN ln((s.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)) > 0
+          THEN ln((s.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)) ELSE 1e-6 END)
+    * (tf.tf * {K1 + 1.0}) / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl)) AS contrib
+  FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  WHERE tf.term IN ('{a}', '{b}', '{c}', '{d}')
+),
+agg AS (
+  SELECT doc_id,
+    max(CASE WHEN term = '{a}' THEN contrib END) AS ca,
+    max(CASE WHEN term = '{b}' THEN contrib END) AS cb,
+    max(CASE WHEN term = '{c}' THEN contrib END) AS cc,
+    max(CASE WHEN term = '{d}' THEN contrib END) AS cd
+  FROM scored GROUP BY 1
+)
+SELECT doc_id,
+       round(ca + coalesce(cb, 0) + coalesce(cc, 0), {_ROUND}) AS score
+FROM agg
+WHERE ca IS NOT NULL AND (cb IS NOT NULL OR cc IS NOT NULL) AND cd IS NULL
+ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
 # --- relational / DSL-compiled queries --------------------------------------
 
 def _dsl_term_filter(spark, sf_dir):
@@ -446,6 +491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_and3_k100": _bm25(["data", "scan", "batch"], "and", 100),
         "bm25_phrase2": _phrase("spark join", 25),
         "bm25_prefix": _prefix("dat", 25),
+        "bm25_expr_and_or_not": _match_expr("data AND (scan OR batch) NOT dup", 50),
         # ES-DSL relational surface (compiled to DataFrame ops)
         "dsl_term_filter": _dsl_term_filter,
         "dsl_range_epoch_millis": _dsl_range_epoch_millis,
@@ -508,6 +554,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_and3_k100": _bm25_oracle(["data", "scan", "batch"], "and", 100),
         "bm25_phrase2": _phrase_oracle("spark", "join", 25),
         "bm25_prefix": _prefix_oracle("dat", 25),
+        "bm25_expr_and_or_not": _match_expr_oracle_and_or_not("data", "scan", "batch", "dup", 50),
         "dsl_term_filter": "SELECT event_id, event_type FROM events WHERE event_type = 'error'",
         "dsl_range_epoch_millis": (
             "SELECT event_id FROM events "

@@ -17,11 +17,11 @@ _U7 = np.uint64(7)
 _MASK = np.uint64(0x7F)
 
 
-def varint_encode(values: np.ndarray) -> bytes:
-    """LEB128-encode a uint64 array (vectorized)."""
+def _varint_encode_raw(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """LEB128-encode a uint64 array; also return bytes-per-value."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
     if v.size == 0:
-        return b""
+        return b"", np.empty(0, dtype=np.int64)
     # bytes needed per value = ceil(bitlen/7), min 1
     nbytes = np.ones(v.size, dtype=np.int64)
     tmp = v >> _U7
@@ -38,7 +38,12 @@ def varint_encode(values: np.ndarray) -> bytes:
         cont = (nbytes[active] - 1 > i).astype(np.uint8) << 7
         out[idx] = byte | cont
         remaining >>= _U7
-    return out.tobytes()
+    return out.tobytes(), nbytes
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode a uint64 array (vectorized)."""
+    return _varint_encode_raw(values)[0]
 
 
 def varint_decode(buf: bytes) -> np.ndarray:
@@ -76,6 +81,30 @@ def delta_decode(buf: bytes) -> np.ndarray:
     return np.cumsum(deltas, dtype=np.uint64)
 
 
+def delta_encode_chunks(flat: np.ndarray, lengths: np.ndarray) -> list[bytes]:
+    """Delta+varint encode MANY increasing sequences in one vectorized
+    pass: ``flat`` is their concatenation, ``lengths`` the per-sequence
+    sizes. Equivalent to ``[delta_encode(c) for c in chunks]`` but one
+    numpy pipeline instead of per-chunk calls — the index builder
+    encodes millions of per-posting position lists per task, where
+    per-call overhead dominates."""
+    lengths = np.asarray(lengths, dtype=np.int64)
+    if flat.size == 0:
+        return [b""] * len(lengths)
+    v = np.ascontiguousarray(flat, dtype=np.uint64)
+    starts = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+    deltas = np.empty(v.size, dtype=np.uint64)
+    deltas[1:] = v[1:] - v[:-1]
+    deltas[0] = v[0]
+    nz = starts[lengths > 0]
+    deltas[nz] = v[nz]  # restart delta at each chunk boundary
+    buf, nbytes = _varint_encode_raw(deltas)
+    byte_offsets = np.concatenate(([0], np.cumsum(nbytes)))
+    chunk_b0 = byte_offsets[starts]
+    chunk_b1 = byte_offsets[starts + lengths]
+    return [buf[b0:b1] for b0, b1 in zip(chunk_b0, chunk_b1)]
+
+
 def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray) -> tuple[bytes, bytes]:
     """Encode one posting block: (delta+varint doc_ids, varint tfs)."""
     return delta_encode(doc_ids), varint_encode(tfs)
@@ -83,3 +112,108 @@ def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray) -> tuple[bytes, bytes]
 
 def decode_postings(doc_ids_buf: bytes, tfs_buf: bytes) -> tuple[np.ndarray, np.ndarray]:
     return delta_decode(doc_ids_buf), varint_decode(tfs_buf)
+
+
+# --- PForDelta (patched frame-of-reference) ---------------------------------
+#
+# NewPFD-style layout (Zukowski et al. 2006; Yan/Ding/Suel 2009 variant):
+# pick the bit width b covering ~90% of the block's values; pack every
+# value's low b bits in a dense bitstream; values that overflow b bits
+# ("exceptions") keep their low bits in place and store (position-delta,
+# high-bits) patch lists varint-encoded after the bitstream. Wire format:
+#
+#   [b: u8] [n: varint] [n_exc: varint] [packed low bits: ceil(n*b/8) bytes]
+#   [varint exception position deltas] [varint exception high bits]
+#
+# All pack/unpack paths are numpy bit ops — no per-value Python.
+
+_PFOR_TARGET = 0.90
+
+
+def _bit_lengths(v: np.ndarray) -> np.ndarray:
+    out = np.ones(v.size, dtype=np.int64)  # value 0 still needs 1 bit
+    tmp = v >> np.uint64(1)
+    while tmp.any():
+        out += tmp > 0
+        tmp >>= np.uint64(1)
+    return out
+
+
+def _pack_bits(low: np.ndarray, b: int) -> bytes:
+    """Dense little-endian-per-value bit packing via packbits."""
+    # bits[i, j] = bit j of value i (LSB first), flattened then packed
+    bits = ((low[:, None] >> np.arange(b, dtype=np.uint64)) & np.uint64(1)).astype(np.uint8)
+    return np.packbits(bits.ravel(), bitorder="little").tobytes()
+
+
+def _unpack_bits(buf: bytes, n: int, b: int) -> np.ndarray:
+    bits = np.unpackbits(np.frombuffer(buf, dtype=np.uint8), bitorder="little")[: n * b]
+    bits = bits.reshape(n, b).astype(np.uint64)
+    return (bits << np.arange(b, dtype=np.uint64)).sum(axis=1, dtype=np.uint64)
+
+
+def pfor_encode(values: np.ndarray) -> bytes:
+    """PFor-encode a uint64 array (frame of reference = 0; callers delta
+    first for sorted ids)."""
+    v = np.ascontiguousarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    bl = _bit_lengths(v)
+    b = int(np.quantile(bl, _PFOR_TARGET, method="higher"))
+    b = max(1, min(b, 64))
+    mask = np.uint64((1 << b) - 1) if b < 64 else np.uint64(0xFFFFFFFFFFFFFFFF)
+    low = v & mask
+    exc_idx = np.flatnonzero(bl > b)
+    exc_high = v[exc_idx] >> np.uint64(b)
+    header = bytes([b]) + varint_encode(np.array([v.size, exc_idx.size], dtype=np.uint64))
+    idx_deltas = np.diff(exc_idx, prepend=0).astype(np.uint64) if exc_idx.size else exc_idx.astype(np.uint64)
+    return (
+        header
+        + _pack_bits(low, b)
+        + varint_encode(idx_deltas)
+        + varint_encode(exc_high)
+    )
+
+
+def pfor_decode(buf: bytes) -> np.ndarray:
+    if not buf:
+        return np.empty(0, dtype=np.uint64)
+    b = buf[0]
+    # parse the two varint header ints by scanning continuation bits
+    pos = 1
+    vals = []
+    for _ in range(2):
+        x, shift = 0, 0
+        while True:
+            byte = buf[pos]
+            pos += 1
+            x |= (byte & 0x7F) << shift
+            shift += 7
+            if not byte & 0x80:
+                break
+        vals.append(x)
+    n, n_exc = vals
+    packed_len = (n * b + 7) // 8
+    low = _unpack_bits(buf[pos : pos + packed_len], n, b)
+    pos += packed_len
+    if n_exc:
+        rest = varint_decode(buf[pos:])
+        idx = np.cumsum(rest[:n_exc])
+        high = rest[n_exc : 2 * n_exc]
+        low[idx] |= high << np.uint64(b)
+    return low
+
+
+def delta_pfor_encode(sorted_ids: np.ndarray) -> bytes:
+    """Delta + PForDelta for strictly-increasing ids."""
+    ids = np.ascontiguousarray(sorted_ids, dtype=np.uint64)
+    if ids.size == 0:
+        return b""
+    deltas = np.empty(ids.size, dtype=np.uint64)
+    deltas[0] = ids[0]
+    np.subtract(ids[1:], ids[:-1], out=deltas[1:])
+    return pfor_encode(deltas)
+
+
+def delta_pfor_decode(buf: bytes) -> np.ndarray:
+    return np.cumsum(pfor_decode(buf), dtype=np.uint64)

@@ -133,6 +133,9 @@ def minhash_signatures(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
+    from gopensearch_spark.util import ensure_parallelism
+
+    df = ensure_parallelism(df)
     return df.select(
         F.col(id_col).alias("id"),
         _minhash_signatures_udf(num_perm, shingle_n)(F.col(text_col)).alias("sig"),
@@ -222,7 +225,11 @@ def simhash_pairs(
     """SimHash near-dup candidates: 4x16-bit bands (any-band-equal
     guarantees recall for Hamming distance <= 3), verified by exact
     popcount on the signature pair."""
-    sh = df.select(F.col(id_col).alias("id"), _simhash_udf()(F.col(text_col)).alias("sh"))
+    from gopensearch_spark.util import ensure_parallelism
+
+    sh = ensure_parallelism(df).select(
+        F.col(id_col).alias("id"), _simhash_udf()(F.col(text_col)).alias("sh")
+    )
     banded = sh.select(
         "id",
         "sh",

@@ -48,6 +48,9 @@ def extract_features(
             "real media decoding requires image/audio libraries not present "
             "in this environment; pass fake=True for the deterministic stub"
         )
+    from gopensearch_spark.util import ensure_parallelism
+
+    media = ensure_parallelism(media)
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

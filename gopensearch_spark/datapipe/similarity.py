@@ -45,10 +45,12 @@ def cosine_topk(
 
     ``queries``: (query_id, embedding). Broadcast; corpus scanned once.
     """
+    from gopensearch_spark.util import ensure_parallelism
+
     q = F.broadcast(
         queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     )
-    scored = emb.crossJoin(q).select(
+    scored = ensure_parallelism(emb).crossJoin(q).select(
         "query_id",
         F.col(id_col).alias("vec_id"),
         cosine_expr(F.col(vec_col), F.col("qv")).alias("cosine"),

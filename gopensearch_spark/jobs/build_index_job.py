@@ -42,6 +42,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--no-blocks", action="store_true", help="skip compressed block index")
     p.add_argument("--positions", action="store_true",
                    help="store per-posting position lists (phrase queries)")
+    p.add_argument("--block-codec", default="varint", choices=["varint", "pfor"],
+                   help="posting-block compression codec")
     p.add_argument("--master", default=None, help="override master (tests); spark-submit normally provides it")
     args = p.parse_args(argv)
 
@@ -66,6 +68,7 @@ def main(argv: list[str] | None = None) -> int:
         num_segments=args.segments,
         build_blocks=not args.no_blocks,
         with_positions=args.positions,
+        block_codec=args.block_codec,
         input_lineage=f"{args.format}:{args.input}",
     )
     elapsed = time.time() - t0

@@ -25,12 +25,9 @@ input is only the query terms' postings.
 from __future__ import annotations
 
 import math
-import os
-
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from gopensearch_spark.index.builder import read_corpus_stats
 
 K1 = 1.2
 B = 0.75
@@ -65,14 +62,15 @@ def load_postings_for_terms(
     spark: SparkSession, index_dir: str, terms: list[str]
 ) -> tuple[DataFrame, DataFrame, dict]:
     """Postings + term_stats restricted to ``terms`` with partition pruning."""
-    stats = read_corpus_stats(index_dir)
+    from gopensearch_spark.search.readers import corpus_stats, index_table
+
+    stats = corpus_stats(index_dir)
     buckets = sorted(set(term_buckets_for(spark, terms, stats["term_buckets"]).values()))
-    post = (
-        spark.read.parquet(os.path.join(index_dir, "postings"))
-        .where(F.col("term_bucket").isin(buckets) & F.col("term").isin(terms))
+    post = index_table(spark, index_dir, "postings").where(
+        F.col("term_bucket").isin(buckets) & F.col("term").isin(terms)
     )
     tstats = (
-        spark.read.parquet(os.path.join(index_dir, "term_stats"))
+        index_table(spark, index_dir, "term_stats")
         .where(F.col("term_bucket").isin(buckets) & F.col("term").isin(terms))
         .select("term", "df")
     )

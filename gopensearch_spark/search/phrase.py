@@ -26,8 +26,6 @@ Execution shape (all sizes bounded by the query terms' postings):
 
 from __future__ import annotations
 
-import os
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -36,7 +34,6 @@ from pyspark.sql import types as T
 from pyspark.storagelevel import StorageLevel
 
 from gopensearch_spark import codecs
-from gopensearch_spark.index.builder import read_corpus_stats
 from gopensearch_spark.search.bm25 import K1, B, idf, term_buckets_for
 
 _EMPTY = "doc_id long, score double"
@@ -92,10 +89,12 @@ def phrase_match(
     """Top-k BM25 for a quoted phrase (`t MATCH '"a b"'` in FTS5)."""
     from gopensearch_spark.analysis import tokenize
 
+    from gopensearch_spark.search.readers import corpus_stats, index_table
+
     terms = tokenize(phrase) if isinstance(phrase, str) else list(phrase)
     if not terms:
         raise ValueError("empty phrase after tokenization")
-    stats = read_corpus_stats(index_dir)
+    stats = corpus_stats(index_dir)
     if not stats.get("with_positions"):
         raise ValueError(f"index at {index_dir} was built without positions")
     if len(terms) == 1:
@@ -108,7 +107,7 @@ def phrase_match(
     distinct = sorted(set(terms))
     buckets = sorted(set(term_buckets_for(spark, distinct, stats["term_buckets"]).values()))
     posts = (
-        spark.read.parquet(os.path.join(index_dir, "postings"))
+        index_table(spark, index_dir, "postings")
         .where(F.col("term_bucket").isin(buckets) & F.col("term").isin(distinct))
         .select("doc_id", "doc_len", "term", "positions")
     )
@@ -134,13 +133,15 @@ def prefix_match(
     """Top-k BM25 for a prefix token (`t MATCH 'ab*'` in FTS5)."""
     from gopensearch_spark.analysis import tokenize
 
+    from gopensearch_spark.search.readers import corpus_stats, index_table
+
     toks = tokenize(prefix)
     if len(toks) != 1:
         raise ValueError(f"prefix must be a single token, got {toks!r}")
     prefix = toks[0]
-    stats = read_corpus_stats(index_dir)
+    stats = corpus_stats(index_dir)
     posts = (
-        spark.read.parquet(os.path.join(index_dir, "postings"))
+        index_table(spark, index_dir, "postings")
         .where(F.col("term").startswith(prefix))
         .select("doc_id", "doc_len", "tf")
     )

@@ -1,0 +1,52 @@
+"""Cached index-table readers.
+
+Every query used to call `spark.read.parquet(...)` afresh, re-listing
+files and re-reading footers — pure latency on repeated queries against
+the same index. Reusing one DataFrame handle per (session, index_dir,
+table) keeps Spark's FileIndex/schema cache warm; the plan on top is
+rebuilt per query as usual, so correctness is unaffected. Corpus stats
+(a tiny driver-side JSON) are memoized with an mtime guard so a
+rebuilt/extended index invalidates cleanly.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from gopensearch_spark.index.builder import read_corpus_stats
+
+_DF_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+_STATS_CACHE: dict[str, tuple[float, dict]] = {}
+
+
+def index_table(spark: SparkSession, index_dir: str, name: str) -> DataFrame:
+    """`postings` / `term_stats` / `blocks` / `doc_stats` reader, memoized."""
+    key = (id(spark), index_dir, name)
+    df = _DF_CACHE.get(key)
+    if df is None:
+        df = spark.read.parquet(os.path.join(index_dir, name))
+        _DF_CACHE[key] = df
+    return df
+
+
+def corpus_stats(index_dir: str) -> dict:
+    path = os.path.join(index_dir, "corpus_stats.json")
+    mtime = os.path.getmtime(path)
+    hit = _STATS_CACHE.get(index_dir)
+    if hit is not None and hit[0] == mtime:
+        return hit[1]
+    stats = read_corpus_stats(index_dir)
+    _STATS_CACHE[index_dir] = (mtime, stats)
+    return stats
+
+
+def invalidate(index_dir: str | None = None) -> None:
+    """Drop cached handles (all, or one index) — call after a rebuild."""
+    global _DF_CACHE, _STATS_CACHE
+    if index_dir is None:
+        _DF_CACHE, _STATS_CACHE = {}, {}
+        return
+    _DF_CACHE = {k: v for k, v in _DF_CACHE.items() if k[1] != index_dir}
+    _STATS_CACHE.pop(index_dir, None)

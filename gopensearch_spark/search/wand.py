@@ -24,15 +24,12 @@ tests/test_rank_identity.py).
 
 from __future__ import annotations
 
-import os
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gopensearch_spark import codecs
-from gopensearch_spark.index.builder import read_corpus_stats
 from gopensearch_spark.search.bm25 import K1, B, idf, term_buckets_for
 
 
@@ -44,11 +41,20 @@ def _block_upper_bound(max_tf: np.ndarray, min_dl: np.ndarray, idf_t: float, avg
     return idf_t * tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / avgdl))
 
 
-def _decode_term(rows: pd.DataFrame) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+def _decoders(block_codec: str):
+    """(ids_decode, vals_decode) matching builder._encoders."""
+    if block_codec == "pfor":
+        return codecs.delta_pfor_decode, codecs.pfor_decode
+    return codecs.delta_decode, codecs.varint_decode
+
+
+def _decode_term(
+    rows: pd.DataFrame, dec_ids=codecs.delta_decode, dec_vals=codecs.varint_decode
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Decode one term's blocks (already sorted by block_id) to arrays."""
-    ids = np.concatenate([codecs.delta_decode(b) for b in rows["doc_ids"]])
-    tfs = np.concatenate([codecs.varint_decode(b) for b in rows["tfs"]])
-    dls = np.concatenate([codecs.varint_decode(b) for b in rows["doc_lens"]])
+    ids = np.concatenate([dec_ids(b) for b in rows["doc_ids"]])
+    tfs = np.concatenate([dec_vals(b) for b in rows["tfs"]])
+    dls = np.concatenate([dec_vals(b) for b in rows["doc_lens"]])
     return ids.astype(np.int64), tfs.astype(np.float64), dls.astype(np.float64)
 
 
@@ -56,7 +62,7 @@ def _scores(tfs: np.ndarray, dls: np.ndarray, idf_t: float, avgdl: float) -> np.
     return idf_t * tfs * (K1 + 1.0) / (tfs + K1 * (1.0 - B + B * dls / avgdl))
 
 
-def _score_segment_and(groups: dict, idfs: dict, avgdl: float, k: int) -> pd.DataFrame:
+def _score_segment_and(groups: dict, idfs: dict, avgdl: float, k: int, dec=None) -> pd.DataFrame:
     """DAAT conjunctive intersection, rarest term first, with block-range
     skipping: later (bigger) terms only decode blocks whose
     [min_doc_id, max_doc_id] overlaps surviving candidates."""
@@ -71,7 +77,7 @@ def _score_segment_and(groups: dict, idfs: dict, avgdl: float, k: int) -> pd.Dat
             if not keep.any():
                 return pd.DataFrame({"doc_id": [], "score": []})
             rows = rows[keep]
-        ids, tfs, dls = _decode_term(rows)
+        ids, tfs, dls = _decode_term(rows, *dec) if dec else _decode_term(rows)
         sc = _scores(tfs, dls, idfs[t], avgdl)
         if cand_ids is None:
             cand_ids, cand_score = ids, sc
@@ -83,7 +89,7 @@ def _score_segment_and(groups: dict, idfs: dict, avgdl: float, k: int) -> pd.Dat
     return _topk_frame(cand_ids, cand_score, k)
 
 
-def _score_segment_or(groups: dict, idfs: dict, avgdl: float, k: int) -> pd.DataFrame:
+def _score_segment_or(groups: dict, idfs: dict, avgdl: float, k: int, dec=None) -> pd.DataFrame:
     """Disjunctive top-k with accumulator bounding (TAAT quit/continue +
     block-max): terms are processed in descending max-impact order; once
     the sum of remaining terms' upper bounds cannot beat the running
@@ -111,7 +117,7 @@ def _score_segment_or(groups: dict, idfs: dict, avgdl: float, k: int) -> pd.Data
             if rows.empty:
                 remaining_ub -= term_ub[t]
                 continue
-        ids, tfs, dls = _decode_term(rows)
+        ids, tfs, dls = _decode_term(rows, *dec) if dec else _decode_term(rows)
         sc = _scores(tfs, dls, idfs[t], avgdl)
         if open_new:
             merged = np.concatenate([acc_ids, ids])
@@ -152,12 +158,14 @@ def wand_match(
     terms = sorted(set(tokenize(query) if isinstance(query, str) else query))
     if not terms:
         raise ValueError("empty query after tokenization")
-    stats = read_corpus_stats(index_dir)
+    from gopensearch_spark.search.readers import corpus_stats, index_table
+
+    stats = corpus_stats(index_dir)
     n_docs, avgdl = stats["n_docs"], stats["avg_doc_len"]
     buckets = sorted(set(term_buckets_for(spark, terms, stats["term_buckets"]).values()))
 
     tstats = (
-        spark.read.parquet(os.path.join(index_dir, "term_stats"))
+        index_table(spark, index_dir, "term_stats")
         .where(F.col("term_bucket").isin(buckets) & F.col("term").isin(terms))
         .select("term", "df")
         .collect()
@@ -167,18 +175,19 @@ def wand_match(
         return spark.createDataFrame([], "doc_id long, score double")
     present = sorted(idfs)
 
-    blocks = (
-        spark.read.parquet(os.path.join(index_dir, "blocks"))
-        .where(F.col("term_bucket").isin(buckets) & F.col("term").isin(present))
+    blocks = index_table(spark, index_dir, "blocks").where(
+        F.col("term_bucket").isin(buckets) & F.col("term").isin(present)
     )
+
+    dec = _decoders(stats.get("block_codec", "varint"))
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         groups = {t: g for t, g in pdf.groupby("term")}
         if mode == "and":
             if len(groups) < len(present):
                 return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"), "score": pd.Series([], dtype="float64")})
-            return _score_segment_and(groups, idfs, avgdl, k)
-        return _score_segment_or(groups, idfs, avgdl, k)
+            return _score_segment_and(groups, idfs, avgdl, k, dec)
+        return _score_segment_or(groups, idfs, avgdl, k, dec)
 
     per_seg = blocks.groupBy("seg_id").applyInPandas(kernel, "doc_id long, score double")
     return per_seg.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

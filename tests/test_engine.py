@@ -248,3 +248,12 @@ def test_bool_must_not(engine, duck):
     ).fetchone()[0]
     assert r["hits"]["total"]["value"] == n > 0
     assert all(h["_source"]["event_type"] not in ("error", "click") for h in r["hits"]["hits"])
+
+
+def test_fts_search_expression(engine, oracle_small):
+    r = engine.fts_search("docs", 'spark AND (join OR merge) NOT batch', size=10)
+    ref = oracle_small.match_raw('spark AND (join OR merge) NOT batch', k=10)
+    got = [(int(h["_id"]), h["_score"]) for h in r["hits"]["hits"]]
+    assert [d for d, _ in got] == [d for d, _ in ref]
+    for (_, s1), (_, s2) in zip(got, ref):
+        assert math.isclose(s1, s2, rel_tol=1e-9)

@@ -94,3 +94,41 @@ def test_prefix_rank_identity(spark, index_small, oracle_small, prefix):
     ref = oracle_small.match_raw(f"{prefix}*", k=25)
     got = _ours(prefix_match(spark, index_small, prefix, k=25))
     _assert_rank_identical(got, ref)
+
+
+# --- full FTS5 MATCH expressions ---------------------------------------------
+
+EXPRS = [
+    "spark AND join",
+    "spark join",                      # implicit AND
+    "spark OR join OR merge",
+    "spark AND (join OR merge)",
+    "spark NOT join",
+    "(spark OR merge) NOT (batch OR sort)",
+    '"spark join" OR dat*',
+    '"the data" AND scan',
+    "spar* AND jo*",
+    "data NOT zzz_absent_term",
+]
+
+
+@pytest.mark.parametrize("expr", EXPRS)
+def test_match_expr_rank_identity(spark, index_small, oracle_small, expr):
+    from gopensearch_spark.search.matchexpr import match_expr
+
+    ref = oracle_small.match_raw(expr, k=25)
+    got = _ours(match_expr(spark, index_small, expr, k=25))
+    _assert_rank_identical(got, ref)
+
+
+def test_match_expr_parser_shapes():
+    from gopensearch_spark.search.matchexpr import Leaf, Op, parse_match_expr
+
+    n = parse_match_expr('a AND (b OR "c d") NOT e*')
+    # NOT binds tighter than AND: a AND ((b OR "c d") NOT e*)
+    assert isinstance(n, Op) and n.op == "AND"
+    assert isinstance(n.left, Leaf) and n.left.value == "a"
+    assert isinstance(n.right, Op) and n.right.op == "NOT"
+    assert n.right.right.kind == "prefix" and n.right.right.value == "e"
+    inner = n.right.left
+    assert inner.op == "OR" and inner.right.kind == "phrase"

@@ -100,3 +100,23 @@ def test_build_index_job_end_to_end(spark, web_pages_small, tmp_path):
     blocked = wand_match(spark, idx, "data", k=5, mode="or").collect()
     assert [r["doc_id"] for r in flat] == [r["doc_id"] for r in blocked]
     assert len(flat) == 5
+
+
+def test_head_term_postings_split_across_segments(spark, index_small):
+    """Skew evidence: a Zipf-head term's postings must be spread over
+    every segment (the salted-merge axis), so no single task ever holds
+    a stopword's full posting list."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    blocks = spark.read.parquet(os.path.join(index_small, "blocks"))
+    # most frequent term by total postings
+    head = (
+        blocks.groupBy("term").agg(F.sum("n").alias("n")).orderBy(F.desc("n")).first()
+    )
+    n_segs = blocks.select("seg_id").distinct().count()
+    head_segs = (
+        blocks.where(F.col("term") == head["term"]).select("seg_id").distinct().count()
+    )
+    assert head_segs == n_segs, (head["term"], head_segs, n_segs)
