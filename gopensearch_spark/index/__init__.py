@@ -2,6 +2,7 @@ from gopensearch_spark.index.builder import (  # noqa: F401
     BLOCK_SIZE,
     build_index,
     build_postings,
+    compact_index,
     finalize_stats,
     read_corpus_stats,
 )

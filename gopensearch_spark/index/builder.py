@@ -227,12 +227,18 @@ def build_postings(
         )
         if build_blocks:
             # blocks carry no positions — select only what the kernel
-            # needs so position bytes never enter the segment shuffle
-            seg = flat.select("doc_id", "doc_len", "term", "tf").withColumn(
+            # needs so position bytes never enter the segment shuffle.
+            # Group by (seg_id, term_bucket), NOT seg_id alone: one task
+            # then holds 1/(segments*buckets) of the postings instead of
+            # a whole segment (1/32 of EVERYTHING — OOM at 10^12 docs).
+            # Blocks are per (term, seg), and a term lives in exactly
+            # one bucket, so the finer grouping changes nothing
+            # semantically.
+            seg = flat.select("doc_id", "doc_len", "term", "tf", "term_bucket").withColumn(
                 "seg_id",
                 F.pmod(F.xxhash64("doc_id"), F.lit(num_segments)).cast("int"),
             )
-            blocks = seg.groupBy("seg_id").applyInPandas(
+            blocks = seg.groupBy("seg_id", "term_bucket").applyInPandas(
                 _make_segment_blocks_kernel(block_codec), schema=BLOCKS_SCHEMA
             ).withColumn(
                 "term_bucket",
@@ -376,4 +382,77 @@ def build_index(
     from gopensearch_spark.search.readers import invalidate
 
     invalidate(out_dir)  # drop stale cached readers for this index
+    return stats
+
+
+def compact_index(
+    spark: SparkSession,
+    src_dir: str,
+    dst_dir: str,
+    term_buckets: int | None = None,
+    num_segments: int = DEFAULT_NUM_SEGMENTS,
+    block_codec: str | None = None,
+) -> dict:
+    """Merge a multi-slice (fragmented) index into one compacted index.
+
+    Each resumable slice appends its own parquet files per term_bucket
+    and its own (term, seg) block runs, so after S slices a term's
+    postings are spread over S sorted runs. Compaction is the explicit
+    salted segment merge of the north rule:
+
+    - **salted repartition-by-term**: postings shuffle on
+      ``term_bucket = pmod(xxhash64(term), B)`` and are re-sorted by
+      (term, doc_id) within each bucket — one sorted run per term again.
+    - **skew splitting for head terms**: blocks rebuild under the
+      (seg_id, term_bucket) grouping, so a Zipf-head term (a stopword
+      with ~N postings at 10^12 docs) is processed as ``num_segments``
+      independent tasks, never one giant one.
+
+    Writes a complete new index at ``dst_dir`` (postings, blocks,
+    doc_stats, term_stats, corpus_stats) and leaves ``src_dir``
+    untouched — swap-in is the caller's atomic rename.
+    """
+    src_stats = read_corpus_stats(src_dir)
+    term_buckets = term_buckets or src_stats["term_buckets"]
+    block_codec = block_codec or src_stats.get("block_codec", "varint")
+    with_positions = bool(src_stats.get("with_positions"))
+
+    flat = spark.read.parquet(os.path.join(src_dir, "postings")).withColumn(
+        "term_bucket", F.pmod(F.xxhash64("term"), F.lit(term_buckets)).cast("int")
+    )
+    flat.persist()
+    try:
+        (
+            flat.repartition(term_buckets, "term_bucket")
+            .sortWithinPartitions("term", "doc_id")
+            .write.mode("overwrite")
+            .partitionBy("term_bucket")
+            .parquet(os.path.join(dst_dir, "postings"))
+        )
+        (
+            flat.select("doc_id", "doc_len")
+            .dropDuplicates(["doc_id"])
+            .write.mode("overwrite")
+            .parquet(os.path.join(dst_dir, "doc_stats"))
+        )
+        seg = flat.select("doc_id", "doc_len", "term", "tf", "term_bucket").withColumn(
+            "seg_id", F.pmod(F.xxhash64("doc_id"), F.lit(num_segments)).cast("int")
+        )
+        (
+            seg.groupBy("seg_id", "term_bucket")
+            .applyInPandas(_make_segment_blocks_kernel(block_codec), schema=BLOCKS_SCHEMA)
+            .withColumn("term_bucket", F.pmod(F.xxhash64("term"), F.lit(term_buckets)).cast("int"))
+            .write.mode("overwrite")
+            .partitionBy("term_bucket")
+            .parquet(os.path.join(dst_dir, "blocks"))
+        )
+    finally:
+        flat.unpersist()
+    stats = finalize_stats(
+        spark, dst_dir, term_buckets=term_buckets,
+        with_positions=with_positions, block_codec=block_codec,
+    )
+    from gopensearch_spark.search.readers import invalidate
+
+    invalidate(dst_dir)
     return stats

@@ -35,8 +35,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _TOKEN_RE = re.compile(
-    r'\s*(?:(?P<lparen>\()|(?P<rparen>\))|(?P<quoted>"[^"]*")'
-    r"|(?P<word>[^\s()\"]+))"
+    r'\s*(?:(?P<lparen>\()|(?P<rparen>\))|(?P<comma>,)|(?P<quoted>"[^"]*")'
+    r"|(?P<word>[^\s(),\"]+))"
 )
 
 
@@ -66,6 +66,8 @@ def _lex(expr: str) -> list[tuple[str, str]]:
             out.append(("(", "("))
         elif m.group("rparen"):
             out.append((")", ")"))
+        elif m.group("comma"):
+            out.append((",", ","))
         elif m.group("quoted"):
             out.append(("quoted", m.group("quoted")[1:-1]))
         else:
@@ -123,6 +125,8 @@ class _Parser:
 
     def primary(self):
         kind, val = self.next()
+        if kind == "word" and val == "NEAR" and self.peek() == "(":
+            return self.near_group()
         if kind == "(":
             node = self.or_expr()
             if self.peek() != ")":
@@ -147,6 +151,34 @@ class _Parser:
             return Leaf("phrase", terms) if len(terms) > 1 else Leaf("term", terms[0])
         raise ValueError(f"unexpected token {kind!r}")
 
+    def near_group(self):
+        """`NEAR(p1 p2 ..., N)` — N defaults to 10 like FTS5."""
+        from gopensearch_spark.analysis import tokenize
+
+        self.next()  # consume '('
+        units: list[tuple] = []
+        while self.peek() in ("word", "quoted"):
+            k2, v2 = self.next()
+            if k2 == "word" and v2.endswith("*"):
+                raise ValueError("prefix tokens inside NEAR are not supported")
+            terms = tokenize(v2)
+            if not terms:
+                raise ValueError(f"empty NEAR phrase {v2!r}")
+            units.append(("phrase", terms) if len(terms) > 1 else ("term", terms[0]))
+        if len(units) < 2:
+            raise ValueError("NEAR needs at least two phrases")
+        n = 10
+        if self.peek() == ",":
+            self.next()
+            k3, v3 = self.next()
+            if k3 != "word" or not v3.isdigit():
+                raise ValueError(f"bad NEAR distance {v3!r}")
+            n = int(v3)
+        if self.peek() != ")":
+            raise ValueError("unbalanced NEAR(")
+        self.next()
+        return Leaf("near", (units, n))
+
 
 def parse_match_expr(expr: str):
     return _Parser(_lex(expr)).parse()
@@ -154,12 +186,15 @@ def parse_match_expr(expr: str):
 
 def _leaf_scores(spark: SparkSession, index_dir: str, leaf: Leaf) -> DataFrame:
     from gopensearch_spark.search.bm25 import bm25_scores
-    from gopensearch_spark.search.phrase import phrase_match, prefix_match
+    from gopensearch_spark.search.phrase import near_match, phrase_match, prefix_match
 
     if leaf.kind == "term":
         return bm25_scores(spark, index_dir, [leaf.value], mode="or")
     if leaf.kind == "phrase":
         return phrase_match(spark, index_dir, list(leaf.value), k=None)
+    if leaf.kind == "near":
+        units, n = leaf.value
+        return near_match(spark, index_dir, units, n=n, k=None)
     return prefix_match(spark, index_dir, leaf.value, k=None)
 
 

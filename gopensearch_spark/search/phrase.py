@@ -149,3 +149,188 @@ def prefix_match(
         F.sum("tf").alias("tf"), F.first("doc_len").alias("doc_len")
     )
     return _score_topk(matches, stats["n_docs"], stats["avg_doc_len"], k)
+
+
+# --- NEAR groups (FTS5 `NEAR(p1 p2 ..., N)`) ---------------------------------
+
+def _instance_intervals(pos: dict, unit: tuple) -> tuple[np.ndarray, np.ndarray]:
+    """Instance (start, end) arrays for a unit over one doc's positions.
+
+    term t -> every position p as [p, p]; phrase [t0..tL] -> chain starts
+    s (every t_i at s+i) as [s, s+L-1].
+    """
+    kind, val = unit
+    if kind == "term":
+        p = pos.get(val)
+        if p is None:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        return p, p
+    starts = pos.get(val[0])
+    if starts is None:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    for i, t in enumerate(val[1:], 1):
+        if starts.size == 0:
+            break
+        nxt = pos.get(t)
+        if nxt is None:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        starts = starts[np.isin(starts + i, nxt)]
+    return starts, starts + (len(val) - 1)
+
+
+def _near_trimmed_tfs(intervals: list[tuple[np.ndarray, np.ndarray]], n: int) -> list[int]:
+    """Per-unit count of instances participating in >= 1 valid NEAR set.
+
+    FTS5 semantics (pinned empirically against bm25 on micro-corpora):
+    a selection (one instance per unit) is valid iff
+    max(start) - min(end) - 1 <= N, and each unit's tf for scoring is
+    the number of its instances appearing in at least one valid
+    selection — NOT its total tf in the doc.
+
+    Instance I of unit u participates iff there exists a window low
+    bound ``lo <= end_I`` such that every other unit has an instance
+    with end >= lo and start <= lo + N + 1, and start_I <= lo + N + 1.
+    Candidate lo values only need to range over instance end values.
+    Per unit we precompute (ends sorted, suffix-min of starts) so
+    "min start among instances with end >= lo" is a binary search.
+    """
+    k = len(intervals)
+    ends_sorted, sufmin_s = [], []
+    all_ends = []
+    for s, e in intervals:
+        order = np.argsort(e, kind="stable")
+        es, ss = e[order], s[order]
+        ends_sorted.append(es)
+        sufmin_s.append(np.minimum.accumulate(ss[::-1])[::-1])
+        all_ends.append(es)
+    cand_lo = np.unique(np.concatenate(all_ends))
+
+    def min_start_with_end_ge(u: int, lo: int) -> int | None:
+        i = int(np.searchsorted(ends_sorted[u], lo, side="left"))
+        if i >= ends_sorted[u].size:
+            return None
+        return int(sufmin_s[u][i])
+
+    tfs = []
+    for u in range(k):
+        s_u, e_u = intervals[u]
+        kept = 0
+        for s_i, e_i in zip(s_u, e_u):
+            ok = False
+            for lo in cand_lo[cand_lo <= e_i]:
+                hi = lo + n + 1
+                if s_i > hi:
+                    continue
+                feasible = True
+                for v in range(k):
+                    if v == u:
+                        continue
+                    ms = min_start_with_end_ge(v, lo)
+                    if ms is None or ms > hi:
+                        feasible = False
+                        break
+                if feasible:
+                    ok = True
+                    break
+            kept += ok
+        tfs.append(kept)
+    return tfs
+
+
+def near_match(
+    spark: SparkSession,
+    index_dir: str,
+    units: list[tuple],
+    n: int = 10,
+    k: int | None = 10,
+) -> DataFrame:
+    """Top-k BM25 for `NEAR(u1 u2 ..., n)` over the positional index.
+
+    ``units``: [("term", str) | ("phrase", [str, ...]), ...]. Scoring is
+    FTS5 bm25: each unit contributes idf_unit (df = docs containing the
+    unit anywhere) * w(total instances in doc), summed over units, for
+    docs satisfying the NEAR constraint — pinned rank-identical in
+    tests/test_rank_identity.py.
+    """
+    from gopensearch_spark.search.readers import corpus_stats, index_table
+
+    if len(units) < 2:
+        raise ValueError("NEAR needs at least two phrases")
+    stats = corpus_stats(index_dir)
+    if not stats.get("with_positions"):
+        raise ValueError(f"index at {index_dir} was built without positions")
+    n_docs, avgdl = stats["n_docs"], stats["avg_doc_len"]
+
+    all_terms = sorted({t for kind, v in units for t in ([v] if kind == "term" else v)})
+    buckets = sorted(set(term_buckets_for(spark, all_terms, stats["term_buckets"]).values()))
+    posts = (
+        index_table(spark, index_dir, "postings")
+        .where(F.col("term_bucket").isin(buckets) & F.col("term").isin(all_terms))
+        .select("doc_id", "doc_len", "term", "positions")
+    )
+    grouped = (
+        posts.groupBy("doc_id")
+        .agg(
+            F.collect_list("term").alias("terms"),
+            F.collect_list("positions").alias("poss"),
+            F.first("doc_len").alias("doc_len"),
+        )
+        .where(F.size("terms") == len(all_terms))  # all terms present
+    )
+
+    n_units = len(units)
+    out_schema = "doc_id long, doc_len int, near_ok boolean, " + ", ".join(
+        f"tf{i} int" for i in range(n_units)
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, ts, ps, dl in zip(pdf["doc_id"], pdf["terms"], pdf["poss"], pdf["doc_len"]):
+                pos = {t: codecs.delta_decode(bytes(p)).astype(np.int64) for t, p in zip(ts, ps)}
+                ivs = []
+                ok = True
+                for u in units:
+                    s, e = _instance_intervals(pos, u)
+                    if s.size == 0:
+                        ok = False
+                        break
+                    ivs.append((s, e))
+                if not ok:
+                    continue
+                tfs = _near_trimmed_tfs(ivs, n)
+                # a valid selection exists iff every unit kept >= 1 instance
+                rows.append((doc_id, dl, tfs[0] > 0, *tfs))
+            cols = ["doc_id", "doc_len", "near_ok"] + [f"tf{i}" for i in range(n_units)]
+            yield pd.DataFrame(rows, columns=cols)
+
+    matches = grouped.mapInPandas(kernel, out_schema).persist(StorageLevel.MEMORY_AND_DISK)
+    # per-unit global df: docs containing the unit anywhere (NEAR-unconstrained)
+    # -- terms read it from term_stats; phrases count their own match relation.
+    dfs = []
+    tstats = {
+        r["term"]: r["df"]
+        for r in index_table(spark, index_dir, "term_stats")
+        .where(F.col("term_bucket").isin(buckets) & F.col("term").isin(all_terms))
+        .collect()
+    }
+    for kind, val in units:
+        if kind == "term":
+            dfs.append(tstats.get(val, 0))
+        else:
+            ph = phrase_match(spark, index_dir, list(val), k=None)
+            dfs.append(ph.count())
+    hits = matches.where("near_ok")
+    if any(d == 0 for d in dfs):
+        return spark.createDataFrame([], _EMPTY)
+    dl = F.col("doc_len").cast("double")
+    score = None
+    for i, df_u in enumerate(dfs):
+        tf = F.col(f"tf{i}").cast("double")
+        w = tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / avgdl))
+        contrib = F.lit(idf(n_docs, df_u)) * w
+        score = contrib if score is None else score + contrib
+    scores = hits.select("doc_id", score.alias("score"))
+    if k is None:
+        return scores
+    return scores.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

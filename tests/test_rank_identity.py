@@ -109,6 +109,14 @@ EXPRS = [
     '"the data" AND scan',
     "spar* AND jo*",
     "data NOT zzz_absent_term",
+    # NEAR groups (trimmed-tf scoring semantics pinned vs FTS5)
+    "NEAR(spark join, 1)",
+    "NEAR(spark join)",
+    "NEAR(data scan batch, 8)",
+    'NEAR("the data" scan, 6)',
+    "spark AND NEAR(data scan, 4)",
+    "NEAR(spark join, 2) OR merge",
+    "NEAR(zzz_absent_term spark, 3)",
 ]
 
 

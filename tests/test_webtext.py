@@ -120,3 +120,47 @@ def test_head_term_postings_split_across_segments(spark, index_small):
         blocks.where(F.col("term") == head["term"]).select("seg_id").distinct().count()
     )
     assert head_segs == n_segs, (head["term"], head_segs, n_segs)
+
+
+def test_compact_index_merges_slices(spark, docs_small, oracle_small, tmp_path):
+    """A fragmented 3-slice build compacts into single sorted runs with
+    unchanged (rank-identical) query results."""
+    import math
+    import os
+
+    from pyspark.sql import functions as F
+
+    from gopensearch_spark.index import build_index, compact_index
+    from gopensearch_spark.search import bm25_match, wand_match
+
+    src = str(tmp_path / "frag")
+    dst = str(tmp_path / "compacted")
+    build_index(spark, docs_small, src, slices=3, term_buckets=8,
+                num_segments=4, with_positions=True,
+                input_lineage="sf0.001/documents.parquet")
+    blocks_frag = spark.read.parquet(os.path.join(src, "blocks"))
+    n_frag = blocks_frag.count()
+    dup_frag = n_frag - blocks_frag.select("term", "seg_id", "block_id").distinct().count()
+    assert dup_frag > 0  # slices really did fragment the block runs
+
+    compact_index(spark, src, dst, num_segments=4)
+    blocks = spark.read.parquet(os.path.join(dst, "blocks"))
+    assert blocks.count() == blocks.select("term", "seg_id", "block_id").distinct().count()
+    assert blocks.count() < n_frag
+
+    for terms, mode in [(["spark", "join"], "or"), (["merge", "sort", "batch"], "and")]:
+        ref = oracle_small.match(terms, k=25, mode=mode)
+        for engine in (bm25_match, wand_match):
+            got = [(int(r["doc_id"]), float(r["score"]))
+                   for r in engine(spark, dst, terms, k=25, mode=mode).collect()]
+            assert len(got) == len(ref)
+            for (d1, s1), (d2, s2) in zip(got, ref):
+                assert d1 == d2 and math.isclose(s1, s2, rel_tol=1e-9, abs_tol=1e-12)
+
+    # positions survive compaction -> phrase queries still work
+    from gopensearch_spark.search import phrase_match
+
+    ref = oracle_small.match_raw('"spark join"', k=10)
+    got = [(int(r["doc_id"]), float(r["score"]))
+           for r in phrase_match(spark, dst, "spark join", k=10).collect()]
+    assert [d for d, _ in got] == [d for d, _ in ref]
