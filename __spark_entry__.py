@@ -316,6 +316,53 @@ def _dsl_max_metric(spark, sf_dir):
     return df.select(F.round("value", 6).alias("max_value"))
 
 
+def _dsl_min_metric(spark, sf_dir):
+    body = {"size": 0, "aggs": {"m": {"min": {"field": "value"}}}}
+    _, aggs, _ = _engine(spark, sf_dir).search_df("events", body)
+    _, df = aggs["m"]
+    return df.select(F.round("value", 6).alias("min_value"))
+
+
+def _dsl_sum_metric(spark, sf_dir):
+    body = {"size": 0, "aggs": {"s": {"sum": {"field": "value"}}}}
+    _, aggs, _ = _engine(spark, sf_dir).search_df("events", body)
+    _, df = aggs["s"]
+    return df.select(F.round("value", 4).alias("sum_value"))
+
+
+def _dsl_cardinality(spark, sf_dir):
+    body = {"size": 0, "aggs": {"c": {"cardinality": {"field": "event_type"}}}}
+    _, aggs, _ = _engine(spark, sf_dir).search_df("events", body)
+    _, df = aggs["c"]
+    return df.select(F.col("value").alias("n_types"))
+
+
+def _dsl_percentiles(spark, sf_dir):
+    body = {"size": 0, "aggs": {"p": {"percentiles": {
+        "field": "value", "percents": [25, 50, 75, 95]}}}}
+    _, aggs, _ = _engine(spark, sf_dir).search_df("events", body)
+    _, df = aggs["p"]
+    return df.select(
+        F.posexplode(F.arrays_zip("percents", "values")).alias("pos", "pv")
+    ).select(
+        F.col("pv.percents").alias("percent"),
+        F.round("pv.values", 6).alias("value"),
+    )
+
+
+def _dsl_date_histogram_bounds(spark, sf_dir):
+    """min_doc_count=0 + extended_bounds: zero-filled 6h buckets over a
+    range wider than the data (the Grafana explore shape the reference
+    parses but ignores)."""
+    body = {"size": 0, "aggs": {"hist": {"date_histogram": {
+        "field": "ts", "fixed_interval": "6h", "min_doc_count": 0,
+        "extended_bounds": {"min": 1703980800000, "max": 1706832000000},
+    }}}}
+    _, aggs, _ = _engine(spark, sf_dir).search_df("events", body)
+    _, df = aggs["hist"]
+    return df.select(F.col("key").alias("bucket_ms"), "doc_count")
+
+
 def _dsl_subagg(spark, sf_dir):
     body = {"size": 0, "aggs": {"types": {
         "terms": {"field": "event_type", "size": 5},
@@ -504,6 +551,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_date_histogram": _dsl_date_histogram,
         "dsl_avg_metric": _dsl_avg_metric,
         "dsl_max_metric": _dsl_max_metric,
+        "dsl_min_metric": _dsl_min_metric,
+        "dsl_sum_metric": _dsl_sum_metric,
+        "dsl_cardinality": _dsl_cardinality,
+        "dsl_percentiles": _dsl_percentiles,
+        "dsl_date_histogram_bounds": _dsl_date_histogram_bounds,
         "dsl_subagg": _dsl_subagg,
         # training-data pipeline operators
         "dedup_exact": _dedup_exact,
@@ -586,6 +638,21 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dsl_avg_metric": "SELECT round(avg(value), 6) AS avg_value FROM events",
         "dsl_max_metric": "SELECT round(max(value), 6) AS max_value FROM events",
+        "dsl_min_metric": "SELECT round(min(value), 6) AS min_value FROM events",
+        "dsl_sum_metric": "SELECT round(sum(value), 4) AS sum_value FROM events",
+        "dsl_cardinality": "SELECT count(DISTINCT event_type) AS n_types FROM events",
+        "dsl_percentiles": (
+            "WITH q AS (SELECT unnest([25.0, 50.0, 75.0, 95.0]) AS percent, "
+            "unnest(quantile_cont(value, [0.25, 0.5, 0.75, 0.95])) AS v FROM events) "
+            "SELECT percent, round(v, 6) AS value FROM q"
+        ),
+        "dsl_date_histogram_bounds": (
+            "WITH axis AS (SELECT unnest(range(1703980800000, 1706832000001, 21600000)) AS bucket_ms), "
+            "d AS (SELECT (epoch_ms(ts) // 21600000) * 21600000 AS bucket_ms, count(*) AS n "
+            "FROM events GROUP BY 1) "
+            "SELECT axis.bucket_ms, coalesce(d.n, 0) AS doc_count "
+            "FROM axis LEFT JOIN d USING (bucket_ms) ORDER BY 1"
+        ),
         "dsl_subagg": (
             "SELECT event_type AS key, count(*) AS doc_count, round(avg(value), 6) AS avg_val "
             "FROM events GROUP BY 1 ORDER BY doc_count DESC, key ASC LIMIT 5"

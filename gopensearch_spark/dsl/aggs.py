@@ -67,17 +67,31 @@ def date_bucket_expr(ctx: CompileContext, dh: model.DateHistogram) -> Column:
     return (F.floor(millis / iv) * iv).cast("long")
 
 
+def _metric_expr(ctx: CompileContext, sub: model.Aggregate) -> Column | None:
+    if sub.avg is not None:
+        return F.avg(ctx.resolve(sub.avg.field).cast("double"))
+    if sub.max is not None:
+        return F.max(ctx.resolve(sub.max.field))
+    if sub.min is not None:
+        return F.min(ctx.resolve(sub.min.field))
+    if sub.sum is not None:
+        return F.sum(ctx.resolve(sub.sum.field).cast("double"))
+    if sub.cardinality is not None:
+        # exact distinct; ES uses HLL — we prefer exactness (Spark's
+        # approx_count_distinct is one call away if scale demands)
+        return F.countDistinct(ctx.resolve(sub.cardinality.field))
+    return None
+
+
 def _metric_exprs(ctx: CompileContext, aggs: dict[str, model.Aggregate]) -> list[Column]:
     """Metric sub-aggs -> agg expressions named by their label."""
     exprs = []
     for sublabel, sub in aggs.items():
-        if sub.avg is not None:
-            exprs.append(F.avg(ctx.resolve(sub.avg.field).cast("double")).alias(sublabel))
-        elif sub.max is not None:
-            exprs.append(F.max(ctx.resolve(sub.max.field)).alias(sublabel))
-        else:
+        e = _metric_expr(ctx, sub)
+        if e is None:
             raise ValueError(f"unsupported sub-aggregation under {sublabel!r} "
                              "(reference supports single metric under terms, README.md:58-59)")
+        exprs.append(e.alias(sublabel))
     return exprs
 
 
@@ -97,18 +111,51 @@ def compile_agg(ctx: CompileContext, filtered: DataFrame, agg: model.Aggregate) 
         )
         return "buckets", out
     if agg.date_histogram is not None:
-        key = date_bucket_expr(ctx, agg.date_histogram).alias("key")
-        out = (
-            filtered.groupBy(key)
-            .agg(F.count("*").alias("doc_count"), *_metric_exprs(ctx, agg.aggs))
-            .orderBy(F.asc("key"))
+        dh = agg.date_histogram
+        key = date_bucket_expr(ctx, dh).alias("key")
+        out = filtered.groupBy(key).agg(
+            F.count("*").alias("doc_count"), *_metric_exprs(ctx, agg.aggs)
         )
-        return "buckets", out
-    if agg.avg is not None:
-        return "metric", filtered.agg(F.avg(ctx.resolve(agg.avg.field).cast("double")).alias("value"))
-    if agg.max is not None:
-        return "metric", filtered.agg(F.max(ctx.resolve(agg.max.field)).alias("value"))
+        if dh.min_doc_count == 0:
+            out = _zero_fill_buckets(out, dh)
+        return "buckets", out.orderBy(F.asc("key"))
+    metric = _metric_expr(ctx, agg)
+    if metric is not None:
+        return "metric", filtered.agg(metric.alias("value"))
+    if agg.percentiles is not None:
+        p = agg.percentiles
+        fracs = ", ".join(str(x / 100.0) for x in p.percents)
+        col = ctx.resolve(p.field).cast("double")
+        # exact percentiles with linear interpolation (ES uses TDigest
+        # approximations; exactness wins for oracle parity)
+        vals = F.expr(f"percentile({p.field}, array({fracs}))") if p.field in ctx.df.columns \
+            else F.percentile_approx(col, [x / 100.0 for x in p.percents], 100000)
+        out = filtered.agg(vals.alias("values"))
+        return "percentiles", out.select(
+            F.lit([float(x) for x in p.percents]).alias("percents"), "values"
+        )
     raise ValueError("empty aggregation")
+
+
+def _zero_fill_buckets(out: DataFrame, dh: model.DateHistogram) -> DataFrame:
+    """ES `min_doc_count: 0`: emit empty buckets across the full range —
+    extended_bounds when provided, else the data's own [min, max]. The
+    bucket axis is generated with `sequence()` and left-joined; at any
+    scale the sequence size is bounded by the time range / interval,
+    never by the data volume."""
+    if dh.calendar_interval:
+        raise ValueError("min_doc_count=0 zero-fill implemented for fixed intervals")
+    iv = fixed_interval_ms(dh.fixed_interval or "1s")
+    lo = (dh.extended_bounds_min // iv * iv) if dh.extended_bounds_min is not None else None
+    hi = (dh.extended_bounds_max // iv * iv) if dh.extended_bounds_max is not None else None
+    bounds = out.agg(
+        (F.lit(lo) if lo is not None else F.min("key")).alias("lo"),
+        (F.lit(hi) if hi is not None else F.max("key")).alias("hi"),
+    ).where(F.col("lo").isNotNull())
+    axis = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.lit(iv).cast("long"))).alias("key")
+    )
+    return axis.join(out, "key", "left").na.fill({"doc_count": 0})
 
 
 def compile_aggs(ctx: CompileContext, filtered: DataFrame, aggs: dict[str, model.Aggregate]) -> dict[str, tuple[str, DataFrame]]:

@@ -95,6 +95,11 @@ class DateHistogram:
     fixed_interval: str = ""
     calendar_interval: str = ""
     buckets: int = 0
+    # ES extensions the reference parses but ignores (the Grafana
+    # explore probe sends extended_bounds, pkg/dsl/complex_test.go:30):
+    min_doc_count: int = 1
+    extended_bounds_min: int | None = None  # epoch millis
+    extended_bounds_max: int | None = None
 
 
 @dataclass
@@ -104,11 +109,25 @@ class AggField:
 
 
 @dataclass
+class Percentiles:
+    field: str
+    percents: list[float] = field(
+        default_factory=lambda: [1.0, 5.0, 25.0, 50.0, 75.0, 95.0, 99.0]
+    )
+
+
+@dataclass
 class Aggregate:
     terms: AggTerms | None = None
     date_histogram: DateHistogram | None = None
     avg: AggField | None = None
     max: AggField | None = None
+    # ES-correct extensions beyond the reference's avg/max
+    # (its MetricsMultiple path is an unimplemented stub, db.go:157-159)
+    min: AggField | None = None
+    sum: AggField | None = None
+    cardinality: AggField | None = None
+    percentiles: Percentiles | None = None
     aggs: dict[str, "Aggregate"] = field(default_factory=dict)
 
 
@@ -205,6 +224,7 @@ def _parse_agg(raw: dict) -> Aggregate:
         a.terms = AggTerms(field=t["field"], size=int(t.get("size", 10)))
     if "date_histogram" in raw:
         d = raw["date_histogram"]
+        eb = d.get("extended_bounds") or {}
         a.date_histogram = DateHistogram(
             field=d["field"],
             # legacy `interval` (the Grafana explore probe,
@@ -212,11 +232,22 @@ def _parse_agg(raw: dict) -> Aggregate:
             fixed_interval=str(d.get("fixed_interval", "") or d.get("interval", "")),
             calendar_interval=str(d.get("calendar_interval", "")),
             buckets=int(d.get("buckets", 0)),
+            min_doc_count=int(d.get("min_doc_count", 1)),
+            extended_bounds_min=(int(eb["min"]) if "min" in eb else None),
+            extended_bounds_max=(int(eb["max"]) if "max" in eb else None),
         )
-    if "avg" in raw:
-        a.avg = AggField(field=raw["avg"]["field"], missing=str(raw["avg"].get("missing", "")))
-    if "max" in raw:
-        a.max = AggField(field=raw["max"]["field"], missing=str(raw["max"].get("missing", "")))
+    for metric in ("avg", "max", "min", "sum", "cardinality"):
+        if metric in raw:
+            setattr(a, metric, AggField(
+                field=raw[metric]["field"],
+                missing=str(raw[metric].get("missing", "")),
+            ))
+    if "percentiles" in raw:
+        p = raw["percentiles"]
+        a.percentiles = Percentiles(
+            field=p["field"],
+            **({"percents": [float(x) for x in p["percents"]]} if p.get("percents") else {}),
+        )
     sub = raw.get("aggregations", raw.get("aggs"))
     if sub:
         a.aggs = {k: _parse_agg(v) for k, v in sub.items()}

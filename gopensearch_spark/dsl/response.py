@@ -61,6 +61,15 @@ def shape_response(index: str, rows, agg_rows: dict, id_col: str, took_ms: int) 
         for label, (kind, rws) in agg_rows.items():
             if kind == "metric":
                 aggs[label] = {"value": _json_safe(rws[0]["value"]) if rws else None}
+            elif kind == "percentiles":
+                if rws:
+                    r0 = rws[0]
+                    aggs[label] = {"values": {
+                        str(float(p)): _json_safe(v)
+                        for p, v in zip(r0["percents"], r0["values"])
+                    }}
+                else:
+                    aggs[label] = {"values": {}}
             else:
                 buckets = []
                 for r in rws:

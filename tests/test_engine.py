@@ -257,3 +257,44 @@ def test_fts_search_expression(engine, oracle_small):
     assert [d for d, _ in got] == [d for d, _ in ref]
     for (_, s1), (_, s2) in zip(got, ref):
         assert math.isclose(s1, s2, rel_tol=1e-9)
+
+
+def test_min_sum_cardinality_metrics(engine, duck):
+    for metric, sql in [
+        ("min", "SELECT min(value) FROM events"),
+        ("sum", "SELECT sum(value) FROM events"),
+        ("cardinality", "SELECT count(DISTINCT event_type) FROM events"),
+    ]:
+        field = "event_type" if metric == "cardinality" else "value"
+        r = engine.search("events", {"size": 0, "aggs": {"m": {metric: {"field": field}}}})
+        exp = duck.execute(sql).fetchone()[0]
+        assert math.isclose(float(r["aggregations"]["m"]["value"]), float(exp), rel_tol=1e-9)
+
+
+def test_percentiles_agg(engine, duck):
+    body = {"size": 0, "aggs": {"p": {"percentiles": {"field": "value", "percents": [50, 95]}}}}
+    r = engine.search("events", body)
+    vals = r["aggregations"]["p"]["values"]
+    q50, q95 = duck.execute(
+        "SELECT quantile_cont(value, 0.5), quantile_cont(value, 0.95) FROM events"
+    ).fetchone()
+    assert math.isclose(vals["50.0"], q50, rel_tol=1e-9)
+    assert math.isclose(vals["95.0"], q95, rel_tol=1e-9)
+
+
+def test_date_histogram_min_doc_count_zero(engine, duck):
+    # bounds wider than the data: zero buckets appear at both edges
+    body = {"size": 0, "aggs": {"h": {"date_histogram": {
+        "field": "ts", "fixed_interval": "1d", "min_doc_count": 0,
+        "extended_bounds": {"min": 1703894400000, "max": 1704412800000},
+    }}}}
+    r = engine.search("events", body)
+    buckets = r["aggregations"]["h"]["buckets"]
+    keys = [b["key"] for b in buckets]
+    assert keys == list(range(1703894400000, 1704412800001, 86400000))
+    assert buckets[0]["doc_count"] == 0  # day before the data starts
+    n_day1 = duck.execute(
+        "SELECT count(*) FROM events WHERE ts >= '2024-01-01' AND ts < '2024-01-02'"
+    ).fetchone()[0]
+    day1 = [b for b in buckets if b["key"] == 1704067200000]
+    assert day1 and day1[0]["doc_count"] == n_day1
