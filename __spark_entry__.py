@@ -423,6 +423,44 @@ def _dedup_embedding_cosine_lsh(spark, sf_dir):
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
+def _dedup_clusters(spark, sf_dir):
+    """Near-dup pairs -> transitive clusters -> per-doc representative
+    assignment (min-label propagation; oracle = recursive-CTE closure)."""
+    from gopensearch_spark.datapipe import assign_dup_clusters, ngram_jaccard_pairs
+
+    docs = _docs(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(docs, n=5, threshold=0.8)
+    return assign_dup_clusters(docs, pairs).select(
+        "doc_id", "cluster_id", "is_representative"
+    )
+
+
+_DEDUP_CLUSTERS_ORACLE = """
+WITH RECURSIVE
+t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh AS (SELECT DISTINCT doc_id, array_to_string(w[j:j+4], ' ') AS s
+       FROM t, unnest(range(1, len(w) - 3)) AS u(j) WHERE len(w) >= 5),
+p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+pairs AS (
+  SELECT id_a, id_b FROM p
+  JOIN sz x ON x.doc_id = id_a JOIN sz y ON y.doc_id = id_b
+  WHERE inter * 1.0 / (x.n + y.n - inter) >= 0.8),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(a, b) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b),
+cc AS (SELECT a AS id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a)
+SELECT d.doc_id,
+       coalesce(cc.cluster_id, d.doc_id) AS cluster_id,
+       d.doc_id = coalesce(cc.cluster_id, d.doc_id) AS is_representative
+FROM documents d LEFT JOIN cc ON cc.id = d.doc_id
+"""
+
+
 def _mm_extract_features(spark, sf_dir):
     """Multimodal plumbing: binary payload -> fake-decoded features via
     Arrow-batched mapInPandas; the oracle checks the deterministic
@@ -463,6 +501,19 @@ def _ann_lsh_topk(spark, sf_dir):
     )
     queries = emb.where(F.col("vec_id") < 3).select(F.col("vec_id").alias("query_id"), "embedding")
     out = ann_lsh_topk(spark, emb, queries, k=5, n_bits=4, n_tables=16)
+    return out.select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"))
+
+
+def _ann_ivf_topk(spark, sf_dir):
+    """IVF-Flat ANN (KMeans cells, n_probe nearest probed); recall < 1
+    by construction -> rows-only driver check."""
+    from gopensearch_spark.datapipe import ivf_topk
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.where(F.col("vec_id") < 3).select(F.col("vec_id").alias("query_id"), "embedding")
+    out = ivf_topk(spark, emb, queries, k=5, n_centroids=8, n_probe=4)
     return out.select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"))
 
 
@@ -564,9 +615,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _dedup_simhash,
         "dedup_embedding_cosine": _dedup_embedding_cosine,
         "dedup_embedding_cosine_lsh": _dedup_embedding_cosine_lsh,
+        "dedup_clusters": _dedup_clusters,
         "mm_extract_features": _mm_extract_features,
         "ann_cosine_topk": _ann_cosine_topk,
         "ann_lsh_topk": _ann_lsh_topk,
+        "ann_ivf_topk": _ann_ivf_topk,
         "qc_token_stats": _qc_token_stats,
         "qc_quality_score": _qc_quality_score,
         "qc_lang_id": _qc_lang_id,
@@ -660,6 +713,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": (
             "SELECT min(doc_id) AS doc_id, count(*) AS dup_count FROM documents GROUP BY text"
         ),
+        "dedup_clusters": _DEDUP_CLUSTERS_ORACLE,
         "dedup_embedding_cosine": """
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine

@@ -1,4 +1,6 @@
 from gopensearch_spark.datapipe.dedup import (  # noqa: F401
+    assign_dup_clusters,
+    connected_components,
     embedding_neardup_pairs,
     exact_dedup,
     minhash_lsh_pairs,
@@ -6,7 +8,7 @@ from gopensearch_spark.datapipe.dedup import (  # noqa: F401
     simhash_pairs,
 )
 from gopensearch_spark.datapipe.multimodal import extract_features, resize_images  # noqa: F401
-from gopensearch_spark.datapipe.similarity import ann_lsh_topk, cosine_topk  # noqa: F401
+from gopensearch_spark.datapipe.similarity import ann_lsh_topk, cosine_topk, ivf_topk  # noqa: F401
 from gopensearch_spark.datapipe.textqc import (  # noqa: F401
     fingerprint,
     lang_id,

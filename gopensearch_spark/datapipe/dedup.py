@@ -324,3 +324,77 @@ def embedding_neardup_pairs(
         pairs.select("id_a", "id_b", cosine_expr(F.col("va"), F.col("vb")).alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(id, cluster_id) for every id in ``pairs`` — cluster_id = the
+    minimum id reachable through the pair graph.
+
+    Min-label propagation: every node starts labeled with itself; each
+    round takes the min over its neighbors' labels; converged when no
+    label changes. Rounds needed = graph diameter (near-dup clusters are
+    shallow — typically 2-4 rounds). Each round is one join + one
+    groupBy, all shuffles keyed by node id; `localCheckpoint` truncates
+    the growing lineage so round N's plan doesn't replay rounds 1..N-1.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
+        "label", F.col("id")
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges["src"] == labels["id"])
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new = (
+            labels.join(nbr, "id", "left")
+            .select("id", F.least("label", F.coalesce("nbr_min", "label")).alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("id", F.col("label").alias("cluster_id"))
+
+
+def assign_dup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Every doc -> (doc_id, cluster_id, is_representative).
+
+    Docs in no near-dup pair are their own singleton cluster; the
+    cluster representative (the doc a dedup pass KEEPS) is the minimum
+    doc_id of the cluster.
+    """
+    cc = connected_components(pairs, id_a=id_a, id_b=id_b)
+    out = (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(cc.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+        )
+    )
+    return out.withColumn("is_representative", F.col("doc_id") == F.col("cluster_id"))

@@ -182,3 +182,45 @@ def test_multimodal_feature_plumbing(spark):
     assert all(r["width"] == 64 and r["height"] == 64 for r in resized)
     with pytest.raises(NotImplementedError):
         extract_features(media, fake=False).count()
+
+
+def test_connected_components_chain_and_singletons(spark):
+    """A 5-node chain (needs several propagation rounds), a 2-cycle, and
+    untouched singletons."""
+    from gopensearch_spark.datapipe import assign_dup_clusters, connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 10), (20, 21)],
+        "id_a long, id_b long",
+    )
+    cc = {r["id"]: r["cluster_id"] for r in connected_components(pairs).collect()}
+    assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+    docs = spark.createDataFrame([(i,) for i in [1, 3, 5, 10, 42]], "doc_id long")
+    out = {r["doc_id"]: (r["cluster_id"], r["is_representative"])
+           for r in assign_dup_clusters(docs, pairs).collect()}
+    assert out == {1: (1, True), 3: (1, False), 5: (1, False),
+                   10: (10, True), 42: (42, True)}
+
+
+def test_ivf_topk_recall_and_shape(spark):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from gopensearch_spark.datapipe import cosine_topk, ivf_topk
+
+    sf = os.path.join(os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata"), "sf0.001")
+    emb = spark.read.parquet(os.path.join(sf, "embeddings.parquet")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    exact = {(r.query_id, r.vec_id) for r in cosine_topk(emb, queries, k=5).collect()}
+    out = ivf_topk(spark, emb, queries, k=5, n_centroids=8, n_probe=4).collect()
+    assert len(out) == 15 and len({r.query_id for r in out}) == 3
+    got = {(r.query_id, r.vec_id) for r in out}
+    assert len(got & exact) / len(exact) >= 0.6  # sane recall at 4/8 probes
+    # probing every cell must recover the exact answer
+    full = {(r.query_id, r.vec_id)
+            for r in ivf_topk(spark, emb, queries, k=5, n_centroids=8, n_probe=8).collect()}
+    assert full == exact

@@ -1,0 +1,61 @@
+"""Structured Streaming incremental ingest: files -> micro-batches ->
+index appends; queries stay rank-identical to an FTS5 oracle over the
+union of everything ingested so far; a second drain after new files
+land indexes ONLY the new files (streaming checkpoint resume)."""
+
+import math
+import os
+
+import pytest
+
+
+def _assert_identical(ours, ref):
+    assert len(ours) == len(ref)
+    for (d1, s1), (d2, s2) in zip(ours, ref):
+        assert d1 == d2 and math.isclose(s1, s2, rel_tol=1e-9, abs_tol=1e-12)
+
+
+def test_streaming_ingest_and_resume(spark, docs_small, tmp_path):
+    from gopensearch_spark.fts5_oracle import Fts5Oracle
+    from gopensearch_spark.search import bm25_match
+    from gopensearch_spark.streaming import index_stream_available_now
+    from gopensearch_spark.webtext import synth_web_pages
+
+    inbox = str(tmp_path / "inbox")
+    idx = str(tmp_path / "idx")
+    cp = str(tmp_path / "cp")
+    os.makedirs(inbox)
+
+    pages = synth_web_pages(spark, docs_small, copies=1).cache()
+    first = pages.where("pmod(xxhash64(url), 2) = 0")
+    second = pages.where("pmod(xxhash64(url), 2) = 1")
+    first.coalesce(1).write.mode("append").parquet(inbox)
+
+    stats1 = index_stream_available_now(spark, inbox, idx, cp)
+    from gopensearch_spark.webtext import prepare_corpus
+
+    corp1 = prepare_corpus(first).select("doc_id", "text").collect()
+    assert stats1["n_docs"] == len(corp1)
+
+    o1 = Fts5Oracle(); o1.load([(int(r.doc_id), r.text) for r in corp1])
+    got = [(int(r.doc_id), float(r.score))
+           for r in bm25_match(spark, idx, ["spark", "join"], k=10, mode="or").collect()]
+    _assert_identical(got, o1.match(["spark", "join"], k=10, mode="or"))
+    o1.close()
+
+    # second wave of files -> only the delta is indexed
+    second.coalesce(1).write.mode("append").parquet(inbox)
+    stats2 = index_stream_available_now(spark, inbox, idx, cp)
+    all_rows = prepare_corpus(pages).select("doc_id", "text").collect()
+    assert stats2["n_docs"] == len(all_rows)
+
+    o2 = Fts5Oracle(); o2.load([(int(r.doc_id), r.text) for r in all_rows])
+    for terms, mode in [(["spark", "join"], "or"), (["data"], "and")]:
+        got = [(int(r.doc_id), float(r.score))
+               for r in bm25_match(spark, idx, terms, k=15, mode=mode).collect()]
+        _assert_identical(got, o2.match(terms, k=15, mode=mode))
+    o2.close()
+    # batch records exist (observability + idempotent replays)
+    recs = os.listdir(os.path.join(idx, "_stream_batches"))
+    assert len(recs) >= 2
+    pages.unpersist()
