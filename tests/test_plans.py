@@ -1,0 +1,50 @@
+"""Physical-plan assertions: the optimizations the engine is designed
+around must actually appear in the executed plan, not just in comments.
+
+- postings/term_stats scans prune to the query terms' term_bucket
+  partitions (PartitionFilters) and push `term IN (...)` into parquet
+  (PushedFilters);
+- the positions column is pruned out of BM25 scans (ReadSchema);
+- term stats join is a broadcast hash join (no shuffle of postings for
+  the join);
+- exactly ONE exchange (the doc_id aggregation) in the scoring plan;
+- top-k compiles to TakeOrderedAndProject, not a global sort.
+"""
+
+import pytest
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def scores_plan(spark, index_small):
+    from gopensearch_spark.search import bm25_scores
+
+    return _plan(bm25_scores(spark, index_small, ["spark", "join"], mode="or"))
+
+
+def test_partition_pruning_and_pushdown(scores_plan):
+    assert "PartitionFilters: [term_bucket" in scores_plan.replace("#", " #").replace("  ", " ") or \
+           "PartitionFilters: [term_bucket" in scores_plan
+    assert "PushedFilters: [In(term" in scores_plan
+
+
+def test_positions_column_pruned(scores_plan):
+    # BM25 never reads position bytes; parquet projection must drop them
+    assert "positions" not in scores_plan
+
+
+def test_broadcast_join_and_single_shuffle(scores_plan):
+    assert "BroadcastHashJoin" in scores_plan
+    # one data exchange (doc_id agg); broadcast exchanges don't shuffle data
+    n_exchanges = scores_plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, scores_plan
+
+
+def test_topk_is_take_ordered(spark, index_small):
+    from gopensearch_spark.search import bm25_match
+
+    plan = _plan(bm25_match(spark, index_small, ["spark", "join"], k=10, mode="or"))
+    assert "TakeOrderedAndProject" in plan
