@@ -101,3 +101,31 @@ def encode_positions_udf(pos: pd.Series) -> pd.Series:
     from gopensearch_spark import codecs
 
     return pos.map(lambda p: codecs.delta_encode(np.asarray(p, dtype=np.uint64)))
+
+
+def tokenize_with_offsets(text: str) -> list[tuple[str, int, int]]:
+    """(folded_token, start_char, end_char) over the ORIGINAL text.
+
+    Runs the token regex on the un-normalized text so offsets index the
+    original string (what FTS5's highlight() spans refer to), folding
+    each run for comparison. Exact for ASCII; for text where NFKD
+    changes run boundaries the offsets are best-effort.
+    """
+    if not text:
+        return []
+    return [(fold(m.group(0)), m.start(), m.end()) for m in _TOKEN_RE.finditer(text)]
+
+
+def normalize_query_terms(query) -> list[str]:
+    """Query string OR list of raw terms -> folded index-form tokens.
+
+    FTS5 analyzes query tokens with the same tokenizer as documents
+    ('café' matches docs containing 'cafe'); a raw list must get the
+    same folding or diacritic queries silently miss.
+    """
+    if isinstance(query, str):
+        return tokenize(query)
+    out: list[str] = []
+    for q in query:
+        out.extend(tokenize(q))
+    return out

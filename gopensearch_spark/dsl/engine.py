@@ -161,8 +161,36 @@ class Engine:
         elif scored is not None:
             hits = hits.orderBy(F.desc("score"), F.asc(spec.id_col))
         size = 10 if d.size is None else d.size
+        if d.from_:
+            hits = hits.offset(d.from_)
         hits = hits.limit(size)
         return hits, aggs_out, d
+
+    def _highlight_leaves(self, d: model.Dsl, spec: IndexSpec) -> list:
+        """Full-text leaves targeting the index's text field, for
+        fetch-phase highlighting (FTS5 highlight() parity)."""
+        from gopensearch_spark.search.highlight import leaves_for_match
+
+        leaves: list = []
+
+        def walk(q: model.Query | None):
+            if q is None:
+                return
+            for f, m in q.match.items():
+                if strip_keyword(f) == spec.text_field:
+                    leaves.extend(leaves_for_match(m.query, "match"))
+            for f, m in q.match_phrase.items():
+                if strip_keyword(f) == spec.text_field:
+                    leaves.extend(leaves_for_match(m.query, "phrase"))
+            for f, t in q.prefix.items():
+                if strip_keyword(f) == spec.text_field:
+                    leaves.extend(leaves_for_match(t.value, "prefix"))
+            if q.bool_:
+                for sub in q.bool_.must + q.bool_.should + q.bool_.filter:
+                    walk(sub)  # must_not excluded: its terms never match
+
+        walk(d.query)
+        return leaves
 
     def search(self, index: str, body: str | dict) -> dict:
         """`POST /{index}/_search` -> ES-shaped response dict."""
@@ -173,13 +201,27 @@ class Engine:
         spec = self.indices[index]
         rows = hits.collect()
         agg_rows = {label: (kind, df.collect()) for label, (kind, df) in aggs_out.items()}
-        return shape_response(
+        resp = shape_response(
             index=index,
             rows=rows,
             agg_rows=agg_rows,
             id_col=spec.id_col,
             took_ms=int((time.time() - t0) * 1000),
         )
+        if d.highlight and spec.text_field and spec.text_field in d.highlight.get("fields", {}):
+            from gopensearch_spark.search.highlight import highlight_text
+
+            fspec = d.highlight["fields"][spec.text_field] or {}
+            pre = (fspec.get("pre_tags") or d.highlight.get("pre_tags") or ["<em>"])[0]
+            post = (fspec.get("post_tags") or d.highlight.get("post_tags") or ["</em>"])[0]
+            leaves = self._highlight_leaves(d, spec)
+            if leaves:
+                for h in resp["hits"]["hits"]:
+                    src = h["_source"].get(spec.text_field)
+                    h["highlight"] = {
+                        spec.text_field: [highlight_text(src, leaves, pre, post)]
+                    }
+        return resp
 
     def fts_search(self, index: str, expr: str, size: int = 10) -> dict:
         """Full FTS5 MATCH-expression search (`a AND (b OR c) NOT d`,

@@ -135,8 +135,10 @@ class Aggregate:
 class Dsl:
     query: Query | None = None
     size: int | None = None  # None -> default 10 at limit time (sql.go:326-332)
+    from_: int = 0  # ES `from` pagination offset (reference has none)
     aggs: dict[str, Aggregate] = field(default_factory=dict)
     sort: list[Sort] = field(default_factory=list)
+    highlight: dict | None = None  # ES highlight spec (fetch-phase)
 
 
 def _parse_match(raw: dict) -> dict[str, Match]:
@@ -262,6 +264,10 @@ def parse_dsl(body: str | dict) -> Dsl:
         d.query = _parse_query(raw["query"])
     if raw.get("size") is not None:
         d.size = int(raw["size"])
+    if raw.get("from") is not None:
+        d.from_ = int(raw["from"])
+    if raw.get("highlight") is not None:
+        d.highlight = raw["highlight"]
     # `aggregations` wins over `aggs` (reference json.go:81-85)
     aggs = raw.get("aggregations") or raw.get("aggs") or {}
     d.aggs = {k: _parse_agg(v) for k, v in aggs.items()}

@@ -85,9 +85,9 @@ def bm25_scores(
 ) -> DataFrame:
     """Unlimited (doc_id, score) for a match query — the scoring relation
     the Engine joins against filters before its own top-k."""
-    from gopensearch_spark.analysis import tokenize
+    from gopensearch_spark.analysis import normalize_query_terms
 
-    terms = sorted(set(tokenize(query) if isinstance(query, str) else query))
+    terms = sorted(set(normalize_query_terms(query)))
     if not terms:
         raise ValueError("empty query after tokenization")
     post, tstats, stats = load_postings_for_terms(spark, index_dir, terms)

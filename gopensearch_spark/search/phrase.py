@@ -91,7 +91,9 @@ def phrase_match(
 
     from gopensearch_spark.search.readers import corpus_stats, index_table
 
-    terms = tokenize(phrase) if isinstance(phrase, str) else list(phrase)
+    from gopensearch_spark.analysis import normalize_query_terms
+
+    terms = normalize_query_terms(phrase)
     if not terms:
         raise ValueError("empty phrase after tokenization")
     stats = corpus_stats(index_dir)

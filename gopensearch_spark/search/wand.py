@@ -153,9 +153,9 @@ def wand_match(
     mode: str = "and",
 ) -> DataFrame:
     """Top-k BM25 match over the compressed block index."""
-    from gopensearch_spark.analysis import tokenize
+    from gopensearch_spark.analysis import normalize_query_terms
 
-    terms = sorted(set(tokenize(query) if isinstance(query, str) else query))
+    terms = sorted(set(normalize_query_terms(query)))
     if not terms:
         raise ValueError("empty query after tokenization")
     from gopensearch_spark.search.readers import corpus_stats, index_table

@@ -298,3 +298,41 @@ def test_date_histogram_min_doc_count_zero(engine, duck):
     ).fetchone()[0]
     day1 = [b for b in buckets if b["key"] == 1704067200000]
     assert day1 and day1[0]["doc_count"] == n_day1
+
+
+def test_from_pagination(engine, duck):
+    body_all = {"sort": [{"value": {"order": "desc"}}, {"event_id": {"order": "asc"}}], "size": 10}
+    body_page = dict(body_all, size=4)
+    body_page["from"] = 3
+    full = [h["_id"] for h in engine.search("events", body_all)["hits"]["hits"]]
+    page = [h["_id"] for h in engine.search("events", body_page)["hits"]["hits"]]
+    assert page == full[3:7]
+
+
+def test_highlight_matches_fts5(engine, oracle_small, docs_small):
+    """Engine highlight output must be byte-identical to FTS5's
+    highlight() for the same query over the same hits."""
+    body = {"query": {"match": {"text": "spark join"}}, "size": 5,
+            "highlight": {"fields": {"text": {"pre_tags": ["["], "post_tags": ["]"]}}}}
+    r = engine.search("docs", body)
+    con = oracle_small.con
+    for h in r["hits"]["hits"]:
+        want = con.execute(
+            "SELECT highlight(t, 0, '[', ']') FROM t WHERE rowid = ? AND t MATCH 'spark OR join'",
+            (int(h["_id"]),),
+        ).fetchone()[0]
+        assert h["highlight"]["text"][0] == want
+
+
+def test_highlight_phrase(engine, oracle_small):
+    body = {"query": {"match_phrase": {"text": "spark join"}}, "size": 5,
+            "highlight": {"fields": {"text": {"pre_tags": ["<b>"], "post_tags": ["</b>"]}}}}
+    r = engine.search("docs", body)
+    con = oracle_small.con
+    assert r["hits"]["hits"]
+    for h in r["hits"]["hits"]:
+        want = con.execute(
+            "SELECT highlight(t, 0, '<b>', '</b>') FROM t WHERE rowid = ? AND t MATCH '\"spark join\"'",
+            (int(h["_id"]),),
+        ).fetchone()[0]
+        assert h["highlight"]["text"][0] == want
