@@ -275,6 +275,25 @@ def _dsl_bool_must_not(spark, sf_dir):
     return hits.select("event_id", "event_type")
 
 
+def _dsl_terms_query(spark, sf_dir):
+    body = {"query": {"terms": {"event_type": ["click", "signup"]}}, "size": 10_000_000}
+    hits, _, _ = _engine(spark, sf_dir).search_df("events", body)
+    return hits.select("event_id", "event_type")
+
+
+def _dsl_exists_query(spark, sf_dir):
+    # 'k' lives only inside the props JSON blob -> dynamic-field path
+    body = {"query": {"exists": {"field": "k"}}, "size": 10_000_000}
+    hits, _, _ = _engine(spark, sf_dir).search_df("events", body)
+    return hits.select("event_id")
+
+
+def _dsl_wildcard_query(spark, sf_dir):
+    body = {"query": {"wildcard": {"event_type": {"value": "s*up"}}}, "size": 10_000_000}
+    hits, _, _ = _engine(spark, sf_dir).search_df("events", body)
+    return hits.select("event_id", "event_type")
+
+
 def _dsl_sort_limit(spark, sf_dir):
     body = {"sort": [{"value": {"order": "desc"}}, {"event_id": {"order": "asc"}}], "size": 10}
     hits, _, _ = _engine(spark, sf_dir).search_df("events", body)
@@ -596,6 +615,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_bool_must_filter": _dsl_bool_must_filter,
         "dsl_bool_should_or": _dsl_bool_should_or,
         "dsl_bool_must_not": _dsl_bool_must_not,
+        "dsl_terms_query": _dsl_terms_query,
+        "dsl_exists_query": _dsl_exists_query,
+        "dsl_wildcard_query": _dsl_wildcard_query,
         "dsl_sort_limit": _dsl_sort_limit,
         "dsl_query_string_glob": _dsl_query_string_glob,
         "dsl_terms_agg": _dsl_terms_agg,
@@ -675,6 +697,15 @@ def oracle_sql() -> dict[str, str]:
         "dsl_bool_must_not": (
             "SELECT event_id, event_type FROM events "
             "WHERE value >= 100 AND event_type NOT IN ('error', 'click')"
+        ),
+        "dsl_terms_query": (
+            "SELECT event_id, event_type FROM events WHERE event_type IN ('click', 'signup')"
+        ),
+        "dsl_exists_query": (
+            "SELECT event_id FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL"
+        ),
+        "dsl_wildcard_query": (
+            "SELECT event_id, event_type FROM events WHERE event_type GLOB 's*up'"
         ),
         "dsl_sort_limit": (
             "SELECT event_id, round(value, 6) AS value FROM events "

@@ -170,8 +170,16 @@ def compile_query(ctx: CompileContext, q: model.Query | None) -> Column:
     if q is None:
         return F.lit(True)  # reference emits WHERE 1=1 (sql.go:65-68)
     preds: list[Column] = []
+    if q.match_all:
+        preds.append(F.lit(True))
     for field, t in q.term.items():
         preds.append(ctx.resolve(field) == F.lit(_literal(t.value)))
+    for field, ts in q.terms.items():
+        preds.append(ctx.resolve(field).isin([_literal(str(v)) for v in ts.values]))
+    if q.exists is not None:
+        preds.append(ctx.resolve(q.exists).isNotNull())
+    for field, t in q.wildcard.items():
+        preds.append(ctx.resolve(field).rlike(glob_to_regex(t.value)))
     for field, m in q.match.items():
         if ctx.fulltext_predicate is not None:
             ft = ctx.fulltext_predicate(strip_keyword(field), m, "match")

@@ -70,8 +70,18 @@ class Bool:
 
 
 @dataclass
+class Terms:
+    values: list
+
+
+@dataclass
 class Query:
     match: dict[str, Match] = field(default_factory=dict)
+    # further ES-correct query forms absent from the reference's DSL
+    terms: dict[str, Terms] = field(default_factory=dict)
+    exists: str | None = None          # {"exists": {"field": f}}
+    wildcard: dict[str, Term] = field(default_factory=dict)
+    match_all: bool = False
     # ES match_phrase / prefix — the reference never parses these, but
     # its FTS5 backend natively answers them ('"a b"' / 'ab*' MATCH
     # expressions); our positional index restores the capability.
@@ -184,6 +194,17 @@ def _parse_query(raw: dict) -> Query:
     q = Query()
     if "match" in raw:
         q.match = _parse_match(raw["match"])
+    if "terms" in raw:
+        q.terms = {k: Terms(values=list(v)) for k, v in raw["terms"].items()}
+    if "exists" in raw:
+        q.exists = str(raw["exists"]["field"])
+    if "wildcard" in raw:
+        q.wildcard = {
+            k: Term(value=str(v.get("value", v) if isinstance(v, dict) else v))
+            for k, v in raw["wildcard"].items()
+        }
+    if "match_all" in raw:
+        q.match_all = True
     if "match_phrase" in raw:
         q.match_phrase = _parse_match(raw["match_phrase"])
     if "prefix" in raw:

@@ -336,3 +336,18 @@ def test_highlight_phrase(engine, oracle_small):
             (int(h["_id"]),),
         ).fetchone()[0]
         assert h["highlight"]["text"][0] == want
+
+
+def test_terms_exists_wildcard_matchall(engine, duck):
+    r = engine.search("events", {"query": {"terms": {"event_type": ["click", "signup"]}}, "size": 100000})
+    n = duck.execute("SELECT count(*) FROM events WHERE event_type IN ('click','signup')").fetchone()[0]
+    assert r["hits"]["total"]["value"] == n > 0
+    r = engine.search("events", {"query": {"exists": {"field": "k"}}, "size": 100000})
+    assert r["hits"]["total"]["value"] == duck.execute("SELECT count(*) FROM events").fetchone()[0]
+    r = engine.search("events", {"query": {"exists": {"field": "no_such_key"}}, "size": 100000})
+    assert r["hits"]["total"]["value"] == 0
+    r = engine.search("events", {"query": {"wildcard": {"event_type": {"value": "s?gnup"}}}, "size": 100000})
+    n = duck.execute("SELECT count(*) FROM events WHERE event_type GLOB 's?gnup'").fetchone()[0]
+    assert r["hits"]["total"]["value"] == n > 0
+    r = engine.search("events", {"query": {"match_all": {}}, "size": 100000})
+    assert r["hits"]["total"]["value"] == duck.execute("SELECT count(*) FROM events").fetchone()[0]
