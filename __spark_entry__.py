@@ -55,6 +55,29 @@ def _index_dir(spark: SparkSession, sf_dir: str) -> str:
 
 
 def _bm25(terms: list[str], mode: str, k: int):
+    """Serving path: block-max document-at-a-time top-k over the
+    COMPRESSED block index (search/wand.py) — block skipping instead of
+    decoding a head term's full posting list at 10^12 docs. Rank/score
+    identity vs the flat path and FTS5 itself is fuzz-pinned
+    (tests/test_rank_identity.py, tests/test_fuzz_rank_identity.py)."""
+
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from gopensearch_spark.search import wand_match
+
+        scores = wand_match(spark, _index_dir(spark, sf_dir), terms, k=k, mode=mode)
+        return (
+            scores.withColumn("score", F.round("score", _ROUND))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .select("doc_id", "score")
+        )
+
+    return q
+
+
+def _bm25_flat(terms: list[str], mode: str, k: int):
+    """Flat-postings path (search/bm25.py): pure Catalyst plan — kept as
+    a first-class query so BENCH compares both executions per round."""
+
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
         from gopensearch_spark.search import bm25_scores
 
@@ -108,7 +131,10 @@ def _engine(spark: SparkSession, sf_dir: str):
         json_col="props",
         id_col="event_id",
     )
-    e.create_index("documents", _docs(spark, sf_dir), id_col="doc_id")
+    e.create_index(
+        "documents", _docs(spark, sf_dir), id_col="doc_id",
+        text_field="text", index_dir=_index_dir(spark, sf_dir),
+    )
     return e
 
 
@@ -392,6 +418,86 @@ def _dsl_subagg(spark, sf_dir):
     return df.select("key", "doc_count", F.round("avg_val", 6).alias("avg_val"))
 
 
+def _dsl_phrase_filter(spark, sf_dir):
+    """match_phrase in scoring context + scoring-exempt filter: routes
+    through the UNORDERED phrase relation (k=None) — the plan has no
+    corpus-wide Sort (pinned in tests/test_engine.py)."""
+    body = {"query": {"bool": {
+        "must": [{"match_phrase": {"text": "spark join"}}],
+        "filter": [{"term": {"lang": "en"}}],
+    }}, "size": 10_000_000}
+    hits, _, _ = _engine(spark, sf_dir).search_df("documents", body)
+    return hits.select("doc_id", F.round("score", _ROUND).alias("score"))
+
+
+def _dsl_prefix_filter(spark, sf_dir):
+    body = {"query": {"bool": {
+        "must": [{"prefix": {"text": {"value": "dat"}}}],
+        "filter": [{"range": {"n_chars": {"gte": 300}}}],
+    }}, "size": 10_000_000}
+    hits, _, _ = _engine(spark, sf_dir).search_df("documents", body)
+    return hits.select("doc_id", F.round("score", _ROUND).alias("score"))
+
+
+def _dsl_must_not_match(spark, sf_dir):
+    """Full-text clause under must_not: all docs NOT containing the term
+    (the marker-predicate routing; an inner-join formulation silently
+    returns zero rows here)."""
+    body = {"query": {"bool": {
+        "must": [{"term": {"lang": "en"}}],
+        "must_not": [{"match": {"text": "data"}}],
+    }}, "size": 10_000_000}
+    hits, _, _ = _engine(spark, sf_dir).search_df("documents", body)
+    return hits.select("doc_id")
+
+
+def _dsl_phrase_filter_oracle(t0: str, t1: str, lang: str) -> str:
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS term,
+         unnest(range(len(string_split(text, ' ')))) AS pos
+  FROM documents
+),
+hits AS (
+  SELECT a.doc_id, count(*) AS tf FROM tok a
+  JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = '{t0}' AND b.term = '{t1}' GROUP BY 1
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+u AS (SELECT count(*) AS df FROM hits)
+SELECT h.doc_id,
+  round((CASE WHEN ln((s.n_docs - u.df + 0.5) / (u.df + 0.5)) > 0
+        THEN ln((s.n_docs - u.df + 0.5) / (u.df + 0.5)) ELSE 1e-6 END)
+   * (h.tf * {K1 + 1.0}) / (h.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl)), {_ROUND}) AS score
+FROM hits h JOIN dl USING (doc_id) CROSS JOIN stats s CROSS JOIN u
+JOIN documents d ON d.doc_id = h.doc_id
+WHERE d.lang = '{lang}'
+"""
+
+
+def _dsl_prefix_filter_oracle(prefix: str, min_chars: int) -> str:
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+hits AS (
+  SELECT doc_id, count(*) AS tf FROM tok WHERE term LIKE '{prefix}%' GROUP BY 1
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+u AS (SELECT count(*) AS df FROM hits)
+SELECT h.doc_id,
+  round((CASE WHEN ln((s.n_docs - u.df + 0.5) / (u.df + 0.5)) > 0
+        THEN ln((s.n_docs - u.df + 0.5) / (u.df + 0.5)) ELSE 1e-6 END)
+   * (h.tf * {K1 + 1.0}) / (h.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl)), {_ROUND}) AS score
+FROM hits h JOIN dl USING (doc_id) CROSS JOIN stats s CROSS JOIN u
+JOIN documents d ON d.doc_id = h.doc_id
+WHERE d.n_chars >= {min_chars}
+"""
+
+
 # --- datapipe ----------------------------------------------------------------
 
 def _dedup_exact(spark, sf_dir):
@@ -404,6 +510,16 @@ def _dedup_ngram_jaccard(spark, sf_dir):
     from gopensearch_spark.datapipe import ngram_jaccard_pairs
 
     out = ngram_jaccard_pairs(_docs(spark, sf_dir), n=5, threshold=0.8)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _dedup_ngram_jaccard_capped(spark, sf_dir):
+    """Zipf-head-safe variant: shingles with df > 50 are pruned before
+    the self-join (boilerplate blowup guard); Jaccard over the KEPT
+    shingle sets, oracle-mirrored with a HAVING df <= cap CTE."""
+    from gopensearch_spark.datapipe import ngram_jaccard_pairs
+
+    out = ngram_jaccard_pairs(_docs(spark, sf_dir), n=5, threshold=0.8, max_shingle_df=50)
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -440,6 +556,64 @@ def _dedup_embedding_cosine_lsh(spark, sf_dir):
     )
     out = embedding_neardup_pairs(emb, threshold=0.4, method="lsh", n_bits=6, n_tables=8)
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+def _dedup_embedding_cosine_lsh_precision(spark, sf_dir):
+    """Precision-1-by-construction check for the LSH path: every pair it
+    returns must ALSO be in the exact all-pairs result (bucketing only
+    prunes candidates; the cosine verify is exact). Spark side = LSH
+    pairs ANTI-JOINed against the exact pairs -> must be EMPTY; the
+    oracle is the empty relation, so the driver's value-hash gate now
+    covers the LSH path's precision, shrinking its rows-only status."""
+    from gopensearch_spark.datapipe import embedding_neardup_pairs
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    lsh = embedding_neardup_pairs(emb, threshold=0.4, method="lsh", n_bits=6, n_tables=8)
+    exact = embedding_neardup_pairs(emb, threshold=0.4, method="exact")
+    r6 = lambda df: df.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    return r6(lsh).join(r6(exact), ["id_a", "id_b", "cosine"], "left_anti")
+
+
+def _ann_topk_valid(method: str):
+    """Value-validity check for approximate ANN: every (query_id, vec_id,
+    cosine) row returned must carry the EXACT cosine of that pair (the
+    approximation may drop neighbors, never fabricate scores). Spark =
+    ANN rows ANTI-JOIN all exact pair-cosines -> empty; oracle = empty."""
+
+    def q(spark, sf_dir):
+        from gopensearch_spark.datapipe import ann_lsh_topk, ivf_topk
+        from gopensearch_spark.datapipe.similarity import cosine_expr
+
+        emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+        queries = emb.where(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        if method == "lsh":
+            out = ann_lsh_topk(spark, emb, queries, k=5, n_bits=4, n_tables=16)
+        else:
+            out = ivf_topk(spark, emb, queries, k=5, n_centroids=8, n_probe=4)
+        out = out.select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"))
+        exact = emb.crossJoin(
+            F.broadcast(queries.select(F.col("query_id"), F.col("embedding").alias("qv")))
+        ).select(
+            "query_id", "vec_id",
+            F.round(cosine_expr(F.col("embedding"), F.col("qv")), 6).alias("cosine"),
+        )
+        return out.join(exact, ["query_id", "vec_id", "cosine"], "left_anti")
+
+    return q
+
+
+_EMPTY_PAIRS_ORACLE = (
+    "SELECT CAST(0 AS BIGINT) AS id_a, CAST(0 AS BIGINT) AS id_b, 0.0 AS cosine WHERE false"
+)
+_EMPTY_ANN_ORACLE = (
+    "SELECT CAST(0 AS BIGINT) AS query_id, CAST(0 AS BIGINT) AS vec_id, 0.0 AS cosine WHERE false"
+)
 
 
 def _dedup_clusters(spark, sf_dir):
@@ -589,23 +763,26 @@ def _sql_q1(spark, sf_dir):
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: build the inverted index over sf0.001 documents and run a
-    BM25 match, returning top-10 hits with their text metadata."""
+    BM25 match through the block-max WAND serving path, returning top-10
+    hits with their text metadata."""
     sf_dir = "/root/testdata/sf0.001"
-    from gopensearch_spark.search import bm25_match
+    from gopensearch_spark.search import wand_match
 
-    top = bm25_match(spark, _index_dir(spark, sf_dir), "spark join", k=10, mode="or")
+    top = wand_match(spark, _index_dir(spark, sf_dir), "spark join", k=10, mode="or")
     docs = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
     return top.join(docs, "doc_id").select("doc_id", F.round("score", _ROUND).alias("score"), "lang", "n_chars")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
-        # full-text BM25 (the FTS5-equivalent core)
+        # full-text BM25 (the FTS5-equivalent core; wand = serving path)
         "bm25_head_term": _bm25(["data"], "or", 10),
         "bm25_tail_term": _bm25(["dup"], "or", 10),
         "bm25_and2": _bm25(["spark", "join"], "and", 10),
         "bm25_or3": _bm25(["merge", "sort", "batch"], "or", 25),
         "bm25_and3_k100": _bm25(["data", "scan", "batch"], "and", 100),
+        "bm25_head_term_flat": _bm25_flat(["data"], "or", 10),
+        "bm25_and2_flat": _bm25_flat(["spark", "join"], "and", 10),
         "bm25_phrase2": _phrase("spark join", 25),
         "bm25_prefix": _prefix("dat", 25),
         "bm25_expr_and_or_not": _match_expr("data AND (scan OR batch) NOT dup", 50),
@@ -630,18 +807,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_percentiles": _dsl_percentiles,
         "dsl_date_histogram_bounds": _dsl_date_histogram_bounds,
         "dsl_subagg": _dsl_subagg,
+        "dsl_phrase_filter": _dsl_phrase_filter,
+        "dsl_prefix_filter": _dsl_prefix_filter,
+        "dsl_must_not_match": _dsl_must_not_match,
         # training-data pipeline operators
         "dedup_exact": _dedup_exact,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
+        "dedup_ngram_jaccard_capped": _dedup_ngram_jaccard_capped,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_simhash": _dedup_simhash,
         "dedup_embedding_cosine": _dedup_embedding_cosine,
         "dedup_embedding_cosine_lsh": _dedup_embedding_cosine_lsh,
+        "dedup_embedding_cosine_lsh_precision": _dedup_embedding_cosine_lsh_precision,
         "dedup_clusters": _dedup_clusters,
         "mm_extract_features": _mm_extract_features,
         "ann_cosine_topk": _ann_cosine_topk,
         "ann_lsh_topk": _ann_lsh_topk,
+        "ann_lsh_topk_valid": _ann_topk_valid("lsh"),
         "ann_ivf_topk": _ann_ivf_topk,
+        "ann_ivf_topk_valid": _ann_topk_valid("ivf"),
         "qc_token_stats": _qc_token_stats,
         "qc_quality_score": _qc_quality_score,
         "qc_lang_id": _qc_lang_id,
@@ -679,6 +863,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_and2": _bm25_oracle(["spark", "join"], "and", 10),
         "bm25_or3": _bm25_oracle(["merge", "sort", "batch"], "or", 25),
         "bm25_and3_k100": _bm25_oracle(["data", "scan", "batch"], "and", 100),
+        "bm25_head_term_flat": _bm25_oracle(["data"], "or", 10),
+        "bm25_and2_flat": _bm25_oracle(["spark", "join"], "and", 10),
         "bm25_phrase2": _phrase_oracle("spark", "join", 25),
         "bm25_prefix": _prefix_oracle("dat", 25),
         "bm25_expr_and_or_not": _match_expr_oracle_and_or_not("data", "scan", "batch", "dup", 50),
@@ -741,6 +927,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type AS key, count(*) AS doc_count, round(avg(value), 6) AS avg_val "
             "FROM events GROUP BY 1 ORDER BY doc_count DESC, key ASC LIMIT 5"
         ),
+        "dsl_phrase_filter": _dsl_phrase_filter_oracle("spark", "join", "en"),
+        "dsl_prefix_filter": _dsl_prefix_filter_oracle("dat", 300),
+        "dsl_must_not_match": (
+            "SELECT doc_id FROM documents WHERE lang = 'en' "
+            "AND NOT list_contains(string_split(text, ' '), 'data')"
+        ),
+        "dedup_embedding_cosine_lsh_precision": _EMPTY_PAIRS_ORACLE,
+        "ann_lsh_topk_valid": _EMPTY_ANN_ORACLE,
+        "ann_ivf_topk_valid": _EMPTY_ANN_ORACLE,
         "dedup_exact": (
             "SELECT min(doc_id) AS doc_id, count(*) AS dup_count FROM documents GROUP BY text"
         ),
@@ -759,6 +954,19 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
 sh AS (SELECT DISTINCT doc_id, array_to_string(w[j:j+4], ' ') AS s
        FROM t, unnest(range(1, len(w) - 3)) AS u(j) WHERE len(w) >= 5),
+pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+          FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)
+SELECT id_a, id_b, round(inter * 1.0 / (x.n + y.n - inter), 6) AS jaccard
+FROM pairs JOIN sz x ON x.doc_id = id_a JOIN sz y ON y.doc_id = id_b
+WHERE inter * 1.0 / (x.n + y.n - inter) >= 0.8
+""",
+        "dedup_ngram_jaccard_capped": """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+sh0 AS (SELECT DISTINCT doc_id, array_to_string(w[j:j+4], ' ') AS s
+        FROM t, unnest(range(1, len(w) - 3)) AS u(j) WHERE len(w) >= 5),
+keep AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 50),
+sh AS (SELECT sh0.* FROM sh0 JOIN keep USING (s)),
 pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
           FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
 sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)

@@ -37,9 +37,14 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 # Headline query subset (keys must exist in __spark_entry__.queries()).
+# bm25_* = block-max WAND serving path; *_flat = the flat-postings
+# Catalyst plan, kept side-by-side so every round's BENCH compares the
+# two executions of the same query.
 BENCH_QUERIES = [
     "bm25_head_term",
+    "bm25_head_term_flat",
     "bm25_and2",
+    "bm25_and2_flat",
     "bm25_or3",
     "dsl_bool_must_filter",
     "dsl_terms_agg",

@@ -19,6 +19,45 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _SEED = 7
+_TOPK_SALT = 64  # fan-out of the partial top-k phase
+
+
+def topk_per_query(scored: DataFrame, k: int, n_salt: int = _TOPK_SALT) -> DataFrame:
+    """Per-query top-k without the single-partition-per-query funnel.
+
+    A bare ``Window.partitionBy(query_id)`` shuffles EVERY scored row
+    into at most #queries partitions — with 3 queries over 10^12 rows
+    that is 3 tasks holding everything. Two phases instead:
+
+    1. partial top-k inside (query_id, salt) groups, salt = a hash of
+       vec_id over ``n_salt`` classes — the full scored relation
+       shuffles into #queries * n_salt partitions (and only the 3
+       narrow columns ride the shuffle, never the vectors);
+    2. final top-k over the surviving <= #queries * n_salt * k rows —
+       a trivially small relation.
+
+    Result is identical to the single window (dedup not needed: each
+    vec_id lands in exactly one salt class).
+    """
+    from pyspark.sql import Window
+
+    order = [F.desc("cosine"), F.asc("vec_id")]
+    salted = scored.withColumn(
+        "__salt", F.pmod(F.xxhash64("vec_id"), F.lit(n_salt)).cast("int")
+    )
+    w1 = Window.partitionBy("query_id", "__salt").orderBy(*order)
+    partial = (
+        salted.withColumn("__rn", F.row_number().over(w1))
+        .where(F.col("__rn") <= k)
+        .drop("__rn", "__salt")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        partial.withColumn("__rn", F.row_number().over(w2))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+        .orderBy("query_id", *order)
+    )
 
 
 def _dot(a, b):
@@ -55,15 +94,7 @@ def cosine_topk(
         F.col(id_col).alias("vec_id"),
         cosine_expr(F.col(vec_col), F.col("qv")).alias("cosine"),
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= k)
-        .drop("rn")
-        .orderBy("query_id", F.desc("cosine"), F.asc("vec_id"))
-    )
+    return topk_per_query(scored, k)
 
 
 def _hyperplanes(dim: int, n_bits: int, n_tables: int) -> np.ndarray:
@@ -121,15 +152,7 @@ def ann_lsh_topk(
         .select("query_id", "vec_id", cosine_expr(F.col("vec_id_v"), F.col("query_id_v")).alias("cosine"))
         .dropDuplicates(["query_id", "vec_id"])
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (
-        cand.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= k)
-        .drop("rn")
-        .orderBy("query_id", F.desc("cosine"), F.asc("vec_id"))
-    )
+    return topk_per_query(cand, k)
 
 
 def ivf_topk(
@@ -142,6 +165,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    train_cap: int = 100_000,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: KMeans-partition the corpus, probe only
     the ``n_probe`` nearest cells per query, exact cosine rerank inside.
@@ -150,8 +174,13 @@ def ivf_topk(
     touches n_probe/n_centroids of the corpus instead of all of it, and
     the cell assignment is a bounded-size broadcast (centroids are
     n_centroids x dim floats on the driver — thousands, not billions).
-    Deterministic: fixed KMeans seed. Recall < 1 by construction, so the
-    driver contract records a rows-only check for this operator.
+    KMeans trains on a seeded SAMPLE capped at ``train_cap`` rows — an
+    iterative fit over the full corpus would re-scan 10^12 vectors per
+    iteration for centroids whose quality saturates at ~1000x the cell
+    count; the full corpus only flows through the one-pass broadcast
+    centroid ASSIGNMENT. Deterministic: fixed KMeans/sample seeds.
+    Recall < 1 by construction, so the driver contract records a
+    rows-only check for this operator.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -161,7 +190,11 @@ def ivf_topk(
         F.col(vec_col).alias("v"),
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
     )
-    model = KMeans(k=n_centroids, seed=7, maxIter=20).fit(feats.select("features"))
+    n = emb.count()  # parquet count(*) is metadata-cheap
+    train = feats.select("features")
+    if n > train_cap:
+        train = train.sample(withReplacement=False, fraction=train_cap / n, seed=_SEED)
+    model = KMeans(k=n_centroids, seed=7, maxIter=20).fit(train)
     assigned = model.transform(feats).select(
         "vec_id", "v", F.col(model.getPredictionCol()).alias("cell")
     )
@@ -186,10 +219,4 @@ def ivf_topk(
     cand = assigned.join(F.broadcast(probes), "cell").select(
         "query_id", "vec_id", cosine_expr(F.col("v"), F.col("qv")).alias("cosine")
     )
-    w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (
-        cand.withColumn("rn", F.row_number().over(w2))
-        .where(F.col("rn") <= k)
-        .drop("rn")
-        .orderBy("query_id", F.desc("cosine"), F.asc("vec_id"))
-    )
+    return topk_per_query(cand, k)

@@ -51,12 +51,28 @@ def fixed_interval_ms(spec: str) -> int:
 
 def date_bucket_expr(ctx: CompileContext, dh: model.DateHistogram) -> Column:
     """Bucket key as epoch-millis long (ES date_histogram key form)."""
+    from gopensearch_spark.dsl.compiler import strip_keyword
+
     col = ctx.resolve(dh.field)
     ftype = ctx.field_type(dh.field)
+    fmt = ctx.date_fields.get(strip_keyword(dh.field))
     is_ts = isinstance(ftype, (T.TimestampType, T.TimestampNTZType))
     if isinstance(ftype, T.TimestampNTZType):
         col = col.cast("timestamp")  # session TZ pinned UTC -> same instant
-    millis = F.unix_millis(col) if is_ts else col.cast("long")
+    if is_ts:
+        millis = F.unix_millis(col)
+    elif fmt in ("epoch_millis", "epoch_second"):
+        # template-mapped date field: raw epoch NUMBER (parquet/JSON
+        # ingest) or write-time RFC3339 string (bulk ingest) — same
+        # duality as compiler._range_bound
+        s = col.cast("string")
+        num = s.try_cast("long")
+        scale = 1000 if fmt == "epoch_second" else 1
+        millis = F.when(num.isNotNull(), num * scale).otherwise(
+            F.unix_millis(F.try_to_timestamp(s))
+        )
+    else:
+        millis = col.cast("long")
     if dh.calendar_interval:
         unit = _CALENDAR_TRUNC.get(dh.calendar_interval)
         if unit is None:
@@ -124,12 +140,12 @@ def compile_agg(ctx: CompileContext, filtered: DataFrame, agg: model.Aggregate) 
         return "metric", filtered.agg(metric.alias("value"))
     if agg.percentiles is not None:
         p = agg.percentiles
-        fracs = ", ".join(str(x / 100.0) for x in p.percents)
-        col = ctx.resolve(p.field).cast("double")
-        # exact percentiles with linear interpolation (ES uses TDigest
+        # exact percentiles with linear interpolation over the RESOLVED
+        # column (handles JSON-mapped and odd-named fields), one code
+        # path regardless of where the field lives (ES uses TDigest
         # approximations; exactness wins for oracle parity)
-        vals = F.expr(f"percentile({p.field}, array({fracs}))") if p.field in ctx.df.columns \
-            else F.percentile_approx(col, [x / 100.0 for x in p.percents], 100000)
+        col = ctx.resolve(p.field).cast("double")
+        vals = F.percentile(col, [x / 100.0 for x in p.percents])
         out = filtered.agg(vals.alias("values"))
         return "percentiles", out.select(
             F.lit([float(x) for x in p.percents]).alias("percents"), "values"

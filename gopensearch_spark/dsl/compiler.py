@@ -124,8 +124,22 @@ def _range_bound(ctx: CompileContext, field: str, value) -> tuple[Column, Column
             lit = F.to_timestamp(F.lit(value))
         return col, lit.cast(ftype)
     if fmt == "epoch_millis" or fmt == "epoch_second":
-        # numeric epoch column compared numerically
-        return col, F.lit(int(value))
+        # the stored value may be a raw epoch NUMBER (parquet/JSON
+        # ingest) or the reference's write-time RFC3339 string
+        # (bulk/single-doc ingest via templateMapDoc); both compare as
+        # timestamps, mirroring the reference's
+        # DATETIME(JSON_EXTRACT(...), 'auto') coercion (sql.go:164-195)
+        def to_ts(c: Column) -> Column:
+            c = c.cast("long")
+            return F.timestamp_seconds(c) if fmt == "epoch_second" else F.timestamp_millis(c)
+
+        s = col.cast("string")
+        col_ts = F.when(s.rlike("^-?[0-9]+$"), to_ts(s)).otherwise(F.to_timestamp(s))
+        if isinstance(value, (int, float)) or (
+            isinstance(value, str) and value.lstrip("-").isdigit()
+        ):
+            return col_ts, to_ts(F.lit(int(value)))
+        return col_ts, F.to_timestamp(F.lit(str(value)))
     return col, F.lit(_literal(value) if isinstance(value, str) else value)
 
 

@@ -18,9 +18,11 @@ scoring-exempt exactly like ES filter context (reference dsl.go:52-54).
 
 from __future__ import annotations
 
+import json
 import re
 import time
 from dataclasses import dataclass, field as dc_field
+from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -37,6 +39,7 @@ class IndexSpec:
     text_field: str | None = None   # full-text column backed by index_dir
     index_dir: str | None = None
     id_col: str = "doc_id"
+    doc_backed: bool = False        # created via bulk/single-doc ingest
 
 
 @dataclass
@@ -57,6 +60,15 @@ class Engine:
         self.indices: dict[str, IndexSpec] = {}
         self.templates: dict[str, Template] = {}
         self.compat_quirks = compat_quirks
+        self._last_cached: DataFrame | None = None  # agg-bearing search cache
+        # document-backed indices (bulk / single-doc ingest): raw JSON
+        # rows buffered driver-side, surfaced as a (doc_id, content)
+        # DataFrame. This is the ES-protocol parity path for modest
+        # payloads (the reference's ingest is likewise a sequential
+        # per-document INSERT loop, reference pkg/server/db.go:14-44);
+        # web-scale ingest goes through the DataFrame / Structured
+        # Streaming builders instead.
+        self._doc_rows: dict[str, list[tuple[int, str]]] = {}
 
     # --- catalog ---------------------------------------------------------
     def create_index(self, name: str, df: DataFrame, **kw) -> None:
@@ -83,12 +95,168 @@ class Engine:
             date_fields=date_fields,
         )
 
+    def get_template(self, name: str) -> dict | None:
+        """`GET /_template/{name}` shape: the retained (date) properties
+        (reference template.go's TemplateMapping serialization)."""
+        t = self.templates.get(name)
+        if t is None:
+            return None
+        return {
+            "index_patterns": t.index_patterns,
+            "properties": {
+                f: {"type": "date", "format": fmt} for f, fmt in t.date_fields.items()
+            },
+        }
+
+    def delete_template(self, name: str) -> bool:
+        """`DELETE /_template/{name}`; True when it existed."""
+        return self.templates.pop(name, None) is not None
+
+    def get_mapping(self, index: str | None = None) -> dict:
+        """`GET /{index}/_mapping` (or all mappings without an index):
+        the template(s) whose pattern matches, keyed by target — the
+        Grafana probe the reference answers from TemplateMappings
+        (reference template.go:181-201 GetMappingDefinitionHandler)."""
+        if index is None:
+            return {name: self.get_template(name) for name in self.templates}
+        for name, t in self.templates.items():
+            if t.matches(index):
+                tpl = self.get_template(name)
+                return {index: tpl}
+        return {}
+
     def _date_fields_for(self, index: str) -> dict[str, str]:
         out: dict[str, str] = {}
         for t in self.templates.values():
             if t.matches(index):
                 out.update(t.date_fields)
         return out
+
+    # --- document ingest (ES protocol parity) ------------------------------
+    @staticmethod
+    def _epoch_to_rfc3339(value, fmt: str):
+        """Write-time date mapping: epoch number -> RFC3339 UTC string,
+        exactly the reference's storage form (pkg/date/dates.go
+        epochMillisInt/epochSecondInt via time.RFC3339, second
+        resolution). Non-numeric values pass through unchanged."""
+        if isinstance(value, bool):
+            return value
+        if isinstance(value, (int, float)):
+            n = int(value)
+        elif isinstance(value, str) and value.lstrip("-").isdigit():
+            n = int(value)
+        else:
+            return value
+        sec = n // 1000 if fmt == "epoch_millis" else n
+        return datetime.fromtimestamp(sec, tz=timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ")
+
+    def _template_map_doc(self, index: str, doc: dict) -> dict:
+        """templateMapDoc analogue (reference pkg/server/db.go:228-253):
+        template-mapped date fields convert at WRITE time."""
+        dates = self._date_fields_for(index)
+        if not dates:
+            return doc
+        out = dict(doc)
+        for fld, fmt in dates.items():
+            if fld in out and out[fld] is not None:
+                out[fld] = self._epoch_to_rfc3339(out[fld], fmt)
+        return out
+
+    def _rebuild_doc_index(self, index: str) -> None:
+        rows = self._doc_rows[index]
+        df = self.spark.createDataFrame(rows, "doc_id long, content string")
+        self.indices[index] = IndexSpec(
+            df=df, json_col="content", id_col="doc_id", doc_backed=True
+        )
+
+    @staticmethod
+    def _rfc3339_to_epoch_ms(s: str):
+        try:
+            return int(
+                datetime.strptime(s, "%Y-%m-%dT%H:%M:%SZ")
+                .replace(tzinfo=timezone.utc)
+                .timestamp()
+                * 1000
+            )
+        except ValueError:
+            return s
+
+    def _unmarshal_source(self, index: str, spec: IndexSpec, resp: dict) -> None:
+        """unMarshalDoc analogue (reference pkg/server/db.go:200-226):
+        doc-backed hits expose the parsed document as _source, with
+        template epoch_millis fields mapped BACK from the stored RFC3339
+        string to epoch millis (reference pkg/date/reverse.go)."""
+        dates = self._date_fields_for(index)
+        for h in resp["hits"]["hits"]:
+            raw = h["_source"].get(spec.json_col)
+            if raw is None:
+                continue
+            doc = json.loads(raw)
+            for fld, fmt in dates.items():
+                if fmt == "epoch_millis" and isinstance(doc.get(fld), str):
+                    doc[fld] = self._rfc3339_to_epoch_ms(doc[fld])
+            h["_source"] = doc
+
+    def index_document(self, index: str, doc: dict | str, _rebuild: bool = True) -> int:
+        """Single-document ingest with implicit index creation (reference
+        pkg/server/db.go:14-44 IndexDocument + CreateTable). Returns the
+        assigned doc_id (the rowid analogue: 1-based insertion order)."""
+        if index in self.indices and index not in self._doc_rows:
+            raise ValueError(
+                f"index {index!r} is DataFrame-backed; append via DataFrames"
+            )
+        d = json.loads(doc) if isinstance(doc, str) else doc
+        d = self._template_map_doc(index, d)
+        rows = self._doc_rows.setdefault(index, [])
+        doc_id = len(rows) + 1
+        rows.append((doc_id, json.dumps(d)))
+        if _rebuild:
+            self._rebuild_doc_index(index)
+        return doc_id
+
+    def bulk(self, ndjson: str | list[str], index: str | None = None) -> dict:
+        """`POST /_bulk` NDJSON action stream (reference
+        pkg/server/server.go:253-364 BulkHandler): alternating
+        action/document lines; only the `index` action is implemented
+        (create/update/delete parsed and skipped like the reference);
+        a per-line ``_index`` overrides the request-level index and
+        STICKS for subsequent lines (reference quirk: the handler
+        reassigns its loop variable); missing indices are created
+        implicitly. Returns the BulkResponse shape the python bulk
+        helper consumes."""
+        lines = ndjson.splitlines() if isinstance(ndjson, str) else list(ndjson)
+        docs = [json.loads(l) for l in lines if l.strip()]
+        items: list[dict] = []
+        touched: set[str] = set()
+        i = 0
+        while i < len(docs):
+            action = docs[i]
+            op = next(iter(action), None)
+            i += 1
+            if op == "index":
+                if i >= len(docs):
+                    break
+                doc = docs[i]
+                i += 1
+                meta = action["index"] or {}
+                if isinstance(meta.get("_index"), str):
+                    index = meta["_index"]
+                doc_id = self.index_document(index, doc, _rebuild=False)
+                touched.add(index)
+                items.append({"index": {
+                    "_index": index,
+                    "_id": str(meta.get("_id", doc_id)),
+                    "_type": "_doc",
+                    "_version": 1,
+                    "result": "created",
+                    "status": 201,
+                }})
+            elif op in ("create", "update"):
+                i += 1  # consume the unimplemented action's doc line
+            # delete (and unknown ops): no doc line, nothing to do
+        for idx in touched:  # one DataFrame rebuild per touched index
+            self._rebuild_doc_index(idx)
+        return {"took": 1, "errors": False, "items": items}
 
     # --- search ----------------------------------------------------------
     def _context(self, index: str) -> tuple[IndexSpec, CompileContext, list]:
@@ -98,8 +266,14 @@ class Engine:
         def fulltext(field: str, m: model.Match, kind: str = "match"):
             if spec.index_dir and field == spec.text_field:
                 mode = "and" if m.operator.upper() == "AND" else "or"
+                i = len(ft_specs)
                 ft_specs.append((kind, m.query, mode))
-                return F.lit(True)  # membership enforced by the scores join
+                # A REAL boolean predicate over a marker column that
+                # search_df left-joins in from the index's scoring
+                # relation. Unlike an inner/anti join, a marker predicate
+                # composes under ANY boolean shape — should-OR, must_not,
+                # arbitrary nesting — with ordinary De Morgan semantics.
+                return F.col(f"__ft_id_{i}").isNotNull()
             return None
 
         ctx = CompileContext(
@@ -116,36 +290,60 @@ class Engine:
         """Compile to DataFrames without collecting: (hits, {label: (kind, df)})."""
         d = model.parse_dsl(body)
         spec, ctx, ft_specs = self._context(index)
-        filtered = spec.df.where(compile_query(ctx, d.query))
+        pred = compile_query(ctx, d.query)  # populates ft_specs via callback
 
-        scored = None
+        scored = ft_specs != []
+        base = spec.df
         if ft_specs:
             from gopensearch_spark.search import bm25_scores, phrase_match, prefix_match
 
-            for kind, q, mode in ft_specs:
+            def relation(kind: str, q: str, mode: str) -> DataFrame:
+                # k=None returns the UNORDERED scoring relation — no
+                # corpus-wide sort; the Engine filters and top-k's itself.
                 if kind == "phrase":
-                    # unlimited matches: reuse phrase_match's relation pre-topk
-                    s = phrase_match(self.spark, spec.index_dir, q, k=2**31 - 1)
-                elif kind == "prefix":
-                    s = prefix_match(self.spark, spec.index_dir, q, k=2**31 - 1)
-                else:
-                    s = bm25_scores(self.spark, spec.index_dir, q, mode=mode)
-                scored = s if scored is None else (
-                    scored.join(s.withColumnRenamed("score", "s2"), "doc_id")
-                    .withColumn("score", F.col("score") + F.col("s2"))
-                    .drop("s2")
+                    return phrase_match(self.spark, spec.index_dir, q, k=None)
+                if kind == "prefix":
+                    return prefix_match(self.spark, spec.index_dir, q, k=None)
+                return bm25_scores(self.spark, spec.index_dir, q, mode=mode)
+
+            # Left-join each clause's (doc_id, score) relation as marker
+            # columns; the compiled predicate decides membership, so a
+            # clause can sit under must/should/must_not alike. Catalyst's
+            # EliminateOuterJoin turns the left join into an inner one
+            # whenever the predicate is null-rejecting (the plain
+            # must-match case), so the common path costs the same as the
+            # old hand-written inner join.
+            for i, (kind, q, mode) in enumerate(ft_specs):
+                rel = relation(kind, q, mode).select(
+                    F.col("doc_id").alias(f"__ft_id_{i}"),
+                    F.col("score").alias(f"__ft_score_{i}"),
                 )
-            scored = scored.withColumnRenamed("doc_id", "__ft_doc_id")
-            filtered = filtered.join(
-                scored, filtered[spec.id_col] == scored["__ft_doc_id"]
-            ).drop("__ft_doc_id")
+                base = base.join(rel, base[spec.id_col] == rel[f"__ft_id_{i}"], "left")
+        filtered = base.where(pred)
+        if ft_specs:
+            # FTS5/ES-style additive score: clauses a doc doesn't match
+            # contribute 0 (e.g. unmatched should branches).
+            score_expr = None
+            for i in range(len(ft_specs)):
+                c = F.coalesce(F.col(f"__ft_score_{i}"), F.lit(0.0))
+                score_expr = c if score_expr is None else score_expr + c
+            filtered = filtered.withColumn("score", score_expr).drop(
+                *[f"__ft_id_{i}" for i in range(len(ft_specs))],
+                *[f"__ft_score_{i}" for i in range(len(ft_specs))],
+            )
 
         # aggs see the filtered relation (reference re-scans per agg,
-        # sql.go:39-58; we cache once instead)
+        # sql.go:39-58; we cache once instead). The previous search's
+        # cache is released here so repeated search_df calls don't leak
+        # a cached DataFrame per query for the session's lifetime.
         aggs_out = {}
+        if self._last_cached is not None:
+            self._last_cached.unpersist()
+            self._last_cached = None
         if d.aggs:
             filtered = filtered.cache()
-            agg_ctx = ctx if scored is None else CompileContext(
+            self._last_cached = filtered
+            agg_ctx = ctx if not scored else CompileContext(
                 df=filtered, json_col=ctx.json_col, date_fields=ctx.date_fields
             )
             aggs_out = compile_aggs(agg_ctx, filtered, d.aggs)
@@ -158,7 +356,7 @@ class Engine:
                     for s in d.sort
                 ]
             )
-        elif scored is not None:
+        elif scored:
             hits = hits.orderBy(F.desc("score"), F.asc(spec.id_col))
         size = 10 if d.size is None else d.size
         if d.from_:
@@ -201,6 +399,9 @@ class Engine:
         spec = self.indices[index]
         rows = hits.collect()
         agg_rows = {label: (kind, df.collect()) for label, (kind, df) in aggs_out.items()}
+        if self._last_cached is not None:  # everything is collected now
+            self._last_cached.unpersist()
+            self._last_cached = None
         resp = shape_response(
             index=index,
             rows=rows,
@@ -208,6 +409,8 @@ class Engine:
             id_col=spec.id_col,
             took_ms=int((time.time() - t0) * 1000),
         )
+        if spec.doc_backed:
+            self._unmarshal_source(index, spec, resp)
         if d.highlight and spec.text_field and spec.text_field in d.highlight.get("fields", {}):
             from gopensearch_spark.search.highlight import highlight_text
 
@@ -218,9 +421,11 @@ class Engine:
             if leaves:
                 for h in resp["hits"]["hits"]:
                     src = h["_source"].get(spec.text_field)
-                    h["highlight"] = {
-                        spec.text_field: [highlight_text(src, leaves, pre, post)]
-                    }
+                    rendered = highlight_text(src, leaves, pre, post)
+                    if rendered is not None:  # ES omits highlight for
+                        h["highlight"] = {     # hits matched via other clauses
+                            spec.text_field: [rendered]
+                        }
         return resp
 
     def fts_search(self, index: str, expr: str, size: int = 10) -> dict:

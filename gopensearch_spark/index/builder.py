@@ -32,7 +32,8 @@ db.go:16-17). Spark-first design:
 - **resumability**: `build_index` processes the corpus in ``slices``
   (doc_id hash classes); each slice commits its output and a checkpoint
   record with lineage + doc/term/byte metrics before the next starts.
-  A re-run skips committed slices (tests/test_checkpoint.py).
+  A re-run skips committed slices (tests/test_webtext.py:92-95;
+  streaming-resume analogue in tests/test_streaming.py).
 """
 
 from __future__ import annotations
@@ -195,8 +196,20 @@ def build_postings(
     build_blocks: bool = True,
     with_positions: bool = False,
     block_codec: str = "varint",
+    batch_id: int | None = None,
 ) -> None:
-    """One build pass over ``docs`` -> postings/, blocks/, doc_stats/."""
+    """One build pass over ``docs`` -> postings/, blocks/, doc_stats/.
+
+    ``batch_id`` (streaming ingest) makes the pass IDEMPOTENT: every
+    table gains a leading ``batch_id`` partition and is written with
+    dynamic partition-overwrite, so a replayed micro-batch (crash after
+    the data write, before the commit record) REPLACES its own
+    partitions instead of appending duplicate postings. It also writes
+    this batch's term-df deltas into ``term_stats/batch_id=N/`` — the
+    batch-scoped groupBy replaces the full-index re-aggregation that
+    made per-batch stats O(index size); readers SUM df across batch
+    runs (a few rows per query term).
+    """
     # Guard against under-partitioned input (e.g. one small parquet file
     # = ONE scan partition): tokenization is the dominant cost and runs
     # in the scan stage, so low input parallelism serializes the whole
@@ -209,22 +222,40 @@ def build_postings(
     flat = _flat_postings(docs, text_col, id_col, with_positions=with_positions).withColumn(
         "term_bucket", F.pmod(F.xxhash64("term"), F.lit(term_buckets)).cast("int")
     )
-    # Materialize flat postings once; both outputs derive from it.
+    if batch_id is not None:
+        flat = flat.withColumn("batch_id", F.lit(int(batch_id)))
+        mode = "overwrite"  # dynamic: replaces only this batch's partitions
+
+    def writer(df):
+        w = df.write.mode(mode)
+        return w.option("partitionOverwriteMode", "dynamic") if batch_id is not None else w
+
+    post_parts = (["batch_id"] if batch_id is not None else []) + ["term_bucket"]
+    # Materialize flat postings once; all outputs derive from it.
     flat.persist()
     try:
         (
-            flat.repartition(term_buckets, "term_bucket")
-            .sortWithinPartitions("term", "doc_id")
-            .write.mode(mode)
-            .partitionBy("term_bucket")
+            writer(
+                flat.repartition(term_buckets, "term_bucket")
+                .sortWithinPartitions("term", "doc_id")
+            )
+            .partitionBy(*post_parts)
             .parquet(os.path.join(out_dir, "postings"))
         )
-        (
-            flat.select("doc_id", "doc_len")
-            .dropDuplicates(["doc_id"])
-            .write.mode(mode)
-            .parquet(os.path.join(out_dir, "doc_stats"))
-        )
+        doc_stats = flat.select(
+            "doc_id", "doc_len", *(["batch_id"] if batch_id is not None else [])
+        ).dropDuplicates(["doc_id"])
+        w = writer(doc_stats)
+        if batch_id is not None:
+            w = w.partitionBy("batch_id")
+        w.parquet(os.path.join(out_dir, "doc_stats"))
+        if batch_id is not None:
+            # batch-scoped term-df deltas (see docstring)
+            (
+                writer(flat.groupBy("batch_id", "term_bucket", "term").agg(F.count("*").alias("df")))
+                .partitionBy(*post_parts)
+                .parquet(os.path.join(out_dir, "term_stats"))
+            )
         if build_blocks:
             # blocks carry no positions — select only what the kernel
             # needs so position bytes never enter the segment shuffle.
@@ -244,9 +275,11 @@ def build_postings(
                 "term_bucket",
                 F.pmod(F.xxhash64("term"), F.lit(term_buckets)).cast("int"),
             )
+            if batch_id is not None:
+                blocks = blocks.withColumn("batch_id", F.lit(int(batch_id)))
             (
-                blocks.write.mode(mode)
-                .partitionBy("term_bucket")
+                writer(blocks)
+                .partitionBy(*post_parts)
                 .parquet(os.path.join(out_dir, "blocks"))
             )
     finally:
@@ -264,7 +297,10 @@ def finalize_stats(
 
     One groupBy over the postings table (the only unavoidable full
     shuffle of the build); df counts are map-side combined by Spark's
-    partial hash aggregation.
+    partial hash aggregation. Streaming ingest does NOT use this —
+    build_postings(batch_id=N) writes batch-scoped term deltas and
+    ``refresh_corpus_stats`` derives N/avgdl from doc_stats, so each
+    micro-batch's stats cost scans only that batch's postings.
     """
     postings = spark.read.parquet(os.path.join(out_dir, "postings"))
     (
@@ -274,6 +310,22 @@ def finalize_stats(
         .partitionBy("term_bucket")
         .parquet(os.path.join(out_dir, "term_stats"))
     )
+    return refresh_corpus_stats(
+        spark, out_dir, term_buckets=term_buckets,
+        with_positions=with_positions, block_codec=block_codec,
+    )
+
+
+def refresh_corpus_stats(
+    spark: SparkSession,
+    out_dir: str,
+    term_buckets: int = DEFAULT_TERM_BUCKETS,
+    with_positions: bool = False,
+    block_codec: str = "varint",
+) -> dict:
+    """N/avgdl/total_tokens from doc_stats (one row per doc, never the
+    postings) -> corpus_stats.json. Idempotent: recomputing after a
+    replayed batch reads the overwritten table, so nothing double-counts."""
     doc_stats = spark.read.parquet(os.path.join(out_dir, "doc_stats"))
     row = doc_stats.agg(
         F.count("*").alias("n_docs"),
@@ -288,8 +340,10 @@ def finalize_stats(
         "with_positions": with_positions,
         "block_codec": block_codec,
     }
-    with open(os.path.join(out_dir, "corpus_stats.json"), "w") as f:
+    tmp = os.path.join(out_dir, "corpus_stats.json.tmp")
+    with open(tmp, "w") as f:
         json.dump(stats, f)
+    os.replace(tmp, os.path.join(out_dir, "corpus_stats.json"))
     return stats
 
 

@@ -69,11 +69,16 @@ def load_postings_for_terms(
     post = index_table(spark, index_dir, "postings").where(
         F.col("term_bucket").isin(buckets) & F.col("term").isin(terms)
     )
-    tstats = (
-        index_table(spark, index_dir, "term_stats")
-        .where(F.col("term_bucket").isin(buckets) & F.col("term").isin(terms))
-        .select("term", "df")
+    tstats = index_table(spark, index_dir, "term_stats").where(
+        F.col("term_bucket").isin(buckets) & F.col("term").isin(terms)
     )
+    # a streaming index holds one df-delta row per micro-batch (it has a
+    # batch_id partition); SUM folds them. Batch builds keep the plain
+    # projection — no extra (tiny) exchange in the pinned serving plan.
+    if "batch_id" in tstats.columns:
+        tstats = tstats.groupBy("term").agg(F.sum("df").alias("df"))
+    else:
+        tstats = tstats.select("term", "df")
     return post, tstats, stats
 
 

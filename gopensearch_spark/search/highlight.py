@@ -84,14 +84,18 @@ def highlight_text(
     leaves: list[tuple],
     open_tag: str = "<b>",
     close_tag: str = "</b>",
-) -> str:
-    """Render ``text`` with every match instance wrapped."""
+) -> str | None:
+    """Render ``text`` with every match instance wrapped.
+
+    Returns ``None`` when no leaf matches (including ``text=None``) so the
+    caller can OMIT the highlight field entirely — Elasticsearch emits no
+    highlight entry for hits whose match came from other clauses."""
     toks = tokenize_with_offsets(text if text is not None else "")
     spans: list[tuple[int, int]] = []
     for leaf in leaves:
         spans.extend(_leaf_spans(toks, leaf))
     if not spans:
-        return text
+        return None
     spans.sort()
     merged = [spans[0]]
     for s, e in spans[1:]:
@@ -115,9 +119,11 @@ def leaves_for_match(query: str, kind: str = "match") -> list[tuple]:
     """ft_specs entry -> highlight leaves (mirrors Engine routing)."""
     from gopensearch_spark.analysis import tokenize
 
+    toks = tokenize(query)
+    if not toks:  # e.g. a prefix value that normalizes to nothing
+        return []
     if kind == "phrase":
-        terms = tokenize(query)
-        return [("phrase", terms)] if len(terms) > 1 else [("term", terms[0])]
+        return [("phrase", toks)] if len(toks) > 1 else [("term", toks[0])]
     if kind == "prefix":
-        return [("prefix", tokenize(query)[0])]
-    return [("term", t) for t in sorted(set(tokenize(query)))]
+        return [("prefix", toks[0])]
+    return [("term", t) for t in sorted(set(toks))]

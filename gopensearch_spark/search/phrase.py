@@ -310,12 +310,14 @@ def near_match(
     # per-unit global df: docs containing the unit anywhere (NEAR-unconstrained)
     # -- terms read it from term_stats; phrases count their own match relation.
     dfs = []
-    tstats = {
-        r["term"]: r["df"]
-        for r in index_table(spark, index_dir, "term_stats")
+    tstats: dict[str, int] = {}
+    for r in (
+        index_table(spark, index_dir, "term_stats")
         .where(F.col("term_bucket").isin(buckets) & F.col("term").isin(all_terms))
+        .select("term", "df")
         .collect()
-    }
+    ):  # a streaming index has one df-delta row per micro-batch: SUM
+        tstats[r["term"]] = tstats.get(r["term"], 0) + r["df"]
     for kind, val in units:
         if kind == "term":
             dfs.append(tstats.get(val, 0))

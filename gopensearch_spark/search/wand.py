@@ -170,7 +170,10 @@ def wand_match(
         .select("term", "df")
         .collect()
     )
-    idfs = {r["term"]: idf(n_docs, r["df"]) for r in tstats}
+    dfs: dict[str, int] = {}
+    for r in tstats:  # a streaming index has one df-delta row per batch
+        dfs[r["term"]] = dfs.get(r["term"], 0) + r["df"]
+    idfs = {t: idf(n_docs, d) for t, d in dfs.items()}
     if mode == "and" and len(idfs) < len(terms):
         return spark.createDataFrame([], "doc_id long, score double")
     present = sorted(idfs)

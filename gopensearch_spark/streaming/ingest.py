@@ -9,12 +9,20 @@ and folded into the inverted index one micro-batch at a time:
         extract text (Arrow UDF) -> build_postings(mode="append")
         + a per-batch checkpoint record (lineage + metrics)
 
-Exactly-once: Spark's streaming checkpoint guarantees each file enters
-exactly one micro-batch; the per-batch `_stream_batches/` records make
-re-runs observable and the postings append idempotent per batch id.
-Global stats (df, N, avgdl) are refreshed by `finalize_stats` after
-each batch (cheap: one groupBy over postings), so queries against the
-index see a consistent snapshot after every micro-batch.
+Exactly-once, by construction not just by checkpoint: every table is
+written under a ``batch_id=N`` partition with DYNAMIC partition
+overwrite, so a batch replayed after a crash (data written, commit
+record not yet) REPLACES its own partitions instead of appending
+duplicates — df/tf/N can never double-count. The per-batch
+`_stream_batches/` records make re-runs observable and let the handler
+skip fully-committed batches without touching Spark.
+
+Stats are incremental: build_postings(batch_id=N) writes the batch's
+term-df DELTAS (a groupBy over only that batch's postings; readers sum
+deltas per query term), and `refresh_corpus_stats` derives N/avgdl from
+doc_stats (one row per doc) — nothing re-aggregates the whole postings
+table per micro-batch, which was O(index size) and the streaming
+scale-killer at 10^12 docs.
 """
 
 from __future__ import annotations
@@ -25,7 +33,7 @@ import time
 
 from pyspark.sql import SparkSession
 
-from gopensearch_spark.index.builder import build_postings, finalize_stats
+from gopensearch_spark.index.builder import build_postings, refresh_corpus_stats
 
 WEB_PAGES_SCHEMA = (
     "url string, warc_ts timestamp, html binary, text string, lang string"
@@ -55,11 +63,11 @@ def _make_batch_handler(
             index_dir,
             term_buckets=term_buckets,
             num_segments=num_segments,
-            mode="append",
             with_positions=with_positions,
             block_codec=block_codec,
+            batch_id=batch_id,  # idempotent per-batch partitions + df deltas
         )
-        stats = finalize_stats(
+        stats = refresh_corpus_stats(
             batch_df.sparkSession, index_dir, term_buckets=term_buckets,
             with_positions=with_positions, block_codec=block_codec,
         )

@@ -1,0 +1,155 @@
+"""ES bulk/template protocol parity, driven by the REFERENCE'S OWN
+fixtures (reference pkg/server/testdata/bulk-1.ndjson +
+span.template.json) and reproducing the hit-count assertions of
+reference pkg/server/sql_test.go:108-229 through the equivalent Python
+API (no HTTP layer — SURVEY.md §2.11)."""
+
+import json
+import os
+
+import pytest
+
+from gopensearch_spark.dsl import Engine
+
+REF_TESTDATA = "/root/reference/pkg/server/testdata"
+
+
+@pytest.fixture(scope="module")
+def loaded(spark):
+    """loadFixtureData analogue (sql_test.go:22-67): PUT every template,
+    then bulk-POST every ndjson fixture."""
+    e = Engine(spark)
+    with open(os.path.join(REF_TESTDATA, "span.template.json")) as f:
+        e.put_template("spantempl", json.load(f))
+    with open(os.path.join(REF_TESTDATA, "bulk-1.ndjson")) as f:
+        resp = e.bulk(f.read())
+    assert resp["errors"] is False
+    return e, resp
+
+
+def test_bulk_response_shape_and_implicit_creation(loaded):
+    e, resp = loaded
+    # 4 index-action docs across 3 implicitly-created indices
+    assert len(resp["items"]) == 4
+    assert all(it["index"]["status"] == 201 for it in resp["items"])
+    assert all(it["index"]["result"] == "created" for it in resp["items"])
+    assert e.list_indices() == [
+        "jaeger-service-2022-11-11",
+        "jaeger-span-2021-11-11",
+        "jaeger-span-2022-11-11",
+    ]
+    assert "green open jaeger-span-2022-11-11" in e.cat_indices()
+
+
+def test_basic_term_search(loaded):
+    # sql_test.go TestBasic: term serviceName=frontend, size 1 -> 1 hit
+    e, _ = loaded
+    r = e.search("jaeger-service-2022-11-11",
+                 {"query": {"term": {"serviceName": "frontend"}}, "size": 1})
+    assert len(r["hits"]["hits"]) == 1
+    assert r["hits"]["hits"][0]["_source"]["serviceName"] == "frontend"
+
+
+def test_bool_must_term(loaded):
+    # sql_test.go TestBool: bool.must term, size 1 -> 1 hit
+    e, _ = loaded
+    r = e.search("jaeger-service-2022-11-11",
+                 {"query": {"bool": {"must": [{"term": {"serviceName": "frontend"}}]}},
+                  "size": 1})
+    assert len(r["hits"]["hits"]) == 1
+
+
+def test_sort_on_missing_fields_zero_hits(loaded):
+    # sql_test.go TestSort: terms on absent fields -> 0 hits
+    e, _ = loaded
+    r = e.search("jaeger-service-2022-11-11", {
+        "query": {"term": {"foo": "bar", "oof": "rab"}},
+        "sort": [{"asdf": {"order": "desc"}}],
+    })
+    assert len(r["hits"]["hits"]) == 0
+
+
+def test_date_histogram_over_bulk_docs(loaded):
+    # sql_test.go TestDateHistogram: one aggregation comes back
+    e, _ = loaded
+    r = e.search("jaeger-span-2022-11-11", {
+        "aggs": {"dates": {"date_histogram": {"field": "startTimeMillis", "buckets": 200}}},
+        "size": 0,
+    })
+    assert len(r["aggregations"]) == 1
+    assert sum(b["doc_count"] for b in r["aggregations"]["dates"]["buckets"]) == 2
+
+
+def test_write_time_date_mapping_round_trip(loaded):
+    """templateMapDoc/unMarshalDoc parity (reference pkg/server/db.go:
+    228-253, 200-226 + pkg/date): startTimeMillis is STORED as the
+    RFC3339 UTC string and mapped back to epoch millis in _source —
+    second-truncated by the round trip, exactly like the reference."""
+    e, _ = loaded
+    stored = {json.loads(c)["startTimeMillis"] for _, c in e._doc_rows["jaeger-span-2022-11-11"]}
+    assert stored == {"2022-11-11T13:31:29Z"}
+    r = e.search("jaeger-span-2022-11-11", {"size": 10})
+    vals = {h["_source"]["startTimeMillis"] for h in r["hits"]["hits"]}
+    assert vals == {1668173489000}  # 1668173489869/840 truncated to second
+    # the service index matches no template -> untouched docs
+    r2 = e.search("jaeger-service-2022-11-11", {"size": 10})
+    assert "startTimeMillis" not in r2["hits"]["hits"][0]["_source"]
+
+
+def test_range_epoch_millis_over_rfc3339_storage(loaded):
+    """range format=epoch_millis against write-time-mapped RFC3339
+    strings — the reference compares via DATETIME(...) (sql.go:164-195)."""
+    e, _ = loaded
+    body = {"query": {"range": {"startTimeMillis": {
+        "gte": 1668173489000, "lte": 1668173490000, "format": "epoch_millis"}}},
+        "size": 100}
+    r = e.search("jaeger-span-2022-11-11", body)
+    assert len(r["hits"]["hits"]) == 2
+    out_of_range = {"query": {"range": {"startTimeMillis": {
+        "gte": 1668173491000, "format": "epoch_millis"}}}, "size": 100}
+    assert len(e.search("jaeger-span-2022-11-11", out_of_range)["hits"]["hits"]) == 0
+
+
+def test_index_sticks_across_action_lines(spark):
+    """Reference quirk (server.go:304-307): a per-line _index override
+    reassigns the handler's index for every LATER line too."""
+    e = Engine(spark)
+    ndjson = "\n".join([
+        '{"index":{"_index":"idx-a"}}', '{"v":1}',
+        '{"index":{}}', '{"v":2}',  # no override -> sticks to idx-a
+        '{"index":{"_index":"idx-b"}}', '{"v":3}',
+    ])
+    e.bulk(ndjson, index="default-idx")
+    assert e.search("idx-a", {"size": 10})["hits"]["total"]["value"] == 2
+    assert e.search("idx-b", {"size": 10})["hits"]["total"]["value"] == 1
+    assert "default-idx" not in e.list_indices()
+
+
+def test_single_document_ingest(spark):
+    e = Engine(spark)
+    e.put_template("t", {"index_patterns": "logs-*",
+                         "properties": {"ts": {"type": "date", "format": "epoch_second"}}})
+    doc_id = e.index_document("logs-2024", {"msg": "hello", "ts": 1700000000})
+    assert doc_id == 1
+    r = e.search("logs-2024", {"query": {"term": {"msg": "hello"}}})
+    assert r["hits"]["total"]["value"] == 1
+    assert r["hits"]["hits"][0]["_source"]["ts"] == "2023-11-14T22:13:20Z"
+
+
+def test_template_read_surface(spark):
+    e = Engine(spark)
+    with open(os.path.join(REF_TESTDATA, "span.template.json")) as f:
+        body = json.load(f)
+    e.put_template("spantempl", body)
+    t = e.get_template("spantempl")
+    assert t["properties"] == {"startTimeMillis": {"type": "date", "format": "epoch_millis"}}
+    assert e.get_template("nope") is None
+    # GET /{index}/_mapping resolves through the pattern match
+    m = e.get_mapping("jaeger-span-2022-11-11")
+    assert m["jaeger-span-2022-11-11"]["properties"]["startTimeMillis"]["format"] == "epoch_millis"
+    assert e.get_mapping("unrelated-index") == {}
+    assert "spantempl" in e.get_mapping()
+    # DELETE /_template/{name}
+    assert e.delete_template("spantempl") is True
+    assert e.delete_template("spantempl") is False
+    assert e.get_mapping("jaeger-span-2022-11-11") == {}

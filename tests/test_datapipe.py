@@ -224,3 +224,108 @@ def test_ivf_topk_recall_and_shape(spark):
     full = {(r.query_id, r.vec_id)
             for r in ivf_topk(spark, emb, queries, k=5, n_centroids=8, n_probe=8).collect()}
     assert full == exact
+
+
+# --- round 2: shingle df cap, vectorized FNV, band-pair simhash, two-phase topk
+
+
+def test_fnv1a_batch_matches_scalar():
+    from gopensearch_spark.datapipe.dedup import _fnv1a, _fnv1a_batch
+
+    strs = ["", "a", "hello world", "naïve café ☕", "x" * 300, "spark join merge"]
+    got = _fnv1a_batch(strs)
+    assert got.dtype == np.uint64
+    assert [int(h) for h in got] == [_fnv1a(s) for s in strs]
+    assert _fnv1a_batch([]).size == 0
+
+
+def test_ngram_jaccard_head_shingle_cap(spark, duck):
+    """A boilerplate sentence planted in 30% of docs must not quadratically
+    blow up the candidate join when max_shingle_df prunes it."""
+    boiler = "all rights reserved contact us for more information today"
+    rows = []
+    for i in range(100):
+        body = f"unique text piece number {i} alpha beta gamma delta {i}"
+        text = f"{body} {boiler}" if i % 3 == 0 else body
+        rows.append((i, text))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = ngram_jaccard_pairs(df, n=5, threshold=0.2, max_shingle_df=10)
+    # boilerplate shingles hit 34 docs > cap -> pruned; distinct bodies
+    # share nothing else at n=5, so no pair survives
+    assert capped.count() == 0
+
+    uncapped = ngram_jaccard_pairs(df, n=5, threshold=0.2)
+    assert uncapped.count() > 100  # the blowup the cap prevents
+
+    # cap ABOVE every shingle df == uncapped result exactly
+    same = ngram_jaccard_pairs(df, n=5, threshold=0.2, max_shingle_df=1000)
+    a = {(r["id_a"], r["id_b"]): round(r["jaccard"], 9) for r in uncapped.collect()}
+    b = {(r["id_a"], r["id_b"]): round(r["jaccard"], 9) for r in same.collect()}
+    assert a == b
+
+    # capped semantics = Jaccard over kept shingles; oracle in DuckDB
+    duck.execute("CREATE OR REPLACE TABLE boiler_docs AS " +
+                 "SELECT * FROM (VALUES " +
+                 ", ".join(f"({i}, '{t}')" for i, t in rows) +
+                 ") AS t(doc_id, text)")
+    exp = duck.execute("""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM boiler_docs),
+        sh0 AS (SELECT DISTINCT doc_id, array_to_string(w[j:j+4], ' ') AS s
+                FROM t, unnest(range(1, len(w) - 3)) AS u(j) WHERE len(w) >= 5),
+        keep AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 10),
+        sh AS (SELECT sh0.* FROM sh0 JOIN keep USING (s)),
+        p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+              FROM sh a JOIN sh b USING (s) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)
+        SELECT count(*) FROM p JOIN sz x ON x.doc_id = id_a JOIN sz y ON y.doc_id = id_b
+        WHERE inter * 1.0 / (x.n + y.n - inter) >= 0.2
+    """).fetchone()[0]
+    assert capped.count() == exp == 0
+
+
+def test_simhash_band_schemes_identical(spark, docs_small):
+    """Pair-band blocking (lower bucket density) returns EXACTLY the rows
+    of the single-band scheme — both have recall 1 for the radius and the
+    exact Hamming verify removes all false candidates."""
+    sub = docs_small.limit(120)
+    a = {(r["id_a"], r["id_b"]): r["hamming"]
+         for r in simhash_pairs(sub, max_hamming=3, n_bands=6, pair_bands=True).collect()}
+    b = {(r["id_a"], r["id_b"]): r["hamming"]
+         for r in simhash_pairs(sub, max_hamming=3, n_bands=4, pair_bands=False).collect()}
+    assert a == b
+
+
+def test_simhash_too_few_bands_raises(docs_small):
+    with pytest.raises(ValueError, match="too few"):
+        simhash_pairs(docs_small, max_hamming=3, n_bands=4, pair_bands=True)
+
+
+def test_topk_per_query_matches_single_window(spark, emb):
+    """Two-phase (salted) top-k == the naive per-query window, exactly."""
+    from pyspark.sql import Window
+    from gopensearch_spark.datapipe.similarity import cosine_expr, topk_per_query
+
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    q = e.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    scored = e.crossJoin(q).select(
+        "query_id", "vec_id", cosine_expr(F.col("embedding"), F.col("qv")).alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    naive = (scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 7)
+             .select("query_id", "vec_id", F.round("cosine", 9).alias("c")))
+    got = topk_per_query(scored, 7, n_salt=8).select(
+        "query_id", "vec_id", F.round("cosine", 9).alias("c"))
+    assert sorted(map(tuple, naive.collect())) == sorted(map(tuple, got.collect()))
+
+
+def test_ivf_sample_fit_still_recalls(spark, emb):
+    """IVF with a tiny train cap (forces the sample path) keeps recall."""
+    from gopensearch_spark.datapipe import cosine_topk, ivf_topk
+
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    q = e.where(F.col("vec_id") < 3).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = {(r["query_id"], r["vec_id"]) for r in cosine_topk(e, q, k=5).collect()}
+    got = {(r["query_id"], r["vec_id"])
+           for r in ivf_topk(spark, e, q, k=5, n_centroids=8, n_probe=6, train_cap=50).collect()}
+    assert len(got & exact) / len(exact) >= 0.6

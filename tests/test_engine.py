@@ -351,3 +351,160 @@ def test_terms_exists_wildcard_matchall(engine, duck):
     assert r["hits"]["total"]["value"] == n > 0
     r = engine.search("events", {"query": {"match_all": {}}, "size": 100000})
     assert r["hits"]["total"]["value"] == duck.execute("SELECT count(*) FROM events").fetchone()[0]
+
+
+# --- must_not with full-text clauses (polarity routing) ----------------------
+
+def test_must_not_fulltext_match(engine, duck):
+    """must_not:[match] on the indexed text field = docs NOT containing
+    the term — previously mis-compiled to an always-false predicate."""
+    body = {"query": {"bool": {"must_not": [{"match": {"text": "data"}}]}}, "size": 100000}
+    r = engine.search("docs", body)
+    n = duck.execute(
+        "SELECT count(*) FROM documents WHERE NOT list_contains(string_split(text, ' '), 'data')"
+    ).fetchone()[0]
+    assert r["hits"]["total"]["value"] == n
+    assert 0 < n < 500  # meaningful exclusion, not all/none
+
+
+def test_must_not_match_phrase(engine, duck):
+    body = {"query": {"bool": {"must_not": [{"match_phrase": {"text": "spark join"}}]}},
+            "size": 100000}
+    r = engine.search("docs", body)
+    n = duck.execute("""
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+                 unnest(range(len(string_split(text, ' ')))) AS pos
+          FROM documents),
+        ph AS (SELECT DISTINCT a.doc_id FROM tok a
+               JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+               WHERE a.term = 'spark' AND b.term = 'join')
+        SELECT count(*) FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM ph)
+    """).fetchone()[0]
+    assert r["hits"]["total"]["value"] == n > 0
+
+
+def test_must_not_fulltext_composes_with_positive_clauses(engine, duck):
+    body = {"query": {"bool": {
+        "must": [{"range": {"n_chars": {"gte": 200}}}],
+        "must_not": [{"match": {"text": "data"}}, {"term": {"lang": "de"}}],
+    }}, "size": 100000}
+    r = engine.search("docs", body)
+    n = duck.execute(
+        "SELECT count(*) FROM documents WHERE n_chars >= 200 "
+        "AND NOT list_contains(string_split(text, ' '), 'data') AND lang <> 'de'"
+    ).fetchone()[0]
+    assert r["hits"]["total"]["value"] == n > 0
+
+
+def test_must_not_fulltext_conjunction(engine, duck):
+    # NOT(ft AND term): marker predicates compose under arbitrary nesting
+    body = {"query": {"bool": {"must_not": [{"bool": {
+        "must": [{"match": {"text": "data"}}],
+        "filter": [{"term": {"lang": "en"}}],
+    }}]}}, "size": 100000}
+    r = engine.search("docs", body)
+    n = duck.execute(
+        "SELECT count(*) FROM documents WHERE NOT "
+        "(list_contains(string_split(text, ' '), 'data') AND lang = 'en')"
+    ).fetchone()[0]
+    assert r["hits"]["total"]["value"] == n > 0
+
+
+def test_should_or_with_fulltext(engine, duck):
+    # ft clause ORed with a term clause: docs matching EITHER must hit
+    # (the old inner-join routing silently required the ft clause)
+    body = {"query": {"bool": {"should": [
+        {"match": {"text": "zzzunseen"}},
+        {"term": {"lang": "en"}},
+    ]}}, "size": 100000}
+    r = engine.search("docs", body)
+    n = duck.execute("SELECT count(*) FROM documents WHERE lang = 'en'").fetchone()[0]
+    assert r["hits"]["total"]["value"] == n > 0
+
+
+def test_double_negation_is_positive_match(engine, duck):
+    body = {"query": {"bool": {"must_not": [{"bool": {"must_not": [
+        {"match": {"text": "data"}}]}}]}}, "size": 100000}
+    r = engine.search("docs", body)
+    n = duck.execute(
+        "SELECT count(*) FROM documents WHERE list_contains(string_split(text, ' '), 'data')"
+    ).fetchone()[0]
+    assert r["hits"]["total"]["value"] == n > 0
+
+
+# --- filter-context phrase/prefix plan shape ---------------------------------
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_phrase_with_filter_no_global_sort(engine, duck):
+    """match_phrase + filter routes through the UNORDERED scoring relation
+    (k=None): no corpus-wide Sort whose order the join then discards."""
+    body = {"query": {"bool": {
+        "must": [{"match_phrase": {"text": "spark join"}}],
+        "filter": [{"term": {"lang": "en"}}],
+    }}, "size": 100000}
+    hits, _, _ = engine.search_df("docs", body)
+    plan = _executed_plan(hits)
+    # final top-k is TakeOrderedAndProject; nothing else may sort
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan, plan
+    r = engine.search("docs", body)
+    n = duck.execute("""
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+                 unnest(range(len(string_split(text, ' ')))) AS pos
+          FROM documents),
+        ph AS (SELECT DISTINCT a.doc_id FROM tok a
+               JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+               WHERE a.term = 'spark' AND b.term = 'join')
+        SELECT count(*) FROM documents JOIN ph USING (doc_id) WHERE lang = 'en'
+    """).fetchone()[0]
+    assert r["hits"]["total"]["value"] == n > 0
+
+
+def test_prefix_with_filter_no_global_sort(engine):
+    body = {"query": {"bool": {
+        "must": [{"prefix": {"text": {"value": "dat"}}}],
+        "filter": [{"range": {"n_chars": {"gte": 100}}}],
+    }}, "size": 10}
+    hits, _, _ = engine.search_df("docs", body)
+    plan = _executed_plan(hits)
+    assert "Sort " not in plan, plan
+
+
+# --- highlight omission -------------------------------------------------------
+
+def test_highlight_omitted_for_nonmatching_hits(engine):
+    from gopensearch_spark.search.highlight import highlight_text, leaves_for_match
+
+    assert highlight_text("no hits here", [("term", "zzz")]) is None
+    assert highlight_text(None, [("term", "zzz")]) is None
+    assert leaves_for_match("", "prefix") == []
+    # engine-level: a hit matched by the term clause but not the match
+    # clause must carry no highlight entry
+    body = {
+        "query": {"bool": {"should": [
+            {"match": {"text": "zzzunseen"}},
+            {"term": {"lang": "en"}},
+        ]}},
+        "size": 5,
+        "highlight": {"fields": {"text": {}}},
+    }
+    r = engine.search("docs", body)
+    assert r["hits"]["hits"], "should-clause must still return hits"
+    assert all("highlight" not in h for h in r["hits"]["hits"])
+
+
+def test_percentiles_on_json_field(engine, duck):
+    # 'k' lives inside the props JSON blob -> resolved via get_json_object
+    body = {"size": 0, "aggs": {"p": {"percentiles": {"field": "k", "percents": [50, 90]}}}}
+    r = engine.search("events", body)
+    exp = duck.execute(
+        "SELECT quantile_cont(CAST(json_extract_string(props, '$.k') AS DOUBLE), [0.5, 0.9]) FROM events"
+    ).fetchone()[0]
+    got = r["aggregations"]["p"]["values"]
+    assert got["50.0"] == pytest.approx(exp[0])
+    assert got["90.0"] == pytest.approx(exp[1])

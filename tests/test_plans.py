@@ -48,3 +48,17 @@ def test_topk_is_take_ordered(spark, index_small):
 
     plan = _plan(bm25_match(spark, index_small, ["spark", "join"], k=10, mode="or"))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_wand_serving_path_reads_blocks_only(spark, index_small):
+    """The entry/serving bm25_* queries route through the compressed
+    block index: the scan must read blocks (never flat postings), with
+    term_bucket pruning + term IN pushdown, ending in a global top-k."""
+    from gopensearch_spark.search import wand_match
+
+    plan = _plan(wand_match(spark, index_small, ["spark", "join"], k=10, mode="or"))
+    assert "/blocks" in plan
+    assert "/postings" not in plan, plan
+    assert "PushedFilters: [In(term" in plan
+    assert "PartitionFilters: [term_bucket" in plan or "term_bucket#" in plan
+    assert "TakeOrderedAndProject" in plan

@@ -59,3 +59,56 @@ def test_streaming_ingest_and_resume(spark, docs_small, tmp_path):
     recs = os.listdir(os.path.join(idx, "_stream_batches"))
     assert len(recs) >= 2
     pages.unpersist()
+
+
+def test_streaming_batches_are_idempotent_and_incremental(spark, docs_small, tmp_path):
+    """Crash-replay safety + incremental stats layout:
+
+    - every table carries batch_id partitions (the idempotency unit);
+    - term_stats holds per-batch DELTAS, not a full re-aggregation;
+    - re-running a batch handler after its commit record was lost
+      (crash between data write and commit) leaves counts UNCHANGED
+      (dynamic partition overwrite replaces, never appends).
+    """
+    import glob
+    import json as _json
+
+    from gopensearch_spark.streaming import index_stream_available_now
+    from gopensearch_spark.streaming.ingest import _batch_ckpt, _make_batch_handler
+    from gopensearch_spark.webtext import synth_web_pages, prepare_corpus
+    from gopensearch_spark.index.builder import read_corpus_stats
+
+    inbox = str(tmp_path / "inbox")
+    idx = str(tmp_path / "idx")
+    cp = str(tmp_path / "cp")
+    os.makedirs(inbox)
+    pages = synth_web_pages(spark, docs_small.limit(60), copies=1).cache()
+    first = pages.where("pmod(xxhash64(url), 2) = 0")
+    second = pages.where("pmod(xxhash64(url), 2) = 1")
+    first.coalesce(1).write.mode("append").parquet(inbox)
+    index_stream_available_now(spark, inbox, idx, cp)
+    second.coalesce(1).write.mode("append").parquet(inbox)
+    index_stream_available_now(spark, inbox, idx, cp)
+
+    # batch_id partition dirs exist on every table (incl. term-df deltas)
+    for table in ["postings", "doc_stats", "term_stats", "blocks"]:
+        parts = {os.path.basename(p) for p in glob.glob(os.path.join(idx, table, "batch_id=*"))}
+        assert {"batch_id=0", "batch_id=1"} <= parts, (table, parts)
+
+    stats_before = read_corpus_stats(idx)
+    postings_before = spark.read.parquet(os.path.join(idx, "postings")).count()
+    tstats_before = spark.read.parquet(os.path.join(idx, "term_stats")).groupBy().sum("df").collect()[0][0]
+
+    # simulate crash-before-commit: drop batch 1's record, replay it
+    os.remove(_batch_ckpt(idx, 1))
+    handler = _make_batch_handler(idx, term_buckets=16, num_segments=8,
+                                  with_positions=False, block_codec="varint")
+    handler(second, 1)
+
+    assert read_corpus_stats(idx)["n_docs"] == stats_before["n_docs"]
+    assert spark.read.parquet(os.path.join(idx, "postings")).count() == postings_before
+    tstats_after = spark.read.parquet(os.path.join(idx, "term_stats")).groupBy().sum("df").collect()[0][0]
+    assert tstats_after == tstats_before
+    with open(_batch_ckpt(idx, 1)) as f:
+        assert _json.load(f)["status"] == "committed"
+    pages.unpersist()
