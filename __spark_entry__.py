@@ -576,6 +576,48 @@ def _dedup_embedding_cosine_lsh_precision(spark, sf_dir):
     return r6(lsh).join(r6(exact), ["id_a", "id_b", "cosine"], "left_anti")
 
 
+def _dedup_minhash_lsh_recall(spark, sf_dir):
+    """Recall-side gate for MinHash-LSH: every pair with TRUE (distinct-
+    shingle) Jaccard >= 0.95 must be in the LSH output at threshold 0.7.
+    With 16 bands x 4 rows, P(bucket miss | j=0.95) = (1-j^4)^16 ~ 4e-12
+    and P(est < 0.7 | j=0.95) is a 9-sigma tail — the anti-join is empty
+    up to probabilities far below any other source of flakiness, making
+    the probabilistic operator value-hash-checkable."""
+    from gopensearch_spark.datapipe import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    docs = _docs(spark, sf_dir)
+    exact = ngram_jaccard_pairs(docs, n=5, threshold=0.95).select("id_a", "id_b")
+    got = minhash_lsh_pairs(
+        docs, num_perm=64, bands=16, shingle_n=5, threshold=0.7
+    ).select("id_a", "id_b")
+    return exact.join(got, ["id_a", "id_b"], "left_anti")
+
+
+def _dedup_simhash_recall(spark, sf_dir):
+    """Recall-1 pigeonhole gate for SimHash band blocking: EVERY pair at
+    exact Hamming <= 3 (brute-force all-pairs over the same signatures)
+    must appear in simhash_pairs' output — guaranteed, not probabilistic,
+    so the anti-join is exactly empty."""
+    from gopensearch_spark.datapipe.dedup import _simhash_udf, simhash_pairs
+
+    docs = _docs(spark, sf_dir)
+    sh = docs.select(F.col("doc_id").alias("id"), _simhash_udf()(F.col("text")).alias("sh"))
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sha"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("shb"))
+    exact = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .where(F.bit_count(F.col("sha").bitwiseXOR(F.col("shb"))) <= 3)
+        .select("id_a", "id_b")
+    )
+    got = simhash_pairs(docs, max_hamming=3).select("id_a", "id_b")
+    return exact.join(got, ["id_a", "id_b"], "left_anti")
+
+
+_EMPTY_IDPAIRS_ORACLE = (
+    "SELECT CAST(0 AS BIGINT) AS id_a, CAST(0 AS BIGINT) AS id_b WHERE false"
+)
+
+
 def _ann_topk_valid(method: str):
     """Value-validity check for approximate ANN: every (query_id, vec_id,
     cosine) row returned must carry the EXACT cosine of that pair (the
@@ -815,7 +857,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "dedup_ngram_jaccard_capped": _dedup_ngram_jaccard_capped,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
+        "dedup_minhash_lsh_recall": _dedup_minhash_lsh_recall,
         "dedup_simhash": _dedup_simhash,
+        "dedup_simhash_recall": _dedup_simhash_recall,
         "dedup_embedding_cosine": _dedup_embedding_cosine,
         "dedup_embedding_cosine_lsh": _dedup_embedding_cosine_lsh,
         "dedup_embedding_cosine_lsh_precision": _dedup_embedding_cosine_lsh_precision,
@@ -934,6 +978,8 @@ def oracle_sql() -> dict[str, str]:
             "AND NOT list_contains(string_split(text, ' '), 'data')"
         ),
         "dedup_embedding_cosine_lsh_precision": _EMPTY_PAIRS_ORACLE,
+        "dedup_minhash_lsh_recall": _EMPTY_IDPAIRS_ORACLE,
+        "dedup_simhash_recall": _EMPTY_IDPAIRS_ORACLE,
         "ann_lsh_topk_valid": _EMPTY_ANN_ORACLE,
         "ann_ivf_topk_valid": _EMPTY_ANN_ORACLE,
         "dedup_exact": (

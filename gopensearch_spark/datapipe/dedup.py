@@ -116,22 +116,47 @@ def _minhash_params(num_perm: int) -> tuple[np.ndarray, np.ndarray]:
 
 def _minhash_signatures_udf(num_perm: int, shingle_n: int):
     a, b = _minhash_params(num_perm)
+    # bound the num_perm x n_shingles hash matrix per vectorized chunk
+    # (~64 MB at num_perm=64): long documents chunk, short ones batch
+    SHINGLE_BUDGET = 1 << 17
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def sig(texts: pd.Series) -> pd.Series:
-        out = []
+        # One vectorized pass over ALL shingles of a doc-chunk at once:
+        # hash matrix H[perm, shingle] then per-doc column-segment min
+        # via np.minimum.reduceat. MinHash is duplicate-insensitive, so
+        # shingles stay a multiset (no per-doc set() in the hot loop).
+        shingles: list[str] = []
+        offsets: list[int] = []
+        docs_in_chunk = 0
+        sigs: list[np.ndarray] = []
+
+        def flush():
+            nonlocal shingles, offsets, docs_in_chunk
+            if not docs_in_chunk:
+                return
+            hv = _fnv1a_batch(shingles)
+            h = (np.outer(a, hv) + b[:, None]) % _MERSENNE
+            mins = np.minimum.reduceat(h, np.asarray(offsets, dtype=np.int64), axis=1)
+            for i in range(docs_in_chunk):
+                sigs.append(mins[:, i].astype(np.int64))
+            shingles, offsets, docs_in_chunk = [], [], 0
+
         for t in texts:
             toks = t.split(" ") if t else []
+            offsets.append(len(shingles))
             if len(toks) < shingle_n:
-                shingles = [" ".join(toks)] if toks else [""]
+                shingles.append(" ".join(toks))
             else:
-                shingles = {" ".join(toks[i : i + shingle_n]) for i in range(len(toks) - shingle_n + 1)}
-            # FNV-1a 64 over shingle bytes, batch-vectorized
-            hv = _fnv1a_batch(list(shingles))
-            # h_i(x) = (a_i * x + b_i) mod M  (universal hashing), min over shingles
-            m = ((np.outer(a, hv) + b[:, None]) % _MERSENNE).min(axis=1)
-            out.append(m.astype(np.int64).tolist())
-        return pd.Series(out)
+                shingles.extend(
+                    " ".join(toks[i : i + shingle_n])
+                    for i in range(len(toks) - shingle_n + 1)
+                )
+            docs_in_chunk += 1
+            if len(shingles) >= SHINGLE_BUDGET:
+                flush()
+        flush()
+        return pd.Series([s.tolist() for s in sigs])
 
     return sig
 
@@ -204,6 +229,10 @@ def minhash_lsh_pairs(
     assert num_perm % bands == 0
     r = num_perm // bands
     sigs = minhash_signatures(df, num_perm, shingle_n, text_col, id_col).cache()
+    # materialize BEFORE the self-join: otherwise the join's two legs
+    # race on the still-empty cache and the signature UDF (the one
+    # Python stage here) runs twice on first action
+    sigs.count()
     banded = sigs.select(
         "id",
         "sig",

@@ -71,15 +71,41 @@ class Engine:
         self._doc_rows: dict[str, list[tuple[int, str]]] = {}
 
     # --- catalog ---------------------------------------------------------
-    def create_index(self, name: str, df: DataFrame, **kw) -> None:
+    def create_index(self, name: str, df: DataFrame | None = None, **kw) -> None:
+        """Register a DataFrame-backed index; with no DataFrame this is
+        `PUT /{index}` (reference server.go:34 CreateIndexHandler → an
+        empty FTS5 table, db.go:46-54): an empty document-backed index
+        that bulk/single-doc ingest can append to."""
+        if df is None:
+            self._doc_rows.setdefault(name, [])
+            self._rebuild_doc_index(name)
+            return
         self.indices[name] = IndexSpec(df=df, **kw)
 
     def list_indices(self) -> list[str]:
         return sorted(self.indices)
 
     def cat_indices(self) -> str:
-        """`GET /_cat/indices` text shape (reference admin.go:52-71)."""
-        return "".join(f"green open {n}\n" for n in self.list_indices())
+        """`GET /_cat/indices` text shape — tab-separated exactly like the
+        reference (admin.go:60-67: "%s\\t%s\\t%s\\n")."""
+        return "".join(f"green\topen\t{n}\n" for n in self.list_indices())
+
+    def cluster_status(self) -> dict:
+        """`GET /` ES-version impersonation (reference admin.go:18-50) —
+        the probe Grafana/clients use to negotiate the API dialect; the
+        advertised version/taglines mirror the reference verbatim."""
+        return {
+            "name": "asdfasdf",
+            "cluster_name": "qwerty",
+            "cluster_uuid": "asdf;ljkasdf",
+            "version": {
+                "number": "7.17",
+                "build_flavor": "default",
+                "minimum_index_compatibility_version": "6.8.0",
+                "minimum_wire_compatibility_version": "6.8.0",
+            },
+            "tagline": "You Go, for search",
+        }
 
     def put_template(self, name: str, body: dict) -> None:
         """Retain only type=date properties (reference template.go:92-97)."""
@@ -286,9 +312,53 @@ class Engine:
         )
         return spec, ctx, ft_specs
 
+    def _pure_match(self, d: model.Dsl, spec: IndexSpec) -> model.Match | None:
+        """The query is EXACTLY one `match` on the indexed text field with
+        no other clause, agg, or sort — the shape the block-max WAND
+        engine serves without materializing the full scoring relation."""
+        q = d.query
+        if q is None or d.aggs or d.sort or not spec.index_dir:
+            return None
+        if (
+            len(q.match) == 1
+            and not (q.term or q.terms or q.wildcard or q.match_phrase or q.prefix)
+            and not (q.range or q.query_string or q.bool_ or q.match_all)
+            and q.exists is None
+        ):
+            ((field, m),) = q.match.items()
+            if strip_keyword(field) == spec.text_field:
+                return m
+        return None
+
     def search_df(self, index: str, body: str | dict) -> tuple[DataFrame, dict, model.Dsl]:
         """Compile to DataFrames without collecting: (hits, {label: (kind, df)})."""
         d = model.parse_dsl(body)
+        spec = self.indices[index]
+
+        m = self._pure_match(d, spec)
+        if m is not None:
+            # serve straight from the compressed block index: block-max
+            # skipping bounds the decode to candidate blocks, and only
+            # top-k ids reach the doc join — at 10^12 docs this never
+            # materializes a head term's full posting list (the general
+            # path below must, because filters need the whole relation).
+            from gopensearch_spark.search import wand_match
+
+            size = 10 if d.size is None else d.size
+            mode = "and" if m.operator.upper() == "AND" else "or"
+            top = wand_match(
+                self.spark, spec.index_dir, m.query,
+                k=size + (d.from_ or 0), mode=mode,
+            ).withColumnRenamed("doc_id", "__ft_doc_id")
+            hits = (
+                spec.df.join(top, spec.df[spec.id_col] == F.col("__ft_doc_id"))
+                .drop("__ft_doc_id")
+                .orderBy(F.desc("score"), F.asc(spec.id_col))
+            )
+            if d.from_:
+                hits = hits.offset(d.from_)
+            return hits.limit(size), {}, d
+
         spec, ctx, ft_specs = self._context(index)
         pred = compile_query(ctx, d.query)  # populates ft_specs via callback
 

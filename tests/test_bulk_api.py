@@ -38,7 +38,7 @@ def test_bulk_response_shape_and_implicit_creation(loaded):
         "jaeger-span-2021-11-11",
         "jaeger-span-2022-11-11",
     ]
-    assert "green open jaeger-span-2022-11-11" in e.cat_indices()
+    assert "green\topen\tjaeger-span-2022-11-11" in e.cat_indices()
 
 
 def test_basic_term_search(loaded):
@@ -153,3 +153,20 @@ def test_template_read_surface(spark):
     assert e.delete_template("spantempl") is True
     assert e.delete_template("spantempl") is False
     assert e.get_mapping("jaeger-span-2022-11-11") == {}
+
+
+def test_cluster_status_impersonation(spark):
+    # GET / — the Grafana/client version probe (reference admin.go:18-50)
+    e = Engine(spark)
+    cs = e.cluster_status()
+    assert cs["version"]["number"] == "7.17"
+    assert cs["tagline"] == "You Go, for search"
+
+
+def test_put_empty_index_then_ingest(spark):
+    # PUT /{index} creates an empty index; bulk/single-doc append to it
+    e = Engine(spark)
+    e.create_index("fresh-idx")
+    assert e.search("fresh-idx", {"size": 10})["hits"]["total"]["value"] == 0
+    e.index_document("fresh-idx", {"a": 1})
+    assert e.search("fresh-idx", {"size": 10})["hits"]["total"]["value"] == 1

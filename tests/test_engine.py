@@ -208,8 +208,8 @@ def test_template_date_mapping(spark):
 
 
 def test_cat_indices(engine):
-    s = engine.cat_indices()
-    assert "green open docs" in s and "green open events" in s
+    s = engine.cat_indices()  # tab-separated like the reference admin.go:60-67
+    assert "green\topen\tdocs" in s and "green\topen\tevents" in s
 
 
 def test_match_phrase_through_engine(engine, oracle_small):
@@ -508,3 +508,20 @@ def test_percentiles_on_json_field(engine, duck):
     got = r["aggregations"]["p"]["values"]
     assert got["50.0"] == pytest.approx(exp[0])
     assert got["90.0"] == pytest.approx(exp[1])
+
+
+def test_pure_match_serves_from_block_index(engine):
+    """A bare match query takes the WAND fast path: the executed plan
+    scans blocks, never flat postings, and nothing but top-k ids reach
+    the doc join."""
+    hits, aggs, _ = engine.search_df(
+        "docs", {"query": {"match": {"text": "spark join"}}, "size": 10})
+    plan = _executed_plan(hits)
+    assert "/blocks" in plan
+    assert "/postings" not in plan, plan
+    assert aggs == {}
+    # a match + filter must NOT take the fast path (needs the relation)
+    hits2, _, _ = engine.search_df(
+        "docs", {"query": {"bool": {"must": [{"match": {"text": "spark"}}],
+                                    "filter": [{"term": {"lang": "en"}}]}}, "size": 5})
+    assert "/postings" in _executed_plan(hits2)
