@@ -433,6 +433,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 50,
+    reliable_checkpoint: bool = False,
 ) -> DataFrame:
     """(id, cluster_id) for every id in ``pairs`` — cluster_id = the
     minimum id reachable through the pair graph.
@@ -441,28 +442,38 @@ def connected_components(
     round takes the min over its neighbors' labels; converged when no
     label changes. Rounds needed = graph diameter (near-dup clusters are
     shallow — typically 2-4 rounds). Each round is one join + one
-    groupBy, all shuffles keyed by node id; `localCheckpoint` truncates
-    the growing lineage so round N's plan doesn't replay rounds 1..N-1.
+    groupBy, all shuffles keyed by node id; checkpointing truncates the
+    growing lineage so round N's plan doesn't replay rounds 1..N-1.
+
+    ``reliable_checkpoint=True`` uses `DataFrame.checkpoint()` (requires
+    `spark.sparkContext.setCheckpointDir(...)` to durable storage) so an
+    executor loss mid-iteration recovers from HDFS/S3 instead of
+    recomputing the whole propagation — the right setting for a
+    many-hour 10^12-edge run; the default `localCheckpoint` (executor
+    memory/disk) is cheaper and fine for interactive scale.
     """
+
+    def ckpt(df: DataFrame) -> DataFrame:
+        return df.checkpoint() if reliable_checkpoint else df.localCheckpoint()
+
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
         .persist()
     )
-    labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
-        "label", F.col("id")
-    ).localCheckpoint()
+    labels = ckpt(
+        edges.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
+    )
     for _ in range(max_iter):
         nbr = (
             edges.join(labels, edges["src"] == labels["id"])
             .groupBy(F.col("dst").alias("id"))
             .agg(F.min("label").alias("nbr_min"))
         )
-        new = (
+        new = ckpt(
             labels.join(nbr, "id", "left")
             .select("id", F.least("label", F.coalesce("nbr_min", "label")).alias("label"))
-            .localCheckpoint()
         )
         changed = (
             new.alias("n")

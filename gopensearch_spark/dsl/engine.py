@@ -332,6 +332,11 @@ class Engine:
 
     def search_df(self, index: str, body: str | dict) -> tuple[DataFrame, dict, model.Dsl]:
         """Compile to DataFrames without collecting: (hits, {label: (kind, df)})."""
+        if "," in index:
+            # `GET /a,b,c/_search` degrades to the FIRST index, exactly
+            # like the reference's route capture (server.go:38: the mux
+            # pattern binds {index} to the first comma segment only)
+            index = index.split(",", 1)[0]
         d = model.parse_dsl(body)
         spec = self.indices[index]
 
@@ -465,6 +470,7 @@ class Engine:
         from gopensearch_spark.dsl.response import shape_response
 
         t0 = time.time()
+        index = index.split(",", 1)[0]  # multi-index degrades (server.go:38)
         hits, aggs_out, d = self.search_df(index, body)
         spec = self.indices[index]
         rows = hits.collect()

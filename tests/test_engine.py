@@ -525,3 +525,39 @@ def test_pure_match_serves_from_block_index(engine):
         "docs", {"query": {"bool": {"must": [{"match": {"text": "spark"}}],
                                     "filter": [{"term": {"lang": "en"}}]}}, "size": 5})
     assert "/postings" in _executed_plan(hits2)
+
+
+def test_two_match_clauses_sum_scores(engine, oracle_small):
+    """Two separate match clauses in one bool.must: each marker-joins its
+    own scoring relation and the hit score is their SUM (additive BM25,
+    matching FTS5's multi-phrase 'a AND b' scoring = 'a b')."""
+    body = {"query": {"bool": {"must": [
+        {"match": {"text": "spark"}},
+        {"match": {"text": "join"}},
+    ]}}, "size": 10}
+    r = engine.search("docs", body)
+    # FTS5 'spark join' (implicit AND) scores sum the per-term contribs
+    ref = oracle_small.match(["spark", "join"], k=10, mode="and")
+    got = [(int(h["_id"]), h["_score"]) for h in r["hits"]["hits"]]
+    assert [d for d, _ in got] == [d for d, _ in ref]
+    for (_, s1), (_, s2) in zip(got, ref):
+        assert math.isclose(s1, s2, rel_tol=1e-9)
+
+
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    from gopensearch_spark.datapipe import connected_components
+
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22)], "id_a long, id_b long")
+    got = {(r["id"], r["cluster_id"])
+           for r in connected_components(pairs, reliable_checkpoint=True).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10),
+                   (20, 20), (21, 20), (22, 20)}
+
+
+def test_multi_index_search_degrades_to_first(engine, duck):
+    # reference route `/a,b,c/_search` binds {index} to the first segment
+    r = engine.search("events,docs,whatever", '{"query": {"term": {"event_type": "error"}}, "size": 10000}')
+    n = duck.execute("SELECT count(*) FROM events WHERE event_type = 'error'").fetchone()[0]
+    assert r["hits"]["total"]["value"] == n
