@@ -38,7 +38,7 @@ def _index_dir(spark: SparkSession, sf_dir: str) -> str:
         return _INDEX_CACHE[sf_dir]
     from gopensearch_spark.index import build_index, read_corpus_stats
 
-    out = os.path.join("/tmp/gopensearch_entry_idx_v2", os.path.basename(os.path.normpath(sf_dir)))
+    out = os.path.join("/tmp/gopensearch_entry_idx_v3", os.path.basename(os.path.normpath(sf_dir)))
     if not os.path.exists(os.path.join(out, "corpus_stats.json")):
         build_index(
             spark,

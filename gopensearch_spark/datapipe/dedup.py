@@ -34,6 +34,9 @@ from pyspark.sql import types as T
 _MERSENNE = (1 << 61) - 1
 _SEED = 42
 
+# the previous minhash_lsh_pairs call's cached signature relation
+_live_sig_caches: list[DataFrame] = []
+
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """One row per distinct text: (doc_id = min id, dup_count)."""
@@ -228,7 +231,12 @@ def minhash_lsh_pairs(
     """
     assert num_perm % bands == 0
     r = num_perm // bands
+    # release the PREVIOUS call's signature cache (one live at a time —
+    # repeated calls must not accumulate cached relations all session)
+    while _live_sig_caches:
+        _live_sig_caches.pop().unpersist()
     sigs = minhash_signatures(df, num_perm, shingle_n, text_col, id_col).cache()
+    _live_sig_caches.append(sigs)
     # materialize BEFORE the self-join: otherwise the join's two legs
     # race on the still-empty cache and the signature UDF (the one
     # Python stage here) runs twice on first action

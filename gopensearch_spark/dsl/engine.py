@@ -387,13 +387,18 @@ class Engine:
             # EliminateOuterJoin turns the left join into an inner one
             # whenever the predicate is null-rejecting (the plain
             # must-match case), so the common path costs the same as the
-            # old hand-written inner join.
-            for i, (kind, q, mode) in enumerate(ft_specs):
-                rel = relation(kind, q, mode).select(
-                    F.col("doc_id").alias(f"__ft_id_{i}"),
-                    F.col("score").alias(f"__ft_score_{i}"),
-                )
-                base = base.join(rel, base[spec.id_col] == rel[f"__ft_id_{i}"], "left")
+            # old hand-written inner join. One query_scope spans all
+            # clauses so a later phrase/prefix relation doesn't release
+            # an earlier one mid-query (released on the NEXT query).
+            from gopensearch_spark.search.phrase import query_scope
+
+            with query_scope():
+                for i, (kind, q, mode) in enumerate(ft_specs):
+                    rel = relation(kind, q, mode).select(
+                        F.col("doc_id").alias(f"__ft_id_{i}"),
+                        F.col("score").alias(f"__ft_score_{i}"),
+                    )
+                    base = base.join(rel, base[spec.id_col] == rel[f"__ft_id_{i}"], "left")
         filtered = base.where(pred)
         if ft_specs:
             # FTS5/ES-style additive score: clauses a doc doesn't match

@@ -310,6 +310,21 @@ def finalize_stats(
         .partitionBy("term_bucket")
         .parquet(os.path.join(out_dir, "term_stats"))
     )
+    # term dictionary: (term, df) RANGE-partitioned and sorted by term.
+    # The hash term_bucket layout cannot prune a PREFIX query; this
+    # small side table can (parquet min/max on sorted runs answers
+    # `term LIKE 'p%'` with file/row-group skipping), and the matching
+    # terms' bucket set then prunes the postings scan — see
+    # search/phrase.prefix_match. Size = distinct terms, O(GB) even at
+    # web scale, rewritten only at finalize/compaction time.
+    (
+        spark.read.parquet(os.path.join(out_dir, "term_stats"))
+        .select("term", "df")
+        .repartitionByRange(8, "term")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "term_dict"))
+    )
     return refresh_corpus_stats(
         spark, out_dir, term_buckets=term_buckets,
         with_positions=with_positions, block_codec=block_codec,

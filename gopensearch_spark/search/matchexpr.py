@@ -218,8 +218,14 @@ def _eval(spark: SparkSession, index_dir: str, node) -> DataFrame:
 
 
 def match_expr_scores(spark: SparkSession, index_dir: str, expr: str) -> DataFrame:
-    """Unlimited (doc_id, score) relation for an FTS5 MATCH expression."""
-    return _eval(spark, index_dir, parse_match_expr(expr))
+    """Unlimited (doc_id, score) relation for an FTS5 MATCH expression.
+
+    Runs inside one phrase.query_scope so every leaf's persisted match
+    relation survives until the NEXT top-level query, then releases."""
+    from gopensearch_spark.search.phrase import query_scope
+
+    with query_scope():
+        return _eval(spark, index_dir, parse_match_expr(expr))
 
 
 def match_expr(

@@ -38,13 +38,47 @@ from gopensearch_spark.search.bm25 import K1, B, idf, term_buckets_for
 
 _EMPTY = "doc_id long, score double"
 
+# Match relations persisted for the CURRENT query only (they serve the
+# unit-df count plus the scoring scan). They are released when the NEXT
+# top-level query begins, so repeated phrase/NEAR/expression searches
+# don't accumulate cached DataFrames for the session's lifetime. A query
+# may hold several persists (NEAR units, multi-leaf expressions), hence
+# the depth-guarded scope: only a depth-0 entry releases. Driver-side
+# query execution is single-threaded (not thread-safe by design).
+_live_persists: list[DataFrame] = []
+_scope_depth = 0
+
+
+from contextlib import contextmanager
+
+
+@contextmanager
+def query_scope():
+    """Top-level query boundary: entering at depth 0 releases the
+    previous query's persisted match relations."""
+    global _scope_depth
+    if _scope_depth == 0:
+        while _live_persists:
+            _live_persists.pop().unpersist()
+    _scope_depth += 1
+    try:
+        yield
+    finally:
+        _scope_depth -= 1
+
+
+def _persist_for_query(df: DataFrame) -> DataFrame:
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _live_persists.append(df)
+    return df
+
 
 def _score_topk(matches: DataFrame, n_docs: int, avgdl: float, k: int | None) -> DataFrame:
     """(doc_id, doc_len, tf) + unit df -> top-k (doc_id, score).
 
     ``k=None`` returns the full unordered scoring relation (the Engine
     joins it against filters before its own top-k — no global sort)."""
-    matches = matches.persist(StorageLevel.MEMORY_AND_DISK)
+    matches = _persist_for_query(matches)
     df_unit = matches.count()
     if df_unit == 0:
         return matches.sparkSession.createDataFrame([], _EMPTY)
@@ -87,6 +121,13 @@ def phrase_match(
     spark: SparkSession, index_dir: str, phrase: str | list[str], k: int | None = 10
 ) -> DataFrame:
     """Top-k BM25 for a quoted phrase (`t MATCH '"a b"'` in FTS5)."""
+    with query_scope():
+        return _phrase_match(spark, index_dir, phrase, k)
+
+
+def _phrase_match(
+    spark: SparkSession, index_dir: str, phrase: str | list[str], k: int | None
+) -> DataFrame:
     from gopensearch_spark.analysis import tokenize
 
     from gopensearch_spark.search.readers import corpus_stats, index_table
@@ -133,6 +174,15 @@ def prefix_match(
     spark: SparkSession, index_dir: str, prefix: str, k: int | None = 10
 ) -> DataFrame:
     """Top-k BM25 for a prefix token (`t MATCH 'ab*'` in FTS5)."""
+    with query_scope():
+        return _prefix_match(spark, index_dir, prefix, k)
+
+
+def _prefix_match(
+    spark: SparkSession, index_dir: str, prefix: str, k: int | None
+) -> DataFrame:
+    import os
+
     from gopensearch_spark.analysis import tokenize
 
     from gopensearch_spark.search.readers import corpus_stats, index_table
@@ -142,9 +192,31 @@ def prefix_match(
         raise ValueError(f"prefix must be a single token, got {toks!r}")
     prefix = toks[0]
     stats = corpus_stats(index_dir)
+    posts = index_table(spark, index_dir, "postings")
+    if os.path.isdir(os.path.join(index_dir, "term_dict")):
+        # resolve the prefix against the SORTED term dictionary first: a
+        # tiny job (parquet min/max skipping answers the startswith over
+        # sorted runs) yielding the <= n_buckets distinct term_buckets
+        # that contain matching terms — so the postings scan below is
+        # partition-pruned exactly like an exact-term query, instead of
+        # reading every bucket (the hash layout's blind spot for
+        # prefixes). Streaming-built indexes have no dict yet and keep
+        # the full-scan fallback.
+        buckets = [
+            r["b"]
+            for r in index_table(spark, index_dir, "term_dict")
+            .where(F.col("term").startswith(prefix))
+            .select(
+                F.pmod(F.xxhash64("term"), F.lit(stats["term_buckets"])).cast("int").alias("b")
+            )
+            .distinct()
+            .collect()
+        ]
+        if not buckets:
+            return spark.createDataFrame([], _EMPTY)
+        posts = posts.where(F.col("term_bucket").isin(sorted(buckets)))
     posts = (
-        index_table(spark, index_dir, "postings")
-        .where(F.col("term").startswith(prefix))
+        posts.where(F.col("term").startswith(prefix))
         .select("doc_id", "doc_len", "tf")
     )
     matches = posts.groupBy("doc_id").agg(
@@ -248,12 +320,26 @@ def near_match(
 ) -> DataFrame:
     """Top-k BM25 for `NEAR(u1 u2 ..., n)` over the positional index.
 
+    (See module-level query_scope: persisted match relations are
+    released when the next top-level query begins.)
+
     ``units``: [("term", str) | ("phrase", [str, ...]), ...]. Scoring is
     FTS5 bm25: each unit contributes idf_unit (df = docs containing the
     unit anywhere) * w(total instances in doc), summed over units, for
     docs satisfying the NEAR constraint — pinned rank-identical in
     tests/test_rank_identity.py.
     """
+    with query_scope():
+        return _near_match(spark, index_dir, units, n, k)
+
+
+def _near_match(
+    spark: SparkSession,
+    index_dir: str,
+    units: list[tuple],
+    n: int,
+    k: int | None,
+) -> DataFrame:
     from gopensearch_spark.search.readers import corpus_stats, index_table
 
     if len(units) < 2:
@@ -306,7 +392,7 @@ def near_match(
             cols = ["doc_id", "doc_len", "near_ok"] + [f"tf{i}" for i in range(n_units)]
             yield pd.DataFrame(rows, columns=cols)
 
-    matches = grouped.mapInPandas(kernel, out_schema).persist(StorageLevel.MEMORY_AND_DISK)
+    matches = _persist_for_query(grouped.mapInPandas(kernel, out_schema))
     # per-unit global df: docs containing the unit anywhere (NEAR-unconstrained)
     # -- terms read it from term_stats; phrases count their own match relation.
     dfs = []

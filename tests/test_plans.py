@@ -62,3 +62,17 @@ def test_wand_serving_path_reads_blocks_only(spark, index_small):
     assert "PushedFilters: [In(term" in plan
     assert "PartitionFilters: [term_bucket" in plan or "term_bucket#" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_prefix_scan_prunes_buckets_via_term_dict(spark, index_small):
+    """Prefix queries resolve against the sorted term dictionary first,
+    so the postings scan is partition-pruned to the matching terms'
+    buckets (the hash layout alone cannot prune a prefix) with the
+    StartsWith pushed to parquet."""
+    from gopensearch_spark.search import prefix_match
+
+    plan = _plan(prefix_match(spark, index_small, "dat", k=10))
+    assert "term_bucket#" in plan.split("PartitionFilters:", 1)[1].split("]", 1)[0], plan
+    assert "StringStartsWith(term,dat)" in plan
+    # unmatched prefix short-circuits to an empty relation, no scan job
+    assert prefix_match(spark, index_small, "zzzzqq", k=5).count() == 0
