@@ -717,6 +717,26 @@ def _mm_extract_features(spark, sf_dir):
     )
 
 
+def _mm_sample_frames(spark, sf_dir):
+    """Video frame-sampling plumbing: per-doc fan-out rows (frame_idx,
+    ts_ms) with a max_frames cap; the oracle reproduces the deterministic
+    fan-out arithmetic and the fixed fake-frame byte size."""
+    from gopensearch_spark.datapipe import sample_frames
+
+    media = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.lit("video").alias("media_type"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit(0).alias("width"), F.lit(0).alias("height"),
+        F.lit(0).alias("sample_rate"),
+        (F.col("n_chars") * 37).cast("int").alias("duration_ms"),
+    )
+    frames = sample_frames(media, every_ms=1000, max_frames=32)
+    return frames.select(
+        "doc_id", "frame_idx", "ts_ms", F.octet_length("frame").alias("frame_bytes")
+    )
+
+
 def _ann_cosine_topk(spark, sf_dir):
     from gopensearch_spark.datapipe import cosine_topk
 
@@ -865,6 +885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine_lsh_precision": _dedup_embedding_cosine_lsh_precision,
         "dedup_clusters": _dedup_clusters,
         "mm_extract_features": _mm_extract_features,
+        "mm_sample_frames": _mm_sample_frames,
         "ann_cosine_topk": _ann_cosine_topk,
         "ann_lsh_topk": _ann_lsh_topk,
         "ann_lsh_topk_valid": _ann_topk_valid("lsh"),
@@ -995,6 +1016,12 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.
         "mm_extract_features": (
             "SELECT doc_id, 'image' AS media_type, 64 AS feat_dim, "
             "octet_length(encode(text)) AS payload_bytes FROM documents"
+        ),
+        "mm_sample_frames": (
+            "WITH m AS (SELECT doc_id, least(32, (n_chars * 37) // 1000 "
+            "+ CASE WHEN n_chars * 37 > 0 THEN 1 ELSE 0 END) AS n FROM documents) "
+            "SELECT doc_id, CAST(u AS INT) AS frame_idx, CAST(u * 1000 AS INT) AS ts_ms, "
+            "32 AS frame_bytes FROM m, unnest(range(m.n)) AS t(u)"
         ),
         "dedup_ngram_jaccard": """
 WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

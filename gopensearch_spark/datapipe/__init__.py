@@ -7,7 +7,11 @@ from gopensearch_spark.datapipe.dedup import (  # noqa: F401
     ngram_jaccard_pairs,
     simhash_pairs,
 )
-from gopensearch_spark.datapipe.multimodal import extract_features, resize_images  # noqa: F401
+from gopensearch_spark.datapipe.multimodal import (  # noqa: F401
+    extract_features,
+    resize_images,
+    sample_frames,
+)
 from gopensearch_spark.datapipe.similarity import ann_lsh_topk, cosine_topk, ivf_topk  # noqa: F401
 from gopensearch_spark.datapipe.textqc import (  # noqa: F401
     fingerprint,

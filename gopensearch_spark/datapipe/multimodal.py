@@ -70,6 +70,46 @@ def extract_features(
     return media.mapInPandas(op, schema=FEATURE_SCHEMA)
 
 
+FRAME_SCHEMA = "doc_id long, frame_idx int, ts_ms int, frame binary"
+
+
+def sample_frames(
+    media: DataFrame, every_ms: int = 1000, max_frames: int = 32, fake: bool = True
+) -> DataFrame:
+    """Video frame sampling: one row per sampled frame at ``every_ms``
+    spacing, capped at ``max_frames`` per document (the cap bounds the
+    fan-out: a 10-hour video cannot explode one input row into 36k
+    output rows mid-pipeline). A real implementation seeks/decodes via
+    ffmpeg per batch; the stub emits deterministic content-derived frame
+    bytes with the REAL row fan-out, schema and timestamps, so the
+    Spark-side shape is exercised end-to-end.
+    """
+    if not fake:
+        raise NotImplementedError("real frame sampling needs ffmpeg; use fake=True")
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, tss, frames = [], [], [], []
+            for doc_id, payload, dur in zip(
+                pdf["doc_id"], pdf["payload"], pdf["duration_ms"]
+            ):
+                dur = int(dur) if dur is not None else 0
+                n = min(max_frames, max(0, dur // every_ms) + (1 if dur > 0 else 0))
+                for i in range(n):
+                    ts = i * every_ms
+                    h = hashlib.sha256((payload or b"") + ts.to_bytes(8, "big")).digest()
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    tss.append(ts)
+                    frames.append(h)
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": pd.Series(idxs, dtype="int32"),
+                 "ts_ms": pd.Series(tss, dtype="int32"), "frame": frames}
+            )
+
+    return media.mapInPandas(op, schema=FRAME_SCHEMA)
+
+
 def resize_images(media: DataFrame, width: int, height: int, fake: bool = True) -> DataFrame:
     """Image resize stub: passthrough payload with updated dims metadata
     (a real implementation decodes/resizes/re-encodes per batch)."""

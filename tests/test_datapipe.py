@@ -329,3 +329,26 @@ def test_ivf_sample_fit_still_recalls(spark, emb):
     got = {(r["query_id"], r["vec_id"])
            for r in ivf_topk(spark, e, q, k=5, n_centroids=8, n_probe=6, train_cap=50).collect()}
     assert len(got & exact) / len(exact) >= 0.6
+
+
+def test_sample_frames_fanout_cap_and_determinism(spark, docs_small):
+    from gopensearch_spark.datapipe import sample_frames
+
+    media = docs_small.limit(50).select(
+        "doc_id", F.lit("video").alias("media_type"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit(0).alias("width"), F.lit(0).alias("height"),
+        F.lit(0).alias("sample_rate"),
+        (F.col("n_chars") * 37).cast("int").alias("duration_ms"))
+    out = sample_frames(media, every_ms=1000, max_frames=8)
+    rows = out.collect()
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+        assert len(r["frame"]) == 32 and r["ts_ms"] == r["frame_idx"] * 1000
+    durs = {r["doc_id"]: r["duration_ms"] for r in media.collect()}
+    for d, frames in per_doc.items():
+        assert len(frames) == min(8, durs[d] // 1000 + 1)
+    # deterministic across runs
+    again = {(r["doc_id"], r["frame_idx"]): bytes(r["frame"]) for r in out.collect()}
+    assert {(r["doc_id"], r["frame_idx"]): bytes(r["frame"]) for r in rows} == again

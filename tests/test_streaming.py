@@ -112,3 +112,32 @@ def test_streaming_batches_are_idempotent_and_incremental(spark, docs_small, tmp
     with open(_batch_ckpt(idx, 1)) as f:
         assert _json.load(f)["status"] == "committed"
     pages.unpersist()
+
+
+def test_wand_over_streaming_index(spark, docs_small, tmp_path):
+    """Block-max WAND over a MULTI-BATCH streaming index: each micro-batch
+    contributes its own (term, seg) block runs with overlapping block_ids;
+    the DAAT kernels must stay rank-identical to FTS5 over the union."""
+    from gopensearch_spark.fts5_oracle import Fts5Oracle
+    from gopensearch_spark.search import wand_match
+    from gopensearch_spark.streaming import index_stream_available_now
+    from gopensearch_spark.webtext import prepare_corpus, synth_web_pages
+
+    inbox = str(tmp_path / "inbox")
+    idx = str(tmp_path / "idx")
+    cp = str(tmp_path / "cp")
+    os.makedirs(inbox)
+    pages = synth_web_pages(spark, docs_small, copies=1).cache()
+    for half in (0, 1):
+        pages.where(f"pmod(xxhash64(url), 2) = {half}").coalesce(1)\
+            .write.mode("append").parquet(inbox)
+        index_stream_available_now(spark, inbox, idx, cp)
+    rows = prepare_corpus(pages).select("doc_id", "text").collect()
+    o = Fts5Oracle(); o.load([(int(r.doc_id), r.text) for r in rows])
+    for terms, mode in [(["data"], "or"), (["spark", "join"], "and"),
+                        (["merge", "sort", "batch"], "or")]:
+        got = [(int(r.doc_id), float(r.score))
+               for r in wand_match(spark, idx, terms, k=15, mode=mode).collect()]
+        _assert_identical(got, o.match(terms, k=15, mode=mode))
+    o.close()
+    pages.unpersist()
