@@ -121,7 +121,17 @@ ORDER BY round(score, {_ROUND}) DESC, doc_id ASC LIMIT {k}
 """
 
 
+_ENGINE_CACHE: dict[tuple[int, str], object] = {}
+
+
 def _engine(spark: SparkSession, sf_dir: str):
+    """One Engine per (session, sf_dir): reusing it lets the engine's
+    agg-cache release-on-next-search actually fire between queries (a
+    fresh Engine per query would strand one cached DataFrame each) and
+    keeps DataFrame handles warm."""
+    key = (id(spark), sf_dir)
+    if key in _ENGINE_CACHE:
+        return _ENGINE_CACHE[key]
     from gopensearch_spark.dsl import Engine
 
     e = Engine(spark)
@@ -135,6 +145,7 @@ def _engine(spark: SparkSession, sf_dir: str):
         "documents", _docs(spark, sf_dir), id_col="doc_id",
         text_field="text", index_dir=_index_dir(spark, sf_dir),
     )
+    _ENGINE_CACHE[key] = e
     return e
 
 

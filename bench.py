@@ -46,6 +46,8 @@ BENCH_QUERIES = [
     "bm25_and2",
     "bm25_and2_flat",
     "bm25_or3",
+    "bm25_phrase2",
+    "bm25_prefix",
     "dsl_bool_must_filter",
     "dsl_terms_agg",
     "dsl_date_histogram",

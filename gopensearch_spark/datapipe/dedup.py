@@ -79,7 +79,9 @@ def ngram_jaccard_pairs(
     Jaccard is then computed over the KEPT shingle sets on both sides of
     the ratio (the documented, oracle-checkable semantic: common-crawl
     dedup pipelines prune boilerplate the same way — recall on pairs whose
-    overlap was ONLY boilerplate is deliberately sacrificed).
+    overlap was ONLY boilerplate is deliberately sacrificed). The prune is
+    a plain anti-join; AQE broadcasts the head set when it is actually
+    small instead of being forced through the driver.
     """
     sh = (
         df.select(F.col(id_col).alias("id"), F.explode(_word_shingles(text_col, n)).alias("s"))
@@ -92,7 +94,11 @@ def ngram_jaccard_pairs(
             .where(F.col("sdf") > max_shingle_df)
             .select("s")
         )
-        sh = sh.join(F.broadcast(heavy), "s", "left_anti")
+        # no broadcast HINT: the head set is usually small (Zipf head)
+        # and AQE will broadcast it then, but at crawl scale the set of
+        # boilerplate shingles can itself be huge — forcing it through
+        # the driver would OOM exactly where the guard matters
+        sh = sh.join(heavy, "s", "left_anti")
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -82,10 +82,12 @@ class CompileContext:
     date_fields: dict[str, str] = dc_field(default_factory=dict)  # field -> format (template analogue)
     quirk_should_is_and: bool = False
     quirk_first_range_only: bool = False
-    # callback(field, clause, kind) -> Column predicate, installed by the
-    # Engine to route full-text `match`/`match_phrase`/`prefix` on
-    # indexed fields to the BM25/phrase engines. kind in
-    # {"match", "phrase", "prefix"}.
+    # callback(field, clause, kind, scoring) -> Column predicate,
+    # installed by the Engine to route full-text `match`/`match_phrase`/
+    # `prefix` on indexed fields to the BM25/phrase engines. kind in
+    # {"match", "phrase", "prefix"}; ``scoring`` is False inside
+    # `bool.filter`/`bool.must_not` (ES filter context: the clause
+    # restricts the hit set but contributes NO score).
     fulltext_predicate: object = None
 
     def resolve(self, field: str) -> Column:
@@ -179,8 +181,14 @@ def _or_all(preds: list[Column]) -> Column:
     return out if out is not None else F.lit(True)
 
 
-def compile_query(ctx: CompileContext, q: model.Query | None) -> Column:
-    """Query tree -> boolean Column (the WHERE side; scoring is separate)."""
+def compile_query(ctx: CompileContext, q: model.Query | None, scoring: bool = True) -> Column:
+    """Query tree -> boolean Column (the WHERE side; scoring is separate).
+
+    ``scoring`` tracks ES scoring context: clauses under `bool.filter` or
+    `bool.must_not` restrict the hit set but are score-exempt — the flag
+    rides through to the Engine's full-text callback so a `match` inside
+    `filter` doesn't add its BM25 contribution to the hit score.
+    """
     if q is None:
         return F.lit(True)  # reference emits WHERE 1=1 (sql.go:65-68)
     preds: list[Column] = []
@@ -196,7 +204,7 @@ def compile_query(ctx: CompileContext, q: model.Query | None) -> Column:
         preds.append(ctx.resolve(field).rlike(glob_to_regex(t.value)))
     for field, m in q.match.items():
         if ctx.fulltext_predicate is not None:
-            ft = ctx.fulltext_predicate(strip_keyword(field), m, "match")
+            ft = ctx.fulltext_predicate(strip_keyword(field), m, "match", scoring)
             if ft is not None:
                 preds.append(ft)
                 continue
@@ -205,7 +213,7 @@ def compile_query(ctx: CompileContext, q: model.Query | None) -> Column:
         preds.append(ctx.resolve(field) == F.lit(_literal(m.query)))
     for field, m in q.match_phrase.items():
         if ctx.fulltext_predicate is not None:
-            ft = ctx.fulltext_predicate(strip_keyword(field), m, "phrase")
+            ft = ctx.fulltext_predicate(strip_keyword(field), m, "phrase", scoring)
             if ft is not None:
                 preds.append(ft)
                 continue
@@ -215,7 +223,7 @@ def compile_query(ctx: CompileContext, q: model.Query | None) -> Column:
     for field, t in q.prefix.items():
         if ctx.fulltext_predicate is not None:
             ft = ctx.fulltext_predicate(
-                strip_keyword(field), model.Match(query=t.value), "prefix"
+                strip_keyword(field), model.Match(query=t.value), "prefix", scoring
             )
             if ft is not None:
                 preds.append(ft)
@@ -234,14 +242,15 @@ def compile_query(ctx: CompileContext, q: model.Query | None) -> Column:
     if q.bool_ is not None:
         b = q.bool_
         for sub in b.must:
-            preds.append(compile_query(ctx, sub))
+            preds.append(compile_query(ctx, sub, scoring))
         for sub in b.filter:  # scoring-exempt, same predicate (dsl.go:52-54)
-            preds.append(compile_query(ctx, sub))
+            preds.append(compile_query(ctx, sub, False))
         if b.should:
-            should = [compile_query(ctx, s) for s in b.should]
+            should = [compile_query(ctx, s, scoring) for s in b.should]
             preds.append(_and_all(should) if ctx.quirk_should_is_and else _or_all(should))
         if b.must_not:
-            preds.append(~_or_all([compile_query(ctx, s) for s in b.must_not]))
+            # must_not is filter context too (excluded docs never score)
+            preds.append(~_or_all([compile_query(ctx, s, False) for s in b.must_not]))
     return _and_all(preds)
 
 

@@ -140,16 +140,25 @@ class Engine:
 
     def get_mapping(self, index: str | None = None) -> dict:
         """`GET /{index}/_mapping` (or all mappings without an index):
-        the template(s) whose pattern matches, keyed by target — the
-        Grafana probe the reference answers from TemplateMappings
-        (reference template.go:181-201 GetMappingDefinitionHandler)."""
+        the Grafana probe the reference answers from TemplateMappings
+        (reference template.go:181-201 GetMappingDefinitionHandler).
+        Divergence, deliberate: the reference returns an ARBITRARY single
+        matching template (Go map iteration order); we merge every
+        matching template's properties, which is exactly what query
+        compilation applies (`_date_fields_for`), so the advertised
+        mapping always agrees with search behavior."""
         if index is None:
             return {name: self.get_template(name) for name in self.templates}
-        for name, t in self.templates.items():
+        props: dict = {}
+        patterns: list[str] = []
+        for name, t in sorted(self.templates.items()):
             if t.matches(index):
                 tpl = self.get_template(name)
-                return {index: tpl}
-        return {}
+                props.update(tpl["properties"])
+                patterns.append(tpl["index_patterns"])
+        if not patterns:
+            return {}
+        return {index: {"index_patterns": ",".join(patterns), "properties": props}}
 
     def _date_fields_for(self, index: str) -> dict[str, str]:
         out: dict[str, str] = {}
@@ -267,6 +276,11 @@ class Engine:
                 meta = action["index"] or {}
                 if isinstance(meta.get("_index"), str):
                     index = meta["_index"]
+                if index is None:
+                    raise ValueError(
+                        "bulk index action needs an _index (no request-level "
+                        "index was given)"
+                    )
                 doc_id = self.index_document(index, doc, _rebuild=False)
                 touched.add(index)
                 items.append({"index": {
@@ -287,13 +301,13 @@ class Engine:
     # --- search ----------------------------------------------------------
     def _context(self, index: str) -> tuple[IndexSpec, CompileContext, list]:
         spec = self.indices[index]
-        ft_specs: list[tuple[str, str, str]] = []  # (kind, query, mode)
+        ft_specs: list[tuple[str, str, str, bool]] = []  # (kind, query, mode, scoring)
 
-        def fulltext(field: str, m: model.Match, kind: str = "match"):
+        def fulltext(field: str, m: model.Match, kind: str = "match", scoring: bool = True):
             if spec.index_dir and field == spec.text_field:
                 mode = "and" if m.operator.upper() == "AND" else "or"
                 i = len(ft_specs)
-                ft_specs.append((kind, m.query, mode))
+                ft_specs.append((kind, m.query, mode, scoring))
                 # A REAL boolean predicate over a marker column that
                 # search_df left-joins in from the index's scoring
                 # relation. Unlike an inner/anti join, a marker predicate
@@ -337,6 +351,11 @@ class Engine:
             # like the reference's route capture (server.go:38: the mux
             # pattern binds {index} to the first comma segment only)
             index = index.split(",", 1)[0]
+        # release the previous search's agg cache FIRST — every exit path
+        # (including the pure-match fast path below) must not leak it
+        if self._last_cached is not None:
+            self._last_cached.unpersist()
+            self._last_cached = None
         d = model.parse_dsl(body)
         spec = self.indices[index]
 
@@ -393,7 +412,7 @@ class Engine:
             from gopensearch_spark.search.phrase import query_scope
 
             with query_scope():
-                for i, (kind, q, mode) in enumerate(ft_specs):
+                for i, (kind, q, mode, _scoring) in enumerate(ft_specs):
                     rel = relation(kind, q, mode).select(
                         F.col("doc_id").alias(f"__ft_id_{i}"),
                         F.col("score").alias(f"__ft_score_{i}"),
@@ -401,25 +420,26 @@ class Engine:
                     base = base.join(rel, base[spec.id_col] == rel[f"__ft_id_{i}"], "left")
         filtered = base.where(pred)
         if ft_specs:
-            # FTS5/ES-style additive score: clauses a doc doesn't match
-            # contribute 0 (e.g. unmatched should branches).
+            # FTS5/ES-style additive score over SCORING-context clauses
+            # only: unmatched should branches contribute 0; filter/
+            # must_not clauses are score-exempt (ES filter context).
             score_expr = None
-            for i in range(len(ft_specs)):
+            for i, (_k, _q, _m, scoring) in enumerate(ft_specs):
+                if not scoring:
+                    continue
                 c = F.coalesce(F.col(f"__ft_score_{i}"), F.lit(0.0))
                 score_expr = c if score_expr is None else score_expr + c
+            if score_expr is None:
+                score_expr = F.lit(0.0)  # filter-only full-text query
             filtered = filtered.withColumn("score", score_expr).drop(
                 *[f"__ft_id_{i}" for i in range(len(ft_specs))],
                 *[f"__ft_score_{i}" for i in range(len(ft_specs))],
             )
 
         # aggs see the filtered relation (reference re-scans per agg,
-        # sql.go:39-58; we cache once instead). The previous search's
-        # cache is released here so repeated search_df calls don't leak
-        # a cached DataFrame per query for the session's lifetime.
+        # sql.go:39-58; we cache once instead; released by the NEXT
+        # search_df call or after search() collects).
         aggs_out = {}
-        if self._last_cached is not None:
-            self._last_cached.unpersist()
-            self._last_cached = None
         if d.aggs:
             filtered = filtered.cache()
             self._last_cached = filtered

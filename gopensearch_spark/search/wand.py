@@ -71,8 +71,12 @@ def _score_segment_and(groups: dict, idfs: dict, avgdl: float, k: int, dec=None)
     for t in order:
         rows = groups[t].sort_values("block_id")
         if cand_ids is not None:
-            lo = rows["max_doc_id"].to_numpy() >= cand_ids[0]
-            hi = rows["min_doc_id"].to_numpy() <= cand_ids[-1]
+            # cand_ids is NOT globally sorted on a multi-run index (each
+            # streaming micro-batch / build slice appends its own block
+            # runs, interleaved by block_id) — bound with min()/max(),
+            # never positional first/last
+            lo = rows["max_doc_id"].to_numpy() >= cand_ids.min()
+            hi = rows["min_doc_id"].to_numpy() <= cand_ids.max()
             keep = lo & hi
             if not keep.any():
                 return pd.DataFrame({"doc_id": [], "score": []})

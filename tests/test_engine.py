@@ -561,3 +561,20 @@ def test_multi_index_search_degrades_to_first(engine, duck):
     r = engine.search("events,docs,whatever", '{"query": {"term": {"event_type": "error"}}, "size": 10000}')
     n = duck.execute("SELECT count(*) FROM events WHERE event_type = 'error'").fetchone()[0]
     assert r["hits"]["total"]["value"] == n
+
+
+def test_filter_context_fulltext_scoring_exempt(engine, oracle_small):
+    """ES filter context: a match inside bool.filter RESTRICTS the hit
+    set but contributes no score — the hit scores equal the must-clause
+    score alone."""
+    body = {"query": {"bool": {
+        "must": [{"match": {"text": "spark"}}],
+        "filter": [{"match": {"text": "join"}}],
+    }}, "size": 10}
+    r = engine.search("docs", body)
+    must_only = dict(oracle_small.match(["spark"], k=100000, mode="or"))
+    both = {d for d, _ in oracle_small.match(["spark", "join"], k=100000, mode="and")}
+    ids = {int(h["_id"]) for h in r["hits"]["hits"]}
+    assert ids and ids <= both
+    for h in r["hits"]["hits"]:
+        assert math.isclose(h["_score"], must_only[int(h["_id"])], rel_tol=1e-9)

@@ -141,3 +141,30 @@ def test_wand_over_streaming_index(spark, docs_small, tmp_path):
         _assert_identical(got, o.match(terms, k=15, mode=mode))
     o.close()
     pages.unpersist()
+
+
+def test_wand_and_on_range_split_batches(spark, tmp_path):
+    """Regression: time-ordered ingest puts DISJOINT doc-id ranges in
+    different micro-batches, so a term's concatenated block runs are not
+    globally sorted; the AND kernel's block-skip bound must use min/max,
+    not first/last, or it silently drops matches."""
+    from gopensearch_spark.index.builder import build_postings, refresh_corpus_stats
+    from gopensearch_spark.search import bm25_match, wand_match
+
+    idx = str(tmp_path / "idx")
+    mk = lambda lo, hi: spark.createDataFrame(
+        [(i, "alpha " * (i % 3 + 1) + "beta common" + (" rare" if i % 7 == 0 else ""))
+         for i in range(lo, hi)], "doc_id long, text string")
+    # batch 0 holds the HIGH id range, batch 1 the LOW one
+    build_postings(mk(1000, 1080), idx, term_buckets=4, num_segments=2, batch_id=0)
+    build_postings(mk(1, 60), idx, term_buckets=4, num_segments=2, batch_id=1)
+    refresh_corpus_stats(spark, idx, term_buckets=4)
+
+    for terms, mode in [(["alpha", "beta"], "and"), (["alpha", "rare"], "and"),
+                        (["beta", "rare", "common"], "or")]:
+        flat = [(r["doc_id"], round(r["score"], 9))
+                for r in bm25_match(spark, idx, terms, k=200, mode=mode).collect()]
+        wnd = [(r["doc_id"], round(r["score"], 9))
+               for r in wand_match(spark, idx, terms, k=200, mode=mode).collect()]
+        assert wnd == flat, (terms, mode, len(wnd), len(flat))
+        assert len(flat) > 100 or mode == "and" and "rare" in terms
