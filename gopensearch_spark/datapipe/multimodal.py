@@ -70,7 +70,7 @@ def extract_features(
     return media.mapInPandas(op, schema=FEATURE_SCHEMA)
 
 
-FRAME_SCHEMA = "doc_id long, frame_idx int, ts_ms int, frame binary"
+FRAME_SCHEMA = "doc_id long, frame_idx int, ts_ms long, frame binary"
 
 
 def sample_frames(
@@ -93,10 +93,16 @@ def sample_frames(
             for doc_id, payload, dur in zip(
                 pdf["doc_id"], pdf["payload"], pdf["duration_ms"]
             ):
-                dur = int(dur) if dur is not None else 0
-                n = min(max_frames, max(0, dur // every_ms) + (1 if dur > 0 else 0))
+                # a NULL duration arrives as NaN (Arrow nullable int ->
+                # pandas float), not None
+                dur = 0 if dur is None or pd.isna(dur) else int(dur)
+                # sample at i*every_ms STRICTLY before end-of-media
+                # (n = ceil(dur/every_ms)): a dur that is an exact
+                # multiple of every_ms must not emit a frame AT dur.
+                n = min(max_frames, -(-dur // every_ms)) if dur > 0 else 0
                 for i in range(n):
-                    ts = i * every_ms
+                    ts = i * every_ms  # python int: no int32 overflow at
+                    #                    large every_ms * max_frames
                     h = hashlib.sha256((payload or b"") + ts.to_bytes(8, "big")).digest()
                     ids.append(doc_id)
                     idxs.append(i)
@@ -104,7 +110,7 @@ def sample_frames(
                     frames.append(h)
             yield pd.DataFrame(
                 {"doc_id": ids, "frame_idx": pd.Series(idxs, dtype="int32"),
-                 "ts_ms": pd.Series(tss, dtype="int32"), "frame": frames}
+                 "ts_ms": pd.Series(tss, dtype="int64"), "frame": frames}
             )
 
     return media.mapInPandas(op, schema=FRAME_SCHEMA)

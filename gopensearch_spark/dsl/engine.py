@@ -77,6 +77,14 @@ class Engine:
         empty FTS5 table, db.go:46-54): an empty document-backed index
         that bulk/single-doc ingest can append to."""
         if df is None:
+            if name in self.indices and name not in self._doc_rows:
+                # mirror the index_document guard: a bare PUT must not
+                # silently replace a DataFrame-backed index with an
+                # empty doc-backed one (losing the registered df)
+                raise ValueError(
+                    f"index {name!r} is DataFrame-backed; cannot recreate "
+                    "as an empty document-backed index"
+                )
             self._doc_rows.setdefault(name, [])
             self._rebuild_doc_index(name)
             return

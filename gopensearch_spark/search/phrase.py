@@ -44,11 +44,15 @@ _EMPTY = "doc_id long, score double"
 # don't accumulate cached DataFrames for the session's lifetime. A query
 # may hold several persists (NEAR units, multi-leaf expressions), hence
 # the depth-guarded scope: only a depth-0 entry releases. Driver-side
-# query execution is single-threaded (not thread-safe by design).
+# query execution is single-threaded BY CONTRACT — the owner check below
+# makes a concurrent caller fail loudly instead of silently unpersisting
+# another query's in-flight relations.
 _live_persists: list[DataFrame] = []
 _scope_depth = 0
+_scope_owner: int | None = None
 
 
+import threading
 from contextlib import contextmanager
 
 
@@ -56,10 +60,18 @@ from contextlib import contextmanager
 def query_scope():
     """Top-level query boundary: entering at depth 0 releases the
     previous query's persisted match relations."""
-    global _scope_depth
+    global _scope_depth, _scope_owner
+    me = threading.get_ident()
     if _scope_depth == 0:
+        _scope_owner = me
         while _live_persists:
             _live_persists.pop().unpersist()
+    elif _scope_owner != me:
+        raise RuntimeError(
+            "concurrent full-text queries on one driver are not supported: "
+            "query_scope is single-threaded (run queries sequentially or "
+            "use separate SparkSessions)"
+        )
     _scope_depth += 1
     try:
         yield

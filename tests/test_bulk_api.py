@@ -170,3 +170,16 @@ def test_put_empty_index_then_ingest(spark):
     assert e.search("fresh-idx", {"size": 10})["hits"]["total"]["value"] == 0
     e.index_document("fresh-idx", {"a": 1})
     assert e.search("fresh-idx", {"size": 10})["hits"]["total"]["value"] == 1
+    # idempotent re-PUT keeps the ingested docs (no silent reset to empty)
+    e.create_index("fresh-idx")
+    assert e.search("fresh-idx", {"size": 10})["hits"]["total"]["value"] == 1
+
+
+def test_put_empty_index_cannot_clobber_dataframe_index(spark):
+    import pytest
+
+    e = Engine(spark)
+    e.create_index("df-idx", spark.range(3).selectExpr("id AS doc_id"))
+    with pytest.raises(ValueError, match="DataFrame-backed"):
+        e.create_index("df-idx")
+    assert not e.indices["df-idx"].doc_backed  # spec untouched

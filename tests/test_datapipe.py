@@ -348,7 +348,28 @@ def test_sample_frames_fanout_cap_and_determinism(spark, docs_small):
         assert len(r["frame"]) == 32 and r["ts_ms"] == r["frame_idx"] * 1000
     durs = {r["doc_id"]: r["duration_ms"] for r in media.collect()}
     for d, frames in per_doc.items():
-        assert len(frames) == min(8, durs[d] // 1000 + 1)
+        # n = min(cap, ceil(dur/step)); every ts strictly before end
+        assert len(frames) == min(8, -(-durs[d] // 1000))
+        assert all(f["ts_ms"] < durs[d] for f in frames)
     # deterministic across runs
     again = {(r["doc_id"], r["frame_idx"]): bytes(r["frame"]) for r in out.collect()}
     assert {(r["doc_id"], r["frame_idx"]): bytes(r["frame"]) for r in rows} == again
+
+
+def test_sample_frames_exact_multiple_boundary(spark):
+    """dur == k*every_ms must NOT emit a frame at ts == dur (a real
+    decoder has no frame at end-of-media); dur == 0/None emits none."""
+    from gopensearch_spark.datapipe import sample_frames
+    from gopensearch_spark.datapipe.multimodal import MEDIA_SCHEMA
+
+    media = spark.createDataFrame(
+        [(1, "video", bytearray(b"x"), 0, 0, 0, 1000),
+         (2, "video", bytearray(b"y"), 0, 0, 0, 1001),
+         (3, "video", bytearray(b"z"), 0, 0, 0, 0),
+         (4, "video", bytearray(b"w"), 0, 0, 0, None)],
+        MEDIA_SCHEMA,
+    )
+    got: dict[int, list[int]] = {}
+    for r in sample_frames(media, every_ms=1000, max_frames=32).collect():
+        got.setdefault(r["doc_id"], []).append(r["ts_ms"])
+    assert got == {1: [0], 2: [0, 1000]}
