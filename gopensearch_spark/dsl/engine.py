@@ -19,6 +19,7 @@ scoring-exempt exactly like ES filter context (reference dsl.go:52-54).
 from __future__ import annotations
 
 import json
+import os
 import re
 import time
 from dataclasses import dataclass, field as dc_field
@@ -55,11 +56,24 @@ class Template:
 
 
 class Engine:
-    def __init__(self, spark: SparkSession, compat_quirks: bool = False):
+    def __init__(
+        self,
+        spark: SparkSession,
+        compat_quirks: bool = False,
+        meta_dir: str | None = None,
+    ):
         self.spark = spark
         self.indices: dict[str, IndexSpec] = {}
         self.templates: dict[str, Template] = {}
         self.compat_quirks = compat_quirks
+        # Template persistence (reference pkg/server/template.go:101-161
+        # keeps templates in a __templates SQLite table so they survive
+        # restarts): with a meta_dir, put/delete_template write
+        # templates.json atomically and a fresh Engine reloads it, so
+        # write-time date mappings survive a driver restart.
+        self.meta_dir = meta_dir
+        if meta_dir:
+            self._load_templates()
         self._last_cached: DataFrame | None = None  # agg-bearing search cache
         # document-backed indices (bulk / single-doc ingest): raw JSON
         # rows buffered driver-side, surfaced as a (doc_id, content)
@@ -115,6 +129,34 @@ class Engine:
             "tagline": "You Go, for search",
         }
 
+    def _templates_path(self) -> str:
+        return os.path.join(self.meta_dir, "templates.json")
+
+    def _load_templates(self) -> None:
+        path = self._templates_path()
+        if not os.path.exists(path):
+            return
+        with open(path) as f:
+            raw = json.load(f)
+        self.templates = {
+            name: Template(name=name, index_patterns=t["index_patterns"],
+                           date_fields=t["date_fields"])
+            for name, t in raw.items()
+        }
+
+    def _save_templates(self) -> None:
+        if not self.meta_dir:
+            return
+        os.makedirs(self.meta_dir, exist_ok=True)
+        tmp = self._templates_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(
+                {n: {"index_patterns": t.index_patterns, "date_fields": t.date_fields}
+                 for n, t in self.templates.items()},
+                f,
+            )
+        os.replace(tmp, self._templates_path())
+
     def put_template(self, name: str, body: dict) -> None:
         """Retain only type=date properties (reference template.go:92-97)."""
         props = body.get("properties") or body.get("mappings", {}).get("properties", {})
@@ -128,6 +170,7 @@ class Engine:
             index_patterns=body.get("index_patterns", "*"),
             date_fields=date_fields,
         )
+        self._save_templates()
 
     def get_template(self, name: str) -> dict | None:
         """`GET /_template/{name}` shape: the retained (date) properties
@@ -144,7 +187,10 @@ class Engine:
 
     def delete_template(self, name: str) -> bool:
         """`DELETE /_template/{name}`; True when it existed."""
-        return self.templates.pop(name, None) is not None
+        existed = self.templates.pop(name, None) is not None
+        if existed:
+            self._save_templates()
+        return existed
 
     def get_mapping(self, index: str | None = None) -> dict:
         """`GET /{index}/_mapping` (or all mappings without an index):

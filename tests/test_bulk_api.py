@@ -175,6 +175,35 @@ def test_put_empty_index_then_ingest(spark):
     assert e.search("fresh-idx", {"size": 10})["hits"]["total"]["value"] == 1
 
 
+def test_template_persistence_across_restart(spark, tmp_path):
+    """Reference parity (pkg/server/template.go:101-161: templates live
+    in a __templates SQLite table and survive restarts): an Engine with a
+    meta_dir reloads templates, so a NEW Engine applies the same
+    write-time date mapping; DELETE persists too."""
+    meta = str(tmp_path / "meta")
+    e1 = Engine(spark, meta_dir=meta)
+    e1.put_template("jaeger-span", {
+        "index_patterns": "*jaeger-span-*",
+        "mappings": {"properties": {
+            "startTimeMillis": {"type": "date", "format": "epoch_millis"}}},
+    })
+
+    e2 = Engine(spark, meta_dir=meta)  # "restart"
+    assert e2.get_template("jaeger-span") == e1.get_template("jaeger-span")
+    e2.index_document("jaeger-span-2022-11-11", {"startTimeMillis": 1668173489869})
+    stored = json.loads(e2._doc_rows["jaeger-span-2022-11-11"][0][1])
+    assert stored["startTimeMillis"] == "2022-11-11T13:31:29Z"
+    r = e2.search("jaeger-span-2022-11-11", {"size": 10})
+    assert r["hits"]["hits"][0]["_source"]["startTimeMillis"] == 1668173489000
+
+    assert e2.delete_template("jaeger-span") is True
+    e3 = Engine(spark, meta_dir=meta)
+    assert e3.get_template("jaeger-span") is None
+    # an Engine WITHOUT meta_dir keeps the in-memory-only behavior
+    e4 = Engine(spark)
+    assert e4.templates == {}
+
+
 def test_put_empty_index_cannot_clobber_dataframe_index(spark):
     import pytest
 
