@@ -4,5 +4,7 @@ from gopensearch_spark.index.builder import (  # noqa: F401
     build_postings,
     compact_index,
     finalize_stats,
+    fold_corpus_stats,
     read_corpus_stats,
+    rebuild_term_dict,
 )

@@ -256,6 +256,22 @@ def build_postings(
                 .partitionBy(*post_parts)
                 .parquet(os.path.join(out_dir, "term_stats"))
             )
+            # batch-scoped corpus-stat delta: ONE row (n_docs,
+            # total_tokens) per batch, aggregated from the in-memory
+            # persisted postings — never a scan of other batches.
+            # fold_corpus_stats sums these rows (O(#batches), not
+            # O(total docs)) to refresh N/avgdl per micro-batch; the
+            # dynamic partition overwrite keeps replays idempotent.
+            (
+                writer(
+                    doc_stats.groupBy("batch_id").agg(
+                        F.count("*").alias("n_docs"),
+                        F.sum("doc_len").alias("total_tokens"),
+                    )
+                )
+                .partitionBy("batch_id")
+                .parquet(os.path.join(out_dir, "batch_stats"))
+            )
         if build_blocks:
             # blocks carry no positions — select only what the kernel
             # needs so position bytes never enter the segment shuffle.
@@ -310,25 +326,53 @@ def finalize_stats(
         .partitionBy("term_bucket")
         .parquet(os.path.join(out_dir, "term_stats"))
     )
-    # term dictionary: (term, df) RANGE-partitioned and sorted by term.
-    # The hash term_bucket layout cannot prune a PREFIX query; this
-    # small side table can (parquet min/max on sorted runs answers
-    # `term LIKE 'p%'` with file/row-group skipping), and the matching
-    # terms' bucket set then prunes the postings scan — see
-    # search/phrase.prefix_match. Size = distinct terms, O(GB) even at
-    # web scale, rewritten only at finalize/compaction time.
+    stats = refresh_corpus_stats(
+        spark, out_dir, term_buckets=term_buckets,
+        with_positions=with_positions, block_codec=block_codec,
+    )
+    rebuild_term_dict(spark, out_dir, n_docs=stats["n_docs"])
+    return stats
+
+
+def rebuild_term_dict(spark: SparkSession, out_dir: str, n_docs: int) -> None:
+    """(term, df) dictionary, RANGE-partitioned and sorted by term.
+
+    The hash term_bucket layout cannot prune a PREFIX query; this small
+    side table can (parquet min/max on sorted runs answers
+    `term LIKE 'p%'` with file/row-group skipping), and the matching
+    terms' bucket set then prunes the postings scan — see
+    search/phrase.prefix_match. Size = distinct terms, O(GB) even at web
+    scale. Cost = one groupBy over term_stats (df-delta rows, tiny next
+    to postings), so streaming ingest rebuilds it EVERY micro-batch and
+    prefix queries partition-prune on streaming indexes too.
+
+    ``_meta.json`` records the corpus n_docs the dict was built against;
+    prefix_match compares it with corpus_stats.json and falls back to
+    the full postings scan when postings are newer than the dict (e.g. a
+    crash between the stats fold and this rebuild, or a raw
+    build_postings append without finalize) — a stale dict must degrade
+    to a slower plan, never silently drop matching terms."""
     (
         spark.read.parquet(os.path.join(out_dir, "term_stats"))
-        .select("term", "df")
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"))
         .repartitionByRange(8, "term")
         .sortWithinPartitions("term")
         .write.mode("overwrite")
         .parquet(os.path.join(out_dir, "term_dict"))
     )
-    return refresh_corpus_stats(
-        spark, out_dir, term_buckets=term_buckets,
-        with_positions=with_positions, block_codec=block_codec,
-    )
+    tmp = os.path.join(out_dir, "term_dict", "_meta.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"n_docs": int(n_docs)}, f)
+    os.replace(tmp, os.path.join(out_dir, "term_dict", "_meta.json"))
+
+
+def read_term_dict_meta(out_dir: str) -> dict | None:
+    path = os.path.join(out_dir, "term_dict", "_meta.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
 
 
 def refresh_corpus_stats(
@@ -338,9 +382,10 @@ def refresh_corpus_stats(
     with_positions: bool = False,
     block_codec: str = "varint",
 ) -> dict:
-    """N/avgdl/total_tokens from doc_stats (one row per doc, never the
-    postings) -> corpus_stats.json. Idempotent: recomputing after a
-    replayed batch reads the overwritten table, so nothing double-counts."""
+    """N/avgdl/total_tokens from a FULL scan of doc_stats (one row per
+    doc, never the postings) -> corpus_stats.json. This is the batch
+    finalize/compaction path; streaming micro-batches use
+    ``fold_corpus_stats`` (O(#batches) delta rows) instead."""
     doc_stats = spark.read.parquet(os.path.join(out_dir, "doc_stats"))
     row = doc_stats.agg(
         F.count("*").alias("n_docs"),
@@ -355,10 +400,47 @@ def refresh_corpus_stats(
         "with_positions": with_positions,
         "block_codec": block_codec,
     }
+    _write_corpus_stats(out_dir, stats)
+    return stats
+
+
+def _write_corpus_stats(out_dir: str, stats: dict) -> None:
     tmp = os.path.join(out_dir, "corpus_stats.json.tmp")
     with open(tmp, "w") as f:
         json.dump(stats, f)
     os.replace(tmp, os.path.join(out_dir, "corpus_stats.json"))
+
+
+def fold_corpus_stats(
+    spark: SparkSession,
+    out_dir: str,
+    term_buckets: int = DEFAULT_TERM_BUCKETS,
+    with_positions: bool = False,
+    block_codec: str = "varint",
+) -> dict:
+    """Streaming-path stats refresh: sum the per-batch (n_docs,
+    total_tokens) delta rows written by build_postings(batch_id=N) —
+    O(#batches) rows, NEVER a re-aggregation of doc_stats (O(total
+    docs) per micro-batch, the scale-killer at 10^12 docs). Idempotent:
+    a replayed batch REPLACED its batch_stats partition, so the fold
+    can never double-count."""
+    row = (
+        spark.read.parquet(os.path.join(out_dir, "batch_stats"))
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("total_tokens").alias("total_tokens"),
+        )
+        .collect()[0]
+    )
+    stats = {
+        "n_docs": int(row["n_docs"]),
+        "avg_doc_len": row["total_tokens"] / row["n_docs"],
+        "total_tokens": int(row["total_tokens"]),
+        "term_buckets": term_buckets,
+        "with_positions": with_positions,
+        "block_codec": block_codec,
+    }
+    _write_corpus_stats(out_dir, stats)
     return stats
 
 

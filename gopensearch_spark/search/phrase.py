@@ -193,8 +193,6 @@ def prefix_match(
 def _prefix_match(
     spark: SparkSession, index_dir: str, prefix: str, k: int | None
 ) -> DataFrame:
-    import os
-
     from gopensearch_spark.analysis import tokenize
 
     from gopensearch_spark.search.readers import corpus_stats, index_table
@@ -203,17 +201,24 @@ def _prefix_match(
     if len(toks) != 1:
         raise ValueError(f"prefix must be a single token, got {toks!r}")
     prefix = toks[0]
+    from gopensearch_spark.index.builder import read_term_dict_meta
+
     stats = corpus_stats(index_dir)
     posts = index_table(spark, index_dir, "postings")
-    if os.path.isdir(os.path.join(index_dir, "term_dict")):
+    meta = read_term_dict_meta(index_dir)
+    if meta is not None and meta.get("n_docs") == stats["n_docs"]:
         # resolve the prefix against the SORTED term dictionary first: a
         # tiny job (parquet min/max skipping answers the startswith over
         # sorted runs) yielding the <= n_buckets distinct term_buckets
         # that contain matching terms — so the postings scan below is
         # partition-pruned exactly like an exact-term query, instead of
         # reading every bucket (the hash layout's blind spot for
-        # prefixes). Streaming-built indexes have no dict yet and keep
-        # the full-scan fallback.
+        # prefixes). Both finalize_stats AND every streaming micro-batch
+        # rebuild the dict; the _meta.json n_docs check falls back to
+        # the full scan whenever postings are NEWER than the dict (raw
+        # build_postings append without finalize, crash between the
+        # stats fold and the dict rebuild) — a stale dict must degrade
+        # to a slower plan, never silently drop matching terms.
         buckets = [
             r["b"]
             for r in index_table(spark, index_dir, "term_dict")

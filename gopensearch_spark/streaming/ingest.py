@@ -17,12 +17,16 @@ duplicates — df/tf/N can never double-count. The per-batch
 `_stream_batches/` records make re-runs observable and let the handler
 skip fully-committed batches without touching Spark.
 
-Stats are incremental: build_postings(batch_id=N) writes the batch's
-term-df DELTAS (a groupBy over only that batch's postings; readers sum
-deltas per query term), and `refresh_corpus_stats` derives N/avgdl from
-doc_stats (one row per doc) — nothing re-aggregates the whole postings
-table per micro-batch, which was O(index size) and the streaming
-scale-killer at 10^12 docs.
+Stats are incremental in BOTH dimensions: build_postings(batch_id=N)
+writes the batch's term-df DELTAS (a groupBy over only that batch's
+postings; readers sum deltas per query term) AND a one-row
+(n_docs, total_tokens) corpus delta; `fold_corpus_stats` then sums the
+per-batch delta rows — O(#batches) — so no micro-batch ever
+re-aggregates doc_stats (O(total docs)) or the postings table
+(O(index size)), the two streaming scale-killers at 10^12 docs. The
+sorted term_dict is also rebuilt per batch (O(distinct terms)), so
+prefix queries partition-prune on streaming indexes exactly like on
+finalized ones.
 """
 
 from __future__ import annotations
@@ -33,7 +37,11 @@ import time
 
 from pyspark.sql import SparkSession
 
-from gopensearch_spark.index.builder import build_postings, refresh_corpus_stats
+from gopensearch_spark.index.builder import (
+    build_postings,
+    fold_corpus_stats,
+    rebuild_term_dict,
+)
 
 WEB_PAGES_SCHEMA = (
     "url string, warc_ts timestamp, html binary, text string, lang string"
@@ -67,10 +75,17 @@ def _make_batch_handler(
             block_codec=block_codec,
             batch_id=batch_id,  # idempotent per-batch partitions + df deltas
         )
-        stats = refresh_corpus_stats(
+        # O(#batches) stats fold — sums the one-row-per-batch deltas
+        # build_postings just wrote; nothing here scans doc_stats or
+        # postings of OTHER batches (asserted by
+        # tests/test_streaming.py::test_batch_stats_never_rescan_older_batches)
+        stats = fold_corpus_stats(
             batch_df.sparkSession, index_dir, term_buckets=term_buckets,
             with_positions=with_positions, block_codec=block_codec,
         )
+        # incremental term_dict (O(distinct terms)): prefix queries
+        # partition-prune on streaming indexes too
+        rebuild_term_dict(batch_df.sparkSession, index_dir, n_docs=stats["n_docs"])
         from gopensearch_spark.search.readers import invalidate
 
         invalidate(index_dir)

@@ -90,8 +90,9 @@ def test_streaming_batches_are_idempotent_and_incremental(spark, docs_small, tmp
     second.coalesce(1).write.mode("append").parquet(inbox)
     index_stream_available_now(spark, inbox, idx, cp)
 
-    # batch_id partition dirs exist on every table (incl. term-df deltas)
-    for table in ["postings", "doc_stats", "term_stats", "blocks"]:
+    # batch_id partition dirs exist on every table (incl. term-df and
+    # corpus-stat deltas)
+    for table in ["postings", "doc_stats", "term_stats", "blocks", "batch_stats"]:
         parts = {os.path.basename(p) for p in glob.glob(os.path.join(idx, table, "batch_id=*"))}
         assert {"batch_id=0", "batch_id=1"} <= parts, (table, parts)
 
@@ -111,6 +112,93 @@ def test_streaming_batches_are_idempotent_and_incremental(spark, docs_small, tmp
     assert tstats_after == tstats_before
     with open(_batch_ckpt(idx, 1)) as f:
         assert _json.load(f)["status"] == "committed"
+    pages.unpersist()
+
+
+def test_batch_stats_never_rescan_older_batches(spark, docs_small, tmp_path):
+    """The per-micro-batch stats job must be O(batch), not O(total docs):
+    corpus stats come from folding one delta ROW per batch, never from
+    re-aggregating the doc_stats table. Proof: destroy batch 0's
+    doc_stats partition, replay batch 1 — if the handler re-scanned
+    doc_stats the totals would drop (or the job would fail); with the
+    delta fold they stay exactly right."""
+    import shutil
+
+    from gopensearch_spark.index.builder import read_corpus_stats
+    from gopensearch_spark.streaming import index_stream_available_now
+    from gopensearch_spark.streaming.ingest import _batch_ckpt, _make_batch_handler
+    from gopensearch_spark.webtext import prepare_corpus, synth_web_pages
+
+    inbox = str(tmp_path / "inbox")
+    idx = str(tmp_path / "idx")
+    cp = str(tmp_path / "cp")
+    os.makedirs(inbox)
+    pages = synth_web_pages(spark, docs_small.limit(60), copies=1).cache()
+    first = pages.where("pmod(xxhash64(url), 2) = 0")
+    second = pages.where("pmod(xxhash64(url), 2) = 1")
+    first.coalesce(1).write.mode("append").parquet(inbox)
+    index_stream_available_now(spark, inbox, idx, cp)
+    second.coalesce(1).write.mode("append").parquet(inbox)
+    index_stream_available_now(spark, inbox, idx, cp)
+
+    total = prepare_corpus(pages).count()
+    assert read_corpus_stats(idx)["n_docs"] == total
+
+    shutil.rmtree(os.path.join(idx, "doc_stats", "batch_id=0"))
+    os.remove(_batch_ckpt(idx, 1))
+    handler = _make_batch_handler(idx, term_buckets=16, num_segments=8,
+                                  with_positions=False, block_codec="varint")
+    handler(second, 1)
+    stats = read_corpus_stats(idx)
+    assert stats["n_docs"] == total  # batch-0 docs still counted
+    pages.unpersist()
+
+
+def test_prefix_prunes_on_streaming_index(spark, docs_small, tmp_path):
+    """Round-3: streaming batches rebuild the sorted term_dict, so a
+    prefix query on a streaming-built index partition-prunes the
+    postings scan (no more full term_bucket sweep); and the _meta.json
+    freshness check degrades to the full scan — never wrong results —
+    when postings are newer than the dict."""
+    from gopensearch_spark.index.builder import build_postings, read_term_dict_meta
+    from gopensearch_spark.search import prefix_match
+    from gopensearch_spark.streaming import index_stream_available_now
+    from gopensearch_spark.webtext import synth_web_pages
+
+    inbox = str(tmp_path / "inbox")
+    idx = str(tmp_path / "idx")
+    cp = str(tmp_path / "cp")
+    os.makedirs(inbox)
+    pages = synth_web_pages(spark, docs_small.limit(80), copies=1).cache()
+    pages.coalesce(1).write.mode("append").parquet(inbox)
+    index_stream_available_now(spark, inbox, idx, cp, with_positions=True)
+
+    assert read_term_dict_meta(idx) is not None
+    res = prefix_match(spark, idx, "dat", k=10)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "term_bucket#" in plan.split("PartitionFilters:", 1)[1].split("]", 1)[0], plan
+    baseline = [(r["doc_id"], round(r["score"], 9)) for r in res.collect()]
+    assert baseline
+
+    # postings newer than dict (raw append, no finalize/batch rebuild):
+    # freshness check must route to the FULL scan and still be right
+    extra = spark.createDataFrame(
+        [(10_000_001, "datums galore datums"), (10_000_002, "nothing here")],
+        "doc_id long, text string",
+    )
+    build_postings(extra, idx, term_buckets=16, num_segments=8,
+                   with_positions=True, batch_id=99)
+    from gopensearch_spark.index.builder import fold_corpus_stats
+    from gopensearch_spark.search.readers import invalidate
+
+    fold_corpus_stats(spark, idx, term_buckets=16, with_positions=True)
+    invalidate(idx)
+    stale = prefix_match(spark, idx, "dat", k=50)
+    stale_plan = stale._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: []" in stale_plan or "term_bucket#" not in \
+        stale_plan.split("PartitionFilters:", 1)[1].split("]", 1)[0], stale_plan
+    got_ids = {r["doc_id"] for r in stale.collect()}
+    assert 10_000_001 in got_ids  # the un-dict'ed doc is FOUND, not dropped
     pages.unpersist()
 
 
