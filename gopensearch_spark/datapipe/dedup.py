@@ -274,9 +274,16 @@ def minhash_lsh_pairs(
         # per-row string building; same bucketing semantics
         return F.hash(*[F.element_at("sig", band * r + j + 1) for j in range(r)])
 
+    # The band join ships ONLY (id, band, bh) — never the signature
+    # arrays (num_perm longs each): at 10^12 docs the `bands`-way
+    # explode multiplies every byte it carries, so signatures riding
+    # both join legs would put ~2*bands*num_perm*8 bytes per doc through
+    # the shuffle. est_jaccard is computed AFTER the candidate pairs are
+    # deduped, by joining the (cached, already materialized) signature
+    # relation back once per surviving pair — surviving pairs are
+    # orders of magnitude fewer than banded explode rows.
     banded = sigs.select(
         "id",
-        "sig",
         F.explode(
             F.array(
                 *[
@@ -285,23 +292,22 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
     a = banded.alias("a")
     b = banded.alias("b")
-    est = F.size(
-        F.filter(F.zip_with("a.sig", "b.sig", lambda x, y: x == y), lambda z: z)
-    ) / F.lit(float(num_perm))
-    cand = (
+    pairs = (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh"))
                & (F.col("a.id") < F.col("b.id")))
-        # est BEFORE the dedup so only (id_a, id_b, est) — never the
-        # signature arrays — ride the dropDuplicates shuffle
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            est.alias("est_jaccard"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    est = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda z: z)
+    ) / F.lit(float(num_perm))
+    cand = (
+        pairs.join(sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a")
+        .join(sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b")
+        .select("id_a", "id_b", est.alias("est_jaccard"))
     )
     return cand.where(F.col("est_jaccard") >= threshold)
 

@@ -87,6 +87,20 @@ def test_minhash_lsh_finds_planted_dups(docs_small, duck):
     assert truth <= got, f"missed planted dups: {truth - got}"
 
 
+def test_minhash_band_join_does_not_carry_signatures(docs_small):
+    """Scale guard: the bands-way explode multiplies every byte it
+    carries, so the signature array (num_perm longs) must NOT appear in
+    the Generate (explode) node or ride the band-join legs — est_jaccard
+    is computed by joining the cached signature relation back AFTER the
+    candidate pairs are deduped."""
+    out = minhash_lsh_pairs(docs_small, num_perm=64, bands=16, threshold=0.7)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    gen = [l for l in plan.splitlines() if "Generate explode" in l]
+    assert gen, plan
+    for line in gen:
+        assert "sig" not in line.split("]", 1)[-1], line  # output cols sig-free
+
+
 def test_simhash_finds_exact_dups(spark, docs_small):
     # append an exact duplicate of doc 0 with a new id; simhash distance 0
     d0 = docs_small.where(F.col("doc_id") == 0).select(
