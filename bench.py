@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "bm25_or3",
     "bm25_phrase2",
     "bm25_prefix",
+    "bm25_near2",
     "dsl_bool_must_filter",
     "dsl_terms_agg",
     "dsl_date_histogram",

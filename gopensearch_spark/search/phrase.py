@@ -287,44 +287,38 @@ def _near_trimmed_tfs(intervals: list[tuple[np.ndarray, np.ndarray]], n: int) ->
     """
     k = len(intervals)
     ends_sorted, sufmin_s = [], []
-    all_ends = []
     for s, e in intervals:
         order = np.argsort(e, kind="stable")
         es, ss = e[order], s[order]
         ends_sorted.append(es)
         sufmin_s.append(np.minimum.accumulate(ss[::-1])[::-1])
-        all_ends.append(es)
-    cand_lo = np.unique(np.concatenate(all_ends))
+    cand_lo = np.unique(np.concatenate(ends_sorted))
+    m = cand_lo.size
 
-    def min_start_with_end_ge(u: int, lo: int) -> int | None:
-        i = int(np.searchsorted(ends_sorted[u], lo, side="left"))
-        if i >= ends_sorted[u].size:
-            return None
-        return int(sufmin_s[u][i])
+    # feas[v, j]: unit v has an instance with end >= cand_lo[j] and
+    # start <= cand_lo[j] + n + 1 — one searchsorted per unit, no
+    # per-candidate Python.
+    hi = cand_lo + n + 1
+    feas = np.empty((k, m), dtype=bool)
+    for v in range(k):
+        idx = np.searchsorted(ends_sorted[v], cand_lo, side="left")
+        valid = idx < ends_sorted[v].size
+        ms = sufmin_s[v][np.minimum(idx, ends_sorted[v].size - 1)]
+        feas[v] = valid & (ms <= hi)
+    n_feas = feas.sum(axis=0)
 
     tfs = []
     for u in range(k):
         s_u, e_u = intervals[u]
-        kept = 0
-        for s_i, e_i in zip(s_u, e_u):
-            ok = False
-            for lo in cand_lo[cand_lo <= e_i]:
-                hi = lo + n + 1
-                if s_i > hi:
-                    continue
-                feasible = True
-                for v in range(k):
-                    if v == u:
-                        continue
-                    ms = min_start_with_end_ge(v, lo)
-                    if ms is None or ms > hi:
-                        feasible = False
-                        break
-                if feasible:
-                    ok = True
-                    break
-            kept += ok
-        tfs.append(kept)
+        # candidate windows where EVERY other unit is feasible
+        others_ok = (n_feas - feas[u]) == (k - 1)
+        cum = np.concatenate(([0], np.cumsum(others_ok)))
+        # instance I participates iff some feasible lo lies in
+        # [s_I - n - 1, e_I] (lo <= e_I keeps I's end in window;
+        # lo >= s_I - n - 1 keeps I's start within lo + n + 1)
+        lo_idx = np.searchsorted(cand_lo, s_u - (n + 1), side="left")
+        hi_idx = np.searchsorted(cand_lo, e_u, side="right")
+        tfs.append(int(((cum[hi_idx] - cum[lo_idx]) > 0).sum()))
     return tfs
 
 
