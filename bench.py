@@ -194,6 +194,52 @@ def bench_index_only(copies: int) -> dict:
             "sf": _sf_of(SF_DIR), **build}
 
 
+def bench_wand_vs_flat(copies: int) -> dict:
+    """Verdict-r2 task: keep the flat-vs-WAND comparison honest as the
+    corpus grows — the serving-path switch rests on WAND >= flat for
+    head-term and conjunctive queries at scale. Builds a copies x 5k-doc
+    positions-free index and times both paths on the same queries
+    (per-query best-of-3; steal is additive)."""
+    import time as _t
+
+    from gopensearch_spark.search import bm25_match, wand_match
+    from gopensearch_spark.session import get_spark
+
+    spark = get_spark("bench-wvf", master=f"local[{CPUS}]")
+    wp = _build_web_pages(
+        spark, SF_DIR, copies=copies, out=f"/tmp/gopensearch_bench/web_pages_x{copies}"
+    )
+    idx = f"/tmp/gopensearch_bench/idx_wvf_x{copies}"
+    if not os.path.exists(os.path.join(idx, "corpus_stats.json")):
+        run_index_build(spark, wp, idx)
+    qset = [
+        ("head_term", ["data"], "or", 10),
+        ("and2", ["spark", "join"], "and", 10),
+        ("or3", ["merge", "sort", "batch"], "or", 25),
+        ("or3_k10", ["merge", "sort", "batch"], "or", 10),
+    ]
+    out: dict = {"metric": "wand_vs_flat", "copies": copies, "cpus": CPUS, "queries": {}}
+    # warm both paths once
+    wand_match(spark, idx, ["data"], k=5, mode="or").collect()
+    bm25_match(spark, idx, ["data"], k=5, mode="or").collect()
+    for name, terms, mode, k in qset:
+        res = {}
+        for label, fn in [("wand", wand_match), ("flat", bm25_match)]:
+            runs = []
+            for _ in range(3):
+                t0 = _t.time()
+                rows = fn(spark, idx, terms, k=k, mode=mode).collect()
+                runs.append(_t.time() - t0)
+            res[label] = round(min(runs), 3)
+            res[f"{label}_rows"] = len(rows)
+        res["wand_over_flat"] = round(res["wand"] / res["flat"], 3)
+        out["queries"][name] = res
+    from gopensearch_spark.index.builder import read_corpus_stats
+
+    out["n_docs"] = read_corpus_stats(idx)["n_docs"]
+    return out
+
+
 def bench_scaling(small: int, big: int, copies: int) -> dict:
     """Same job + same input at two parallelism levels, subprocess-isolated
     so each gets a fresh JVM sized to its core count."""
@@ -227,12 +273,15 @@ if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--index-only", action="store_true")
     p.add_argument("--scaling", action="store_true")
+    p.add_argument("--wand-vs-flat", action="store_true")
     p.add_argument("--copies", type=int, default=160)
     p.add_argument("--small", type=int, default=2)
     p.add_argument("--big", type=int, default=8)
     a = p.parse_args()
     if a.scaling:
         print(json.dumps(bench_scaling(a.small, a.big, a.copies)))
+    elif a.wand_vs_flat:
+        print(json.dumps(bench_wand_vs_flat(a.copies)))
     elif a.index_only:
         print(json.dumps(bench_index_only(a.copies)))
     else:

@@ -94,47 +94,75 @@ def _score_segment_and(groups: dict, idfs: dict, avgdl: float, k: int, dec=None)
 
 
 def _score_segment_or(groups: dict, idfs: dict, avgdl: float, k: int, dec=None) -> pd.DataFrame:
-    """Disjunctive top-k with accumulator bounding (TAAT quit/continue +
-    block-max): terms are processed in descending max-impact order; once
-    the sum of remaining terms' upper bounds cannot beat the running
-    k-th score, no NEW accumulators are created — remaining terms only
-    update existing candidates, and only blocks overlapping them are
-    decoded. Exact top-k (scores of all surviving candidates are
-    completed over every term)."""
+    """Disjunctive top-k with PER-BLOCK block-max pruning (Ding & Suel
+    2011 family): terms are processed in descending max-impact order;
+    a block of term t is decoded only if it either
+
+    - could still open a NEW top-k candidate:
+      ``block_ub + sum(upper bounds of terms after t) >= kth`` (the
+      running k-th accumulator score), or
+    - may contain a SURVIVING accumulator member (sorted-array range
+      membership on the block's [min_doc_id, max_doc_id] — conservative
+      superset, so surviving accumulator scores stay complete).
+
+    Accumulators are PRUNED before each term (quit/continue TAAT):
+    a member whose score plus ALL remaining terms' upper bounds cannot
+    reach kth is dropped. Without this the accumulator set stays dense
+    (every doc of every processed term) and the range check keeps every
+    block — measured 100% blocks decoded; with it, once the viable set
+    shrinks toward the true top-k, whole posting ranges of low-impact
+    terms (e.g. an idf-floored head term under OR) skip entirely.
+
+    Exactness: a doc that is ever dropped/skipped while outside the
+    accumulator set has total score < kth(time) <= true-k-th score (the
+    bounds include every unprocessed term's full upper bound), so it
+    can never belong to the true top-k; every true top-k doc therefore
+    survives with all its blocks decoded and an EXACT score, and docs
+    re-opened later with partial scores rank strictly below them. Rank
+    identity vs FTS5 is pinned (tests/test_rank_identity.py, seeded
+    fuzz, multi-run streaming indexes)."""
     term_ub = {}
+    block_ubs = {}
     for t, rows in groups.items():
         ub = _block_upper_bound(rows["max_tf"].to_numpy(), rows["min_doc_len"].to_numpy(), idfs[t], avgdl)
+        block_ubs[t] = ub
         term_ub[t] = float(ub.max())
     order = sorted(groups, key=lambda t: -term_ub[t])
     remaining_ub = sum(term_ub.values())
 
-    acc_ids = np.empty(0, dtype=np.int64)
+    acc_ids = np.empty(0, dtype=np.int64)  # kept sorted (np.unique)
     acc_sc = np.empty(0, dtype=np.float64)
     for t in order:
-        rows = groups[t].sort_values("block_id")
+        rows = groups[t]
+        remaining_after = remaining_ub - term_ub[t]
         kth = np.partition(acc_sc, -k)[-k] if acc_sc.size >= k else -np.inf
-        open_new = remaining_ub >= kth  # a brand-new doc could still reach top-k
-        if not open_new and acc_ids.size:
-            lo = rows["max_doc_id"].to_numpy() >= acc_ids.min()
-            hi = rows["min_doc_id"].to_numpy() <= acc_ids.max()
-            rows = rows[lo & hi]
+        if np.isfinite(kth):
+            # quit/continue: drop members that cannot reach the top-k
+            # even with every remaining term (incl. t) at full bound
+            keep_acc = (acc_sc + remaining_ub) >= kth
+            if not keep_acc.all():
+                acc_ids, acc_sc = acc_ids[keep_acc], acc_sc[keep_acc]
+            viable_new = (block_ubs[t] + remaining_after) >= kth
+            mn = rows["min_doc_id"].to_numpy()
+            mx = rows["max_doc_id"].to_numpy()
+            has_acc = np.searchsorted(acc_ids, mx, side="right") > np.searchsorted(
+                acc_ids, mn, side="left"
+            )
+            keep = viable_new | has_acc
+            if not keep.all():
+                rows = rows[keep]
             if rows.empty:
-                remaining_ub -= term_ub[t]
+                remaining_ub = remaining_after
                 continue
         ids, tfs, dls = _decode_term(rows, *dec) if dec else _decode_term(rows)
         sc = _scores(tfs, dls, idfs[t], avgdl)
-        if open_new:
-            merged = np.concatenate([acc_ids, ids])
-            scores = np.concatenate([acc_sc, sc])
-            uniq, inv = np.unique(merged, return_inverse=True)
-            summed = np.zeros(uniq.size, dtype=np.float64)
-            np.add.at(summed, inv, scores)
-            acc_ids, acc_sc = uniq, summed
-        else:
-            common, ia, ib = np.intersect1d(acc_ids, ids, assume_unique=True, return_indices=True)
-            acc_sc = acc_sc.copy()
-            acc_sc[ia] += sc[ib]
-        remaining_ub -= term_ub[t]
+        merged = np.concatenate([acc_ids, ids])
+        scores = np.concatenate([acc_sc, sc])
+        uniq, inv = np.unique(merged, return_inverse=True)
+        summed = np.zeros(uniq.size, dtype=np.float64)
+        np.add.at(summed, inv, scores)
+        acc_ids, acc_sc = uniq, summed
+        remaining_ub = remaining_after
     return _topk_frame(acc_ids, acc_sc, k)
 
 

@@ -64,6 +64,65 @@ def test_wand_serving_path_reads_blocks_only(spark, index_small):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_wand_or_block_skipping_under_skewed_idfs(spark, tmp_path):
+    """Round-3 pin: the OR kernel's quit/continue accumulator pruning +
+    per-block bound must actually SKIP blocks when term impacts are
+    skewed (an idf-floored head term alongside a rare term) — and stay
+    rank-identical to the flat path while doing it."""
+    import numpy as np
+    import pandas as pd
+
+    from gopensearch_spark.index.builder import build_postings, finalize_stats
+    from gopensearch_spark.search import bm25_match, wand_match
+    from gopensearch_spark.search import wand as W
+
+    idx = str(tmp_path / "idx")
+    rows = [
+        (i, "common filler words " + ("rare gem " if i % 200 == 0 else "") + "tail" * (i % 3))
+        for i in range(8000)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    build_postings(docs, idx, term_buckets=8, num_segments=4)
+    finalize_stats(spark, idx, term_buckets=8)
+
+    flat = [(r["doc_id"], round(r["score"], 9))
+            for r in bm25_match(spark, idx, ["common", "rare"], k=3, mode="or").collect()]
+    wnd = [(r["doc_id"], round(r["score"], 9))
+           for r in wand_match(spark, idx, ["common", "rare"], k=3, mode="or").collect()]
+    assert wnd == flat and len(wnd) == 3
+
+    # count decoded blocks through the kernel directly
+    from pyspark.sql import functions as F
+    from gopensearch_spark.search.bm25 import idf as _idf
+
+    blocks = spark.read.parquet(f"{idx}/blocks").where(
+        F.col("term").isin(["common", "rare"])).toPandas()
+    tstats = {r["term"]: r["df"] for r in spark.read.parquet(f"{idx}/term_stats")
+              .where(F.col("term").isin(["common", "rare"])).collect()}
+    from gopensearch_spark.index.builder import read_corpus_stats
+    stats = read_corpus_stats(idx)
+    idfs = {t: _idf(stats["n_docs"], d) for t, d in tstats.items()}
+    counted = {"n": 0}
+    orig = W._decode_term
+
+    def counting(r, *a, **kw):
+        counted["n"] += len(r)
+        return orig(r, *a, **kw)
+
+    W._decode_term = counting
+    try:
+        total = 0
+        for _, g in blocks.groupby("seg_id"):
+            total += len(g)
+            W._score_segment_or({t: gg for t, gg in g.groupby("term")},
+                                idfs, stats["avg_doc_len"], 3)
+    finally:
+        W._decode_term = orig
+    # the floored head term's blocks must be (mostly) skipped once the
+    # accumulator set prunes toward the true top-k
+    assert counted["n"] < total * 0.6, (counted["n"], total)
+
+
 def test_prefix_scan_prunes_buckets_via_term_dict(spark, index_small):
     """Prefix queries resolve against the sorted term dictionary first,
     so the postings scan is partition-pruned to the matching terms'
