@@ -179,7 +179,7 @@ def bench_default() -> dict:
     }
 
 
-def bench_index_only(copies: int) -> dict:
+def bench_index_only(copies: int, runs: int = 3) -> dict:
     from gopensearch_spark.session import get_spark
 
     spark = get_spark("bench-index", master=f"local[{CPUS}]")
@@ -189,7 +189,7 @@ def bench_index_only(copies: int) -> dict:
     # Warm-up: small build so JVM/codegen/Arrow paths are hot before timing.
     run_index_build(spark, _build_web_pages(spark, SF_DIR, 1, "/tmp/gopensearch_bench/web_pages"),
                     f"/tmp/gopensearch_bench/idx_warm_{CPUS}")
-    build = run_index_build_median(spark, wp, f"/tmp/gopensearch_bench/idx_scale_{CPUS}")
+    build = run_index_build_median(spark, wp, f"/tmp/gopensearch_bench/idx_scale_{CPUS}", runs=runs)
     return {"metric": "index build", "unit": "sec", "cpus": CPUS, "copies": copies,
             "sf": _sf_of(SF_DIR), **build}
 
@@ -275,6 +275,7 @@ if __name__ == "__main__":
     p.add_argument("--scaling", action="store_true")
     p.add_argument("--wand-vs-flat", action="store_true")
     p.add_argument("--copies", type=int, default=160)
+    p.add_argument("--runs", type=int, default=3)
     p.add_argument("--small", type=int, default=2)
     p.add_argument("--big", type=int, default=8)
     a = p.parse_args()
@@ -283,6 +284,6 @@ if __name__ == "__main__":
     elif a.wand_vs_flat:
         print(json.dumps(bench_wand_vs_flat(a.copies)))
     elif a.index_only:
-        print(json.dumps(bench_index_only(a.copies)))
+        print(json.dumps(bench_index_only(a.copies, runs=a.runs)))
     else:
         print(json.dumps(bench_default()))
