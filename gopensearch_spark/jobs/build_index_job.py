@@ -85,4 +85,10 @@ def main(argv: list[str] | None = None) -> int:
 
 
 if __name__ == "__main__":
+    # direct `python gopensearch_spark/jobs/<job>.py` invocation: the
+    # script dir (not the repo root) is on sys.path; spark-submit
+    # --py-files provides the package instead
+    import os as _os
+
+    sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))))
     sys.exit(main())
