@@ -3,6 +3,7 @@ from gopensearch_spark.index.builder import (  # noqa: F401
     build_index,
     build_postings,
     compact_index,
+    compact_streaming_index,
     finalize_stats,
     fold_corpus_stats,
     read_corpus_stats,

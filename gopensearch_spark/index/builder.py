@@ -536,6 +536,116 @@ def build_index(
     return stats
 
 
+CONSOLIDATED_BATCH_ID = -1  # partition value for compacted streaming runs
+
+
+def compact_streaming_index(
+    spark: SparkSession,
+    index_dir: str,
+    num_segments: int = DEFAULT_NUM_SEGMENTS,
+) -> dict:
+    """Compact a multi-batch STREAMING index in place (atomic-ish swap).
+
+    Every micro-batch appends its own (term, seg) block runs and
+    per-batch delta rows; after B batches a term's postings are spread
+    over B sorted runs and df/stat lookups sum B delta rows. This merges
+    everything back to one run per term — the same salted
+    repartition-by-term + (seg_id, term_bucket) skew-split as
+    ``compact_index`` — while KEEPING the ``batch_id`` partition axis
+    (consolidated under ``batch_id=-1``) so the parquet layout stays
+    consistent and FUTURE micro-batches keep appending under their own
+    ``batch_id=N`` partitions:
+
+    - postings/blocks/doc_stats/term_stats rewritten under
+      ``batch_id=-1``; batch_stats collapses to ONE consolidated row, so
+      ``fold_corpus_stats`` stays O(#batches-since-compaction);
+    - ``_stream_batches`` commit records are preserved across the swap
+      (replayed batches still skip);
+    - swap = build ``<dir>.compact`` fully, rename the old dir aside,
+      rename the new one in, delete the old. A crash between the two
+      renames leaves ``<dir>.pre_compact`` on disk for manual recovery —
+      the compacted data is never destructively overwritten in place.
+
+    Called manually or via ``start_streaming_index(compact_every=N)``.
+    """
+    import shutil
+
+    src_stats = read_corpus_stats(index_dir)
+    term_buckets = src_stats["term_buckets"]
+    block_codec = src_stats.get("block_codec", "varint")
+    with_positions = bool(src_stats.get("with_positions"))
+    dst = index_dir + ".compact"
+    shutil.rmtree(dst, ignore_errors=True)
+
+    cb = F.lit(int(CONSOLIDATED_BATCH_ID))
+    flat = (
+        spark.read.parquet(os.path.join(index_dir, "postings"))
+        .drop("batch_id", "term_bucket")
+        .withColumn("term_bucket", F.pmod(F.xxhash64("term"), F.lit(term_buckets)).cast("int"))
+        .withColumn("batch_id", cb)
+    )
+    flat.persist()
+    try:
+        (
+            flat.repartition(term_buckets, "term_bucket")
+            .sortWithinPartitions("term", "doc_id")
+            .write.mode("overwrite")
+            .partitionBy("batch_id", "term_bucket")
+            .parquet(os.path.join(dst, "postings"))
+        )
+        doc_stats = flat.select("doc_id", "doc_len", "batch_id").dropDuplicates(["doc_id"])
+        doc_stats.write.mode("overwrite").partitionBy("batch_id").parquet(
+            os.path.join(dst, "doc_stats")
+        )
+        (
+            doc_stats.groupBy("batch_id")
+            .agg(F.count("*").alias("n_docs"), F.sum("doc_len").alias("total_tokens"))
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .parquet(os.path.join(dst, "batch_stats"))
+        )
+        (
+            flat.groupBy("batch_id", "term_bucket", "term")
+            .agg(F.count("*").alias("df"))
+            .write.mode("overwrite")
+            .partitionBy("batch_id", "term_bucket")
+            .parquet(os.path.join(dst, "term_stats"))
+        )
+        seg = flat.select("doc_id", "doc_len", "term", "tf", "term_bucket").withColumn(
+            "seg_id", F.pmod(F.xxhash64("doc_id"), F.lit(num_segments)).cast("int")
+        )
+        (
+            seg.groupBy("seg_id", "term_bucket")
+            .applyInPandas(_make_segment_blocks_kernel(block_codec), schema=BLOCKS_SCHEMA)
+            .withColumn("term_bucket", F.pmod(F.xxhash64("term"), F.lit(term_buckets)).cast("int"))
+            .withColumn("batch_id", cb)
+            .write.mode("overwrite")
+            .partitionBy("batch_id", "term_bucket")
+            .parquet(os.path.join(dst, "blocks"))
+        )
+    finally:
+        flat.unpersist()
+    stats = fold_corpus_stats(
+        spark, dst, term_buckets=term_buckets,
+        with_positions=with_positions, block_codec=block_codec,
+    )
+    rebuild_term_dict(spark, dst, n_docs=stats["n_docs"])
+    # preserve streaming commit records + slice checkpoints across the swap
+    for meta in ("_stream_batches", "_checkpoints"):
+        src_meta = os.path.join(index_dir, meta)
+        if os.path.isdir(src_meta):
+            shutil.copytree(src_meta, os.path.join(dst, meta))
+    old = index_dir + ".pre_compact"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(index_dir, old)
+    os.rename(dst, index_dir)
+    shutil.rmtree(old)
+    from gopensearch_spark.search.readers import invalidate
+
+    invalidate(index_dir)
+    return stats
+
+
 def compact_index(
     spark: SparkSession,
     src_dir: str,

@@ -58,6 +58,7 @@ def _make_batch_handler(
     num_segments: int,
     with_positions: bool,
     block_codec: str,
+    compact_every: int | None = None,
 ):
     from gopensearch_spark.webtext import prepare_corpus
 
@@ -102,6 +103,19 @@ def _make_batch_handler(
         with open(tmp, "w") as f:
             json.dump(rec, f)
         os.replace(tmp, _batch_ckpt(index_dir, batch_id))
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            # amortized in-stream compaction: merge the accumulated
+            # per-batch runs back to one sorted run per term (salted
+            # repartition-by-term + skew-split blocks) so query-side
+            # run counts and df-delta rows stay bounded. Runs AFTER the
+            # batch's commit record: a crash mid-compaction replays
+            # nothing (the batch is committed; the old index dir is
+            # only swapped once the compacted one is complete).
+            from gopensearch_spark.index.builder import compact_streaming_index
+
+            compact_streaming_index(
+                batch_df.sparkSession, index_dir, num_segments=num_segments
+            )
 
     return handle
 
@@ -117,8 +131,15 @@ def start_streaming_index(
     block_codec: str = "varint",
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
+    compact_every: int | None = None,
 ):
-    """Start (and return) the streaming query maintaining ``index_dir``."""
+    """Start (and return) the streaming query maintaining ``index_dir``.
+
+    ``compact_every=N`` opts into amortized in-stream compaction: after
+    every N-th committed batch the accumulated per-batch runs merge into
+    one consolidated run (``batch_id=-1``) via
+    ``builder.compact_streaming_index`` — bounding per-term run counts
+    and stat-delta rows on long-lived streams."""
     reader = spark.readStream.schema(WEB_PAGES_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -126,7 +147,8 @@ def start_streaming_index(
     writer = (
         stream.writeStream.foreachBatch(
             _make_batch_handler(index_dir, term_buckets, num_segments,
-                                with_positions, block_codec)
+                                with_positions, block_codec,
+                                compact_every=compact_every)
         )
         .option("checkpointLocation", checkpoint_dir)
     )

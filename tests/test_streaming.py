@@ -202,6 +202,74 @@ def test_prefix_prunes_on_streaming_index(spark, docs_small, tmp_path):
     pages.unpersist()
 
 
+def test_streaming_auto_compaction(spark, docs_small, tmp_path):
+    """compact_every=N: after every N-th batch the per-batch runs merge
+    into ONE consolidated batch_id=-1 run per term (salted
+    repartition-by-term); future batches keep appending under their own
+    batch_id, commit records survive the swap, queries stay
+    rank-identical to FTS5 over the union, and prefix queries still
+    partition-prune (fresh term_dict after compaction)."""
+    import glob
+
+    from gopensearch_spark.fts5_oracle import Fts5Oracle
+    from gopensearch_spark.search import prefix_match, wand_match
+    from gopensearch_spark.streaming import index_stream_available_now
+    from gopensearch_spark.webtext import prepare_corpus, synth_web_pages
+
+    inbox = str(tmp_path / "inbox")
+    idx = str(tmp_path / "idx")
+    cp = str(tmp_path / "cp")
+    os.makedirs(inbox)
+    pages = synth_web_pages(spark, docs_small.limit(120), copies=1).cache()
+    for wave in range(4):
+        pages.where(f"pmod(xxhash64(url), 4) = {wave}").coalesce(1)\
+            .write.mode("append").parquet(inbox)
+        index_stream_available_now(spark, inbox, idx, cp,
+                                   with_positions=True, compact_every=2)
+
+    # batches 0..3 drained, compactions fired after batches 1 and 3:
+    # everything is consolidated under batch_id=-1
+    parts = {os.path.basename(p) for p in glob.glob(os.path.join(idx, "postings", "batch_id=*"))}
+    assert parts == {"batch_id=-1"}, parts
+    recs = os.listdir(os.path.join(idx, "_stream_batches"))
+    assert len([r for r in recs if r.endswith(".json")]) >= 4  # records survive swaps
+
+    rows = prepare_corpus(pages).select("doc_id", "text").collect()
+    o = Fts5Oracle(); o.load([(int(r.doc_id), r.text) for r in rows])
+    got = [(int(r.doc_id), float(r.score))
+           for r in wand_match(spark, idx, ["spark", "join"], k=15, mode="or").collect()]
+    _assert_identical(got, o.match(["spark", "join"], k=15, mode="or"))
+
+    # prefix partition-prunes on the compacted index (fresh dict + meta)
+    res = prefix_match(spark, idx, "dat", k=10)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "term_bucket#" in plan.split("PartitionFilters:", 1)[1].split("]", 1)[0], plan
+    assert res.count() > 0
+
+    # a post-compaction wave appends under its own batch_id and queries
+    # stay identical over the union
+    extra = synth_web_pages(spark, docs_small.limit(150), copies=1)\
+        .where("pmod(xxhash64(url), 4) = 0")\
+        .withColumn("url", F_concat_url())
+    # (new urls so the file stream sees new content)
+    extra.coalesce(1).write.mode("append").parquet(inbox)
+    index_stream_available_now(spark, inbox, idx, cp,
+                               with_positions=True, compact_every=None)
+    parts = {os.path.basename(p) for p in glob.glob(os.path.join(idx, "postings", "batch_id=*"))}
+    assert "batch_id=-1" in parts and len(parts) == 2, parts
+    all_rows = spark.read.parquet(os.path.join(idx, "doc_stats")).count()
+    from gopensearch_spark.index.builder import read_corpus_stats
+    assert read_corpus_stats(idx)["n_docs"] == all_rows
+    o.close()
+    pages.unpersist()
+
+
+def F_concat_url():
+    from pyspark.sql import functions as F
+
+    return F.concat(F.col("url"), F.lit("?v=2"))
+
+
 def test_wand_over_streaming_index(spark, docs_small, tmp_path):
     """Block-max WAND over a MULTI-BATCH streaming index: each micro-batch
     contributes its own (term, seg) block runs with overlapping block_ids;
