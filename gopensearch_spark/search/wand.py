@@ -63,28 +63,34 @@ def _scores(tfs: np.ndarray, dls: np.ndarray, idf_t: float, avgdl: float) -> np.
 
 
 def _score_segment_and(groups: dict, idfs: dict, avgdl: float, k: int, dec=None) -> pd.DataFrame:
-    """DAAT conjunctive intersection, rarest term first, with block-range
-    skipping: later (bigger) terms only decode blocks whose
-    [min_doc_id, max_doc_id] overlaps surviving candidates."""
+    """DAAT conjunctive intersection, rarest term first, with PER-BLOCK
+    candidate-membership skipping: later (bigger) terms only decode
+    blocks whose [min_doc_id, max_doc_id] may contain a surviving
+    candidate (binary search on the sorted candidate set, per block —
+    a rare∧head query decodes only the head blocks its candidates hash
+    into, not the head term's whole posting range). Candidates are
+    sorted once after the rarest term; a multi-run index (streaming
+    micro-batches / build slices append interleaved block runs) decodes
+    unsorted, hence the explicit sort, never positional first/last."""
     order = sorted(groups, key=lambda t: int(groups[t]["n"].sum()))  # rarest term first
     cand_ids, cand_score = None, None
     for t in order:
-        rows = groups[t].sort_values("block_id")
+        rows = groups[t]
         if cand_ids is not None:
-            # cand_ids is NOT globally sorted on a multi-run index (each
-            # streaming micro-batch / build slice appends its own block
-            # runs, interleaved by block_id) — bound with min()/max(),
-            # never positional first/last
-            lo = rows["max_doc_id"].to_numpy() >= cand_ids.min()
-            hi = rows["min_doc_id"].to_numpy() <= cand_ids.max()
-            keep = lo & hi
+            mn = rows["min_doc_id"].to_numpy()
+            mx = rows["max_doc_id"].to_numpy()
+            keep = np.searchsorted(cand_ids, mx, side="right") > np.searchsorted(
+                cand_ids, mn, side="left"
+            )
             if not keep.any():
                 return pd.DataFrame({"doc_id": [], "score": []})
-            rows = rows[keep]
+            if not keep.all():
+                rows = rows[keep]
         ids, tfs, dls = _decode_term(rows, *dec) if dec else _decode_term(rows)
         sc = _scores(tfs, dls, idfs[t], avgdl)
         if cand_ids is None:
-            cand_ids, cand_score = ids, sc
+            srt = np.argsort(ids, kind="stable")
+            cand_ids, cand_score = ids[srt], sc[srt]
         else:
             common, ia, ib = np.intersect1d(cand_ids, ids, assume_unique=True, return_indices=True)
             if common.size == 0:

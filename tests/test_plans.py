@@ -122,6 +122,26 @@ def test_wand_or_block_skipping_under_skewed_idfs(spark, tmp_path):
     # accumulator set prunes toward the true top-k
     assert counted["n"] < total * 0.6, (counted["n"], total)
 
+    # AND: rare term first, then ONLY the head blocks containing a
+    # surviving candidate decode (per-block membership, not the global
+    # candidate [min, max] range — which spans everything here)
+    flat_and = [(r["doc_id"], round(r["score"], 9))
+                for r in bm25_match(spark, idx, ["common", "rare"], k=50, mode="and").collect()]
+    wnd_and = [(r["doc_id"], round(r["score"], 9))
+               for r in wand_match(spark, idx, ["common", "rare"], k=50, mode="and").collect()]
+    assert wnd_and == flat_and and len(wnd_and) == 40
+    counted["n"] = 0
+    W._decode_term = counting
+    try:
+        total = 0
+        for _, g in blocks.groupby("seg_id"):
+            total += len(g)
+            W._score_segment_and({t: gg for t, gg in g.groupby("term")},
+                                 idfs, stats["avg_doc_len"], 50)
+    finally:
+        W._decode_term = orig
+    assert counted["n"] < total * 0.6, (counted["n"], total)
+
 
 def test_prefix_scan_prunes_buckets_via_term_dict(spark, index_small):
     """Prefix queries resolve against the sorted term dictionary first,
