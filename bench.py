@@ -240,6 +240,57 @@ def bench_wand_vs_flat(copies: int) -> dict:
     return out
 
 
+def bench_stream(copies: int, batches: int = 8, compact_every: int | None = None) -> dict:
+    """Streaming micro-batch ingest throughput: drain a web_pages inbox
+    in ~``batches`` micro-batches (maxFilesPerTrigger over the 64-file
+    fixture) and report end-to-end docs/sec INCLUDING per-batch stats
+    folds, term_dict rebuilds and (optionally) in-stream compaction,
+    then a WAND query against the finished index."""
+    import time as _t
+
+    from gopensearch_spark.search import wand_match
+    from gopensearch_spark.session import get_spark
+    from gopensearch_spark.streaming import index_stream_available_now
+
+    spark = get_spark("bench-stream", master=f"local[{CPUS}]")
+    wp = _build_web_pages(
+        spark, SF_DIR, copies=copies, out=f"/tmp/gopensearch_bench/web_pages_x{copies}"
+    )
+    inbox = wp  # the fixture dir IS the inbox (64 parquet files)
+    tag = f"x{copies}_c{compact_every or 0}"
+    idx = _fresh_dir(f"/tmp/gopensearch_bench/stream_idx_{tag}")
+    cp = _fresh_dir(f"/tmp/gopensearch_bench/stream_cp_{tag}")
+    t0 = _t.time()
+    stats = index_stream_available_now(
+        spark, inbox, idx, cp,
+        term_buckets=32, num_segments=32,
+        max_files_per_trigger=max(1, 64 // batches),
+        compact_every=compact_every,
+    )
+    dt = _t.time() - t0
+    import glob
+
+    n_batches = len(glob.glob(os.path.join(idx, "_stream_batches", "batch-*.json")))
+    runs = []
+    wand_match(spark, idx, ["data"], k=5, mode="or").collect()  # warm
+    for _ in range(3):
+        q0 = _t.time()
+        wand_match(spark, idx, ["spark", "join"], k=10, mode="and").collect()
+        runs.append(_t.time() - q0)
+    return {
+        "metric": "streaming ingest",
+        "unit": "sec",
+        "cpus": CPUS,
+        "copies": copies,
+        "n_docs": stats["n_docs"],
+        "n_batches": n_batches,
+        "compact_every": compact_every,
+        "stream_ingest_sec": round(dt, 3),
+        "docs_per_sec": round(stats["n_docs"] / dt, 1),
+        "wand_and2_sec": round(min(runs), 3),
+    }
+
+
 def bench_scaling(small: int, big: int, copies: int) -> dict:
     """Same job + same input at two parallelism levels, subprocess-isolated
     so each gets a fresh JVM sized to its core count."""
@@ -274,6 +325,9 @@ if __name__ == "__main__":
     p.add_argument("--index-only", action="store_true")
     p.add_argument("--scaling", action="store_true")
     p.add_argument("--wand-vs-flat", action="store_true")
+    p.add_argument("--stream", action="store_true")
+    p.add_argument("--batches", type=int, default=8)
+    p.add_argument("--compact-every", type=int, default=None)
     p.add_argument("--copies", type=int, default=160)
     p.add_argument("--runs", type=int, default=3)
     p.add_argument("--small", type=int, default=2)
@@ -283,6 +337,9 @@ if __name__ == "__main__":
         print(json.dumps(bench_scaling(a.small, a.big, a.copies)))
     elif a.wand_vs_flat:
         print(json.dumps(bench_wand_vs_flat(a.copies)))
+    elif a.stream:
+        print(json.dumps(bench_stream(a.copies, batches=a.batches,
+                                      compact_every=a.compact_every)))
     elif a.index_only:
         print(json.dumps(bench_index_only(a.copies, runs=a.runs)))
     else:
