@@ -504,6 +504,19 @@ def _dsl_prefix_filter(spark, sf_dir):
     return hits.select("doc_id", F.round("score", _ROUND).alias("score"))
 
 
+def _dsl_match_phrase_slop(spark, sf_dir):
+    """ES `match_phrase` with `slop` routed through the FULL DSL path
+    (parse -> compile -> marker join -> additive scoring) onto the NEAR
+    trimmed-tf engine: slop maps to the FTS5 NEAR window (documented
+    divergence from Lucene's ordered edit-move slop — this engine's
+    full-text semantics are FTS5-pinned throughout). Oracle = the same
+    2-term NEAR BM25 CTE as the bm25_near2 serving-path entry."""
+    body = {"query": {"match_phrase": {"text": {"query": "spark data", "slop": 6}}},
+            "size": 25}
+    hits, _, _ = _engine(spark, sf_dir).search_df("documents", body)
+    return hits.select("doc_id", F.round("score", _ROUND).alias("score"))
+
+
 def _dsl_must_not_match(spark, sf_dir):
     """Full-text clause under must_not: all docs NOT containing the term
     (the marker-predicate routing; an inner-join formulation silently
@@ -976,7 +989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_date_histogram": _dsl_date_histogram,
         "dsl_avg_metric": _dsl_avg_metric,
         "dsl_max_metric": _dsl_max_metric,
-        "dsl_sum_metric": _dsl_sum_metric,
+        "dsl_match_phrase_slop": _dsl_match_phrase_slop,
         "dsl_cardinality": _dsl_cardinality,
         "dsl_percentiles": _dsl_percentiles,
         "dsl_date_histogram_bounds": _dsl_date_histogram_bounds,
@@ -1008,9 +1021,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- entries 51+: outside the driver's 50-entry value window ---
         # rows-only approximate paths (gated above by *_valid/*_recall/
         # *_precision), the flat-plan duplicates of WAND queries, and
-        # dsl_min_metric (same code path as dsl_max_metric, which stays
-        # in-window; its oracle remains defined for local replica runs).
+        # dsl_min_metric/dsl_sum_metric (same single-row metric code
+        # path as dsl_max_metric, which stays in-window; their oracles
+        # remain defined for local replica runs).
         "dsl_min_metric": _dsl_min_metric,
+        "dsl_sum_metric": _dsl_sum_metric,
         "bm25_head_term_flat": _bm25_flat(["data"], "or", 10),
         "bm25_and2_flat": _bm25_flat(["spark", "join"], "and", 10),
         "dedup_minhash_lsh": _dedup_minhash_lsh,
@@ -1114,6 +1129,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type AS key, count(*) AS doc_count, round(avg(value), 6) AS avg_val "
             "FROM events GROUP BY 1 ORDER BY doc_count DESC, key ASC LIMIT 5"
         ),
+        "dsl_match_phrase_slop": _near2_oracle("spark", "data", 6, 25),
         "dsl_phrase_filter": _dsl_phrase_filter_oracle("spark", "join", "en"),
         "dsl_prefix_filter": _dsl_prefix_filter_oracle("dat", 300),
         "dsl_must_not_match": (

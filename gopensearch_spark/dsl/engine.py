@@ -355,13 +355,14 @@ class Engine:
     # --- search ----------------------------------------------------------
     def _context(self, index: str) -> tuple[IndexSpec, CompileContext, list]:
         spec = self.indices[index]
-        ft_specs: list[tuple[str, str, str, bool]] = []  # (kind, query, mode, scoring)
+        # (kind, query, mode, scoring, slop)
+        ft_specs: list[tuple[str, str, str, bool, int]] = []
 
         def fulltext(field: str, m: model.Match, kind: str = "match", scoring: bool = True):
             if spec.index_dir and field == spec.text_field:
                 mode = "and" if m.operator.upper() == "AND" else "or"
                 i = len(ft_specs)
-                ft_specs.append((kind, m.query, mode, scoring))
+                ft_specs.append((kind, m.query, mode, scoring, m.slop))
                 # A REAL boolean predicate over a marker column that
                 # search_df left-joins in from the index's scoring
                 # relation. Unlike an inner/anti join, a marker predicate
@@ -443,12 +444,28 @@ class Engine:
         scored = ft_specs != []
         base = spec.df
         if ft_specs:
-            from gopensearch_spark.search import bm25_scores, phrase_match, prefix_match
+            from gopensearch_spark.search import (
+                bm25_scores,
+                near_match,
+                phrase_match,
+                prefix_match,
+            )
 
-            def relation(kind: str, q: str, mode: str) -> DataFrame:
+            def relation(kind: str, q: str, mode: str, slop: int) -> DataFrame:
                 # k=None returns the UNORDERED scoring relation — no
                 # corpus-wide sort; the Engine filters and top-k's itself.
                 if kind == "phrase":
+                    from gopensearch_spark.analysis import normalize_query_terms
+
+                    terms = normalize_query_terms(q)
+                    if slop > 0 and len(terms) >= 2:
+                        # ES match_phrase slop -> FTS5 NEAR(terms, slop):
+                        # unordered proximity window with trimmed-tf
+                        # scoring. Documented divergence from Lucene's
+                        # ordered edit-move slop — this engine's
+                        # full-text semantics are FTS5-pinned throughout.
+                        units = [("term", t) for t in terms]
+                        return near_match(self.spark, spec.index_dir, units, n=slop, k=None)
                     return phrase_match(self.spark, spec.index_dir, q, k=None)
                 if kind == "prefix":
                     return prefix_match(self.spark, spec.index_dir, q, k=None)
@@ -466,8 +483,8 @@ class Engine:
             from gopensearch_spark.search.phrase import query_scope
 
             with query_scope():
-                for i, (kind, q, mode, _scoring) in enumerate(ft_specs):
-                    rel = relation(kind, q, mode).select(
+                for i, (kind, q, mode, _scoring, slop) in enumerate(ft_specs):
+                    rel = relation(kind, q, mode, slop).select(
                         F.col("doc_id").alias(f"__ft_id_{i}"),
                         F.col("score").alias(f"__ft_score_{i}"),
                     )
@@ -478,7 +495,7 @@ class Engine:
             # only: unmatched should branches contribute 0; filter/
             # must_not clauses are score-exempt (ES filter context).
             score_expr = None
-            for i, (_k, _q, _m, scoring) in enumerate(ft_specs):
+            for i, (_k, _q, _m, scoring, _slop) in enumerate(ft_specs):
                 if not scoring:
                     continue
                 c = F.coalesce(F.col(f"__ft_score_{i}"), F.lit(0.0))

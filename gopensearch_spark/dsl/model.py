@@ -27,6 +27,9 @@ class Match:
     query: str
     fuzziness: str = ""
     operator: str = ""  # "OR" (default) | "AND"
+    slop: int = 0       # match_phrase only: 0 = exact adjacency; > 0
+    #                     maps to the FTS5 NEAR window (documented
+    #                     divergence from Lucene's edit-move slop)
 
 
 @dataclass
@@ -159,6 +162,7 @@ def _parse_match(raw: dict) -> dict[str, Match]:
                 query=str(v.get("query", "")),
                 fuzziness=str(v.get("fuzziness", "")),
                 operator=str(v.get("operator", "")),
+                slop=int(v.get("slop", 0)),
             )
         else:
             out[k] = Match(query=str(v))

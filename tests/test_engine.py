@@ -221,6 +221,40 @@ def test_match_phrase_through_engine(engine, oracle_small):
         assert math.isclose(s1, s2, rel_tol=1e-9)
 
 
+def test_match_phrase_slop_through_engine(engine, oracle_small):
+    """ES match_phrase slop maps to the FTS5 NEAR window (documented
+    divergence from Lucene's ordered edit-move slop): rank-identical to
+    the FTS5 oracle's NEAR(t0 t1, slop) through the full DSL path."""
+    body = ('{"query": {"match_phrase": {"text": '
+            '{"query": "spark data", "slop": 6}}}, "size": 10}')
+    r = engine.search("docs", body)
+    ref = oracle_small.match_raw("NEAR(spark data, 6)", k=10)
+    got = [(int(h["_id"]), h["_score"]) for h in r["hits"]["hits"]]
+    assert [d for d, _ in got] == [d for d, _ in ref] and got
+    for (_, s1), (_, s2) in zip(got, ref):
+        assert math.isclose(s1, s2, rel_tol=1e-9)
+    # slop == 0 (or omitted) stays the exact-adjacency phrase path
+    r0 = engine.search("docs", ('{"query": {"match_phrase": {"text": '
+                                '{"query": "spark join", "slop": 0}}}, "size": 10}'))
+    ref0 = oracle_small.match_raw('"spark join"', k=10)
+    assert [int(h["_id"]) for h in r0["hits"]["hits"]] == [d for d, _ in ref0]
+
+
+def test_match_phrase_slop_in_filter_context(engine, duck, oracle_small):
+    """slop phrase under bool.filter: score-exempt, composes with a
+    relational predicate; hit set = NEAR docs ∩ lang='en'."""
+    body = {"query": {"bool": {
+        "filter": [{"match_phrase": {"text": {"query": "spark data", "slop": 6}}},
+                   {"term": {"lang": "en"}}]}}, "size": 10000}
+    r = engine.search("docs", body)
+    near_ids = {d for d, _ in oracle_small.match_raw("NEAR(spark data, 6)", k=100000)}
+    en_ids = {row[0] for row in duck.execute(
+        "SELECT doc_id FROM documents WHERE lang = 'en'").fetchall()}
+    got = {int(h["_id"]) for h in r["hits"]["hits"]}
+    assert got == (near_ids & en_ids)
+    assert all(h["_score"] == 0.0 for h in r["hits"]["hits"])  # filter ctx
+
+
 def test_prefix_fulltext_through_engine(engine, oracle_small):
     r = engine.search("docs", '{"query": {"prefix": {"text": "spar"}}, "size": 10}')
     ref = oracle_small.match_raw("spar*", k=10)
