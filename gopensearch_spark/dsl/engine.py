@@ -550,7 +550,13 @@ class Engine:
                     leaves.extend(leaves_for_match(m.query, "match"))
             for f, m in q.match_phrase.items():
                 if strip_keyword(f) == spec.text_field:
-                    leaves.extend(leaves_for_match(m.query, "phrase"))
+                    # slop > 0 matched via a NEAR window, so exact-phrase
+                    # spans may not exist in the hit; highlight each term
+                    # instance instead (approximation: FTS5 would trim to
+                    # instances participating in a valid NEAR selection)
+                    leaves.extend(
+                        leaves_for_match(m.query, "match" if m.slop else "phrase")
+                    )
             for f, t in q.prefix.items():
                 if strip_keyword(f) == spec.text_field:
                     leaves.extend(leaves_for_match(t.value, "prefix"))
