@@ -140,11 +140,8 @@ def phrase_match(
 def _phrase_match(
     spark: SparkSession, index_dir: str, phrase: str | list[str], k: int | None
 ) -> DataFrame:
-    from gopensearch_spark.analysis import tokenize
-
-    from gopensearch_spark.search.readers import corpus_stats, index_table
-
     from gopensearch_spark.analysis import normalize_query_terms
+    from gopensearch_spark.search.readers import corpus_stats
 
     terms = normalize_query_terms(phrase)
     if not terms:
@@ -160,26 +157,59 @@ def _phrase_match(
         return bm25_match(spark, index_dir, terms, k=k, mode="and")
 
     distinct = sorted(set(terms))
-    buckets = sorted(set(term_buckets_for(spark, distinct, stats["term_buckets"]).values()))
-    posts = (
-        index_table(spark, index_dir, "postings")
-        .where(F.col("term_bucket").isin(buckets) & F.col("term").isin(distinct))
-        .select("doc_id", "doc_len", "term", "positions")
-    )
-    grouped = (
-        posts.groupBy("doc_id")
-        .agg(
-            F.collect_list("term").alias("terms"),
-            F.collect_list("positions").alias("poss"),
-            F.first("doc_len").alias("doc_len"),
-        )
-        .where(F.size("terms") == len(distinct))  # must contain every term
-    )
+    posts = _pruned_positional_postings(spark, index_dir, distinct, stats)
+    grouped = _group_docs_with_all_terms(posts, len(distinct))
     tf_udf = _make_phrase_tf_udf(terms)
     matches = grouped.select(
         "doc_id", "doc_len", tf_udf("terms", "poss").alias("tf")
     ).where(F.col("tf") > 0)
     return _score_topk(matches, stats["n_docs"], stats["avg_doc_len"], k)
+
+
+def _pruned_positional_postings(
+    spark: SparkSession, index_dir: str, distinct_terms: list[str], stats: dict
+) -> DataFrame:
+    from gopensearch_spark.search.readers import index_table
+
+    buckets = sorted(
+        set(term_buckets_for(spark, distinct_terms, stats["term_buckets"]).values())
+    )
+    return (
+        index_table(spark, index_dir, "postings")
+        .where(F.col("term_bucket").isin(buckets) & F.col("term").isin(distinct_terms))
+        .select("doc_id", "doc_len", "term", "positions")
+    )
+
+
+def _group_docs_with_all_terms(posts: DataFrame, n_terms: int) -> DataFrame:
+    """(doc_id, terms[], poss[], doc_len) for docs containing EVERY term.
+
+    Two-pass shape, deliberately: a skinny (doc_id, term) pass finds the
+    docs containing all terms FIRST, and only their rows enter the
+    positions groupBy. On a rare∧head phrase the docs containing just
+    the head term vastly outnumber the candidates, and ``positions`` is
+    the fat column — one-pass grouping would shuffle every head
+    posting's position bytes only to drop the doc at the
+    all-terms-present filter. The skinny aggregate shuffles 16-byte
+    rows; the fat shuffle then carries candidates only (the candidate
+    side usually broadcasts — AQE decides).
+    """
+    cand = (
+        posts.select("doc_id", "term")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("term").alias("nt"))
+        .where(F.col("nt") == n_terms)
+        .select("doc_id")
+    )
+    return (
+        posts.join(cand, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.collect_list("term").alias("terms"),
+            F.collect_list("positions").alias("poss"),
+            F.first("doc_len").alias("doc_len"),
+        )
+    )
 
 
 def prefix_match(
@@ -362,20 +392,8 @@ def _near_match(
 
     all_terms = sorted({t for kind, v in units for t in ([v] if kind == "term" else v)})
     buckets = sorted(set(term_buckets_for(spark, all_terms, stats["term_buckets"]).values()))
-    posts = (
-        index_table(spark, index_dir, "postings")
-        .where(F.col("term_bucket").isin(buckets) & F.col("term").isin(all_terms))
-        .select("doc_id", "doc_len", "term", "positions")
-    )
-    grouped = (
-        posts.groupBy("doc_id")
-        .agg(
-            F.collect_list("term").alias("terms"),
-            F.collect_list("positions").alias("poss"),
-            F.first("doc_len").alias("doc_len"),
-        )
-        .where(F.size("terms") == len(all_terms))  # all terms present
-    )
+    posts = _pruned_positional_postings(spark, index_dir, all_terms, stats)
+    grouped = _group_docs_with_all_terms(posts, len(all_terms))
 
     n_units = len(units)
     out_schema = "doc_id long, doc_len int, near_ok boolean, " + ", ".join(

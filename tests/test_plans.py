@@ -143,6 +143,23 @@ def test_wand_or_block_skipping_under_skewed_idfs(spark, tmp_path):
     assert counted["n"] < total * 0.6, (counted["n"], total)
 
 
+def test_phrase_candidate_pass_is_position_free(spark, index_small):
+    """Round-3 pin: phrase/NEAR grouping is two-pass — a skinny
+    (doc_id, term) aggregate finds docs containing ALL terms first, so
+    the fat ``positions`` bytes of docs holding only SOME query terms
+    never enter a shuffle. The plan must show a postings scan whose
+    ReadSchema excludes positions (the candidate pass) alongside the
+    positional scan."""
+    import re
+
+    from gopensearch_spark.search import phrase_match
+
+    plan = _plan(phrase_match(spark, index_small, "spark join", k=10))
+    schemas = re.findall(r"ReadSchema: ([^\n]+)", plan)
+    assert any("positions" not in s for s in schemas), schemas  # skinny pass
+    assert any("positions" in s for s in schemas), schemas      # positional pass
+
+
 def test_prefix_scan_prunes_buckets_via_term_dict(spark, index_small):
     """Prefix queries resolve against the sorted term dictionary first,
     so the postings scan is partition-pruned to the matching terms'
