@@ -816,6 +816,47 @@ FROM documents d LEFT JOIN cc ON cc.id = d.doc_id
 """
 
 
+def _split_train_val_test(spark, sf_dir):
+    """Deterministic shuffle-free train/val/test assignment (md5-bucket
+    thresholds; identical at any partitioning or cluster size — unlike
+    randomSplit). Oracle reproduces the bucket arithmetic verbatim."""
+    from gopensearch_spark.datapipe import hash_split
+
+    out = hash_split(_docs(spark, sf_dir), {"train": 0.8, "val": 0.1, "test": 0.1})
+    return out.select("doc_id", "split")
+
+
+_SPLIT_ORACLE = """
+WITH b AS (SELECT doc_id,
+  ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 10000 AS bkt
+  FROM documents)
+SELECT doc_id,
+  CASE WHEN bkt < 8000 THEN 'train' WHEN bkt < 9000 THEN 'val' ELSE 'test' END AS split
+FROM b
+"""
+
+
+def _sample_stratified(spark, sf_dir):
+    """Per-language deterministic downsampling (row-local CASE over the
+    md5 bucket — no shuffle, no per-stratum jobs)."""
+    from gopensearch_spark.datapipe import stratified_sample
+
+    out = stratified_sample(
+        _docs(spark, sf_dir), {"en": 0.5, "de": 0.25}, strat_col="lang",
+        default_fraction=1.0,
+    )
+    return out.select("doc_id", "lang")
+
+
+_STRATIFIED_ORACLE = """
+WITH b AS (SELECT doc_id, lang,
+  ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 10000 AS bkt
+  FROM documents)
+SELECT doc_id, lang FROM b
+WHERE bkt < CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2500 ELSE 10000 END
+"""
+
+
 def _mm_extract_features(spark, sf_dir):
     """Multimodal plumbing: binary payload -> fake-decoded features via
     Arrow-batched mapInPandas; the oracle checks the deterministic
@@ -980,7 +1021,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_bool_must_filter": _dsl_bool_must_filter,
         "dsl_bool_should_or": _dsl_bool_should_or,
         "dsl_bool_must_not": _dsl_bool_must_not,
-        "dsl_terms_query": _dsl_terms_query,
         "dsl_exists_query": _dsl_exists_query,
         "dsl_wildcard_query": _dsl_wildcard_query,
         "dsl_sort_limit": _dsl_sort_limit,
@@ -999,7 +1039,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_must_not_match": _dsl_must_not_match,
         # training-data pipeline operators
         "dedup_exact": _dedup_exact,
-        "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "dedup_ngram_jaccard_capped": _dedup_ngram_jaccard_capped,
         "dedup_minhash_lsh_recall": _dedup_minhash_lsh_recall,
         "dedup_simhash_recall": _dedup_simhash_recall,
@@ -1007,6 +1046,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine_lsh_precision": _dedup_embedding_cosine_lsh_precision,
         "dedup_clusters": _dedup_clusters,
         "dedup_clusters_capped": _dedup_clusters_capped,
+        "split_train_val_test": _split_train_val_test,
+        "sample_stratified": _sample_stratified,
         "mm_extract_features": _mm_extract_features,
         "mm_sample_frames": _mm_sample_frames,
         "ann_cosine_topk": _ann_cosine_topk,
@@ -1021,11 +1062,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- entries 51+: outside the driver's 50-entry value window ---
         # rows-only approximate paths (gated above by *_valid/*_recall/
         # *_precision), the flat-plan duplicates of WAND queries, and
-        # dsl_min_metric/dsl_sum_metric (same single-row metric code
-        # path as dsl_max_metric, which stays in-window; their oracles
-        # remain defined for local replica runs).
+        # dsl_min_metric/dsl_sum_metric (same single-row metric code path
+        # as in-window dsl_max_metric), dsl_terms_query (IN-list sibling
+        # of in-window dsl_bool_should_or/dsl_term_filter) and the
+        # uncapped dedup_ngram_jaccard (subsumed by the in-window capped
+        # variant) keep their oracles for local replica runs.
         "dsl_min_metric": _dsl_min_metric,
         "dsl_sum_metric": _dsl_sum_metric,
+        "dsl_terms_query": _dsl_terms_query,
+        "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "bm25_head_term_flat": _bm25_flat(["data"], "or", 10),
         "bm25_and2_flat": _bm25_flat(["spark", "join"], "and", 10),
         "dedup_minhash_lsh": _dedup_minhash_lsh,
@@ -1152,6 +1197,8 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
 """,
+        "split_train_val_test": _SPLIT_ORACLE,
+        "sample_stratified": _STRATIFIED_ORACLE,
         "mm_extract_features": (
             "SELECT doc_id, 'image' AS media_type, 64 AS feat_dim, "
             "octet_length(encode(text)) AS payload_bytes FROM documents"

@@ -12,6 +12,12 @@ from gopensearch_spark.datapipe.multimodal import (  # noqa: F401
     resize_images,
     sample_frames,
 )
+from gopensearch_spark.datapipe.sampling import (  # noqa: F401
+    hash_bucket,
+    hash_sample,
+    hash_split,
+    stratified_sample,
+)
 from gopensearch_spark.datapipe.similarity import ann_lsh_topk, cosine_topk, ivf_topk  # noqa: F401
 from gopensearch_spark.datapipe.textqc import (  # noqa: F401
     fingerprint,

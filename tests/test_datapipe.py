@@ -370,6 +370,43 @@ def test_sample_frames_fanout_cap_and_determinism(spark, docs_small):
     assert {(r["doc_id"], r["frame_idx"]): bytes(r["frame"]) for r in rows} == again
 
 
+def test_hash_split_deterministic_and_shuffle_free(spark, docs_small):
+    """Split assignment must be identical at ANY partitioning (unlike
+    randomSplit), proportions near the weights, and the plan must
+    contain NO exchange — a 10^12-doc split is one scan."""
+    from gopensearch_spark.datapipe import hash_split
+
+    base = docs_small.select("doc_id")
+    a = {r["doc_id"]: r["split"] for r in hash_split(base.repartition(1)).collect()}
+    b = {r["doc_id"]: r["split"] for r in hash_split(base.repartition(13)).collect()}
+    assert a == b
+    n = len(a)
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert abs(c["train"] / n - 0.8) < 0.06 and abs(c["val"] / n - 0.1) < 0.05
+    assert set(c) == {"train", "val", "test"}
+    plan = hash_split(base)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_hash_sample_and_stratified(spark, docs_small):
+    from gopensearch_spark.datapipe import hash_sample, stratified_sample
+
+    s1 = {r["doc_id"] for r in hash_sample(docs_small, 0.3).collect()}
+    s2 = {r["doc_id"] for r in hash_sample(docs_small.repartition(7), 0.3).collect()}
+    assert s1 == s2 and 0.15 < len(s1) / docs_small.count() < 0.45
+    # nested property: a smaller fraction is a subset of a larger one
+    s_small = {r["doc_id"] for r in hash_sample(docs_small, 0.1).collect()}
+    assert s_small <= s1
+    st = stratified_sample(docs_small, {"en": 0.0}, strat_col="lang",
+                           default_fraction=1.0)
+    rows = st.select("doc_id", "lang").collect()
+    assert rows and all(r["lang"] != "en" for r in rows)
+    total = {r["lang"] for r in docs_small.select("lang").distinct().collect()}
+    assert {r["lang"] for r in rows} == total - {"en"}
+
+
 def test_sample_frames_exact_multiple_boundary(spark):
     """dur == k*every_ms must NOT emit a frame at ts == dur (a real
     decoder has no frame at end-of-media); dur == 0/None emits none."""
