@@ -38,7 +38,9 @@ def _index_dir(spark: SparkSession, sf_dir: str) -> str:
         return _INDEX_CACHE[sf_dir]
     from gopensearch_spark.index import build_index, read_corpus_stats
 
-    out = os.path.join("/tmp/gopensearch_entry_idx_v3", os.path.basename(os.path.normpath(sf_dir)))
+    # v4: round-3 index format (term_dict/_meta.json freshness token —
+    # a v3 cache would route prefix queries onto the full-scan fallback)
+    out = os.path.join("/tmp/gopensearch_entry_idx_v4", os.path.basename(os.path.normpath(sf_dir)))
     if not os.path.exists(os.path.join(out, "corpus_stats.json")):
         build_index(
             spark,
