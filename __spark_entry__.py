@@ -475,6 +475,15 @@ def _dsl_date_histogram_bounds(spark, sf_dir):
     return df.select(F.col("key").alias("bucket_ms"), "doc_count")
 
 
+def _dsl_histogram(spark, sf_dir):
+    """ES numeric `histogram` (interval 50, min_doc_count=0 zero-fill
+    between observed min/max buckets — the ES default)."""
+    body = {"size": 0, "aggs": {"h": {"histogram": {"field": "value", "interval": 50}}}}
+    _, aggs, _ = _engine(spark, sf_dir).search_df("events", body)
+    _, df = aggs["h"]
+    return df.select(F.col("key").alias("bucket"), "doc_count")
+
+
 def _dsl_subagg(spark, sf_dir):
     body = {"size": 0, "aggs": {"types": {
         "terms": {"field": "event_type", "size": 5},
@@ -1029,7 +1038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_query_string_glob": _dsl_query_string_glob,
         "dsl_terms_agg": _dsl_terms_agg,
         "dsl_date_histogram": _dsl_date_histogram,
-        "dsl_avg_metric": _dsl_avg_metric,
+        "dsl_histogram": _dsl_histogram,
         "dsl_max_metric": _dsl_max_metric,
         "dsl_match_phrase_slop": _dsl_match_phrase_slop,
         "dsl_cardinality": _dsl_cardinality,
@@ -1071,6 +1080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # variant) keep their oracles for local replica runs.
         "dsl_min_metric": _dsl_min_metric,
         "dsl_sum_metric": _dsl_sum_metric,
+        "dsl_avg_metric": _dsl_avg_metric,
         "dsl_terms_query": _dsl_terms_query,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "bm25_head_term_flat": _bm25_flat(["data"], "or", 10),
@@ -1156,6 +1166,15 @@ def oracle_sql() -> dict[str, str]:
             "FROM events GROUP BY 1 ORDER BY 1"
         ),
         "dsl_avg_metric": "SELECT round(avg(value), 6) AS avg_value FROM events",
+        "dsl_histogram": (
+            "WITH d AS (SELECT floor(value / 50) * 50 AS bucket, count(*) AS n "
+            "FROM events GROUP BY 1), "
+            "b AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM d), "
+            "axis AS (SELECT lo + u * 50 AS bucket FROM b, "
+            "unnest(range(CAST((hi - lo) / 50 AS BIGINT) + 1)) AS t(u)) "
+            "SELECT axis.bucket, coalesce(d.n, 0) AS doc_count "
+            "FROM axis LEFT JOIN d USING (bucket) ORDER BY 1"
+        ),
         "dsl_max_metric": "SELECT round(max(value), 6) AS max_value FROM events",
         "dsl_min_metric": "SELECT round(min(value), 6) AS min_value FROM events",
         "dsl_sum_metric": "SELECT round(sum(value), 4) AS sum_value FROM events",

@@ -135,6 +135,31 @@ def compile_agg(ctx: CompileContext, filtered: DataFrame, agg: model.Aggregate) 
         if dh.min_doc_count == 0:
             out = _zero_fill_buckets(out, dh)
         return "buckets", out.orderBy(F.asc("key"))
+    if agg.histogram is not None:
+        h = agg.histogram
+        col = ctx.resolve(h.field).cast("double")
+        key = (F.floor(col / F.lit(h.interval)) * F.lit(h.interval)).alias("key")
+        out = filtered.groupBy(key).agg(
+            F.count("*").alias("doc_count"), *_metric_exprs(ctx, agg.aggs)
+        )
+        if h.min_doc_count == 0:
+            # ES default: empty buckets between the observed min and max
+            # keys. Axis size = value range / interval — bounded by the
+            # domain, never the data volume (same shape as the
+            # date_histogram zero-fill).
+            iv = h.interval
+            bounds = out.agg(F.min("key").alias("lo"), F.max("key").alias("hi")).where(
+                F.col("lo").isNotNull()
+            )
+            axis = bounds.select(
+                F.explode(
+                    F.sequence(
+                        (F.col("lo") / iv).cast("long"), (F.col("hi") / iv).cast("long")
+                    )
+                ).alias("i")
+            ).select((F.col("i") * F.lit(iv)).cast("double").alias("key"))
+            out = axis.join(out, "key", "left").na.fill({"doc_count": 0})
+        return "buckets", out.orderBy(F.asc("key"))
     metric = _metric_expr(ctx, agg)
     if metric is not None:
         return "metric", filtered.agg(metric.alias("value"))

@@ -116,6 +116,15 @@ class DateHistogram:
 
 
 @dataclass
+class Histogram:
+    """ES numeric `histogram` agg (absent from the reference's DSL;
+    ES-correct extension like min/sum/cardinality)."""
+    field: str
+    interval: float
+    min_doc_count: int = 0  # ES histogram default: empty buckets emitted
+
+
+@dataclass
 class AggField:
     field: str
     missing: str = ""
@@ -133,6 +142,7 @@ class Percentiles:
 class Aggregate:
     terms: AggTerms | None = None
     date_histogram: DateHistogram | None = None
+    histogram: Histogram | None = None
     avg: AggField | None = None
     max: AggField | None = None
     # ES-correct extensions beyond the reference's avg/max
@@ -262,6 +272,13 @@ def _parse_agg(raw: dict) -> Aggregate:
             min_doc_count=int(d.get("min_doc_count", 1)),
             extended_bounds_min=(int(eb["min"]) if "min" in eb else None),
             extended_bounds_max=(int(eb["max"]) if "max" in eb else None),
+        )
+    if "histogram" in raw:
+        h = raw["histogram"]
+        a.histogram = Histogram(
+            field=h["field"],
+            interval=float(h["interval"]),
+            min_doc_count=int(h.get("min_doc_count", 0)),
         )
     for metric in ("avg", "max", "min", "sum", "cardinality"):
         if metric in raw:

@@ -221,6 +221,35 @@ def test_match_phrase_through_engine(engine, oracle_small):
         assert math.isclose(s1, s2, rel_tol=1e-9)
 
 
+def test_numeric_histogram_agg(engine, duck, spark):
+    """ES numeric histogram: floor(value/interval)*interval buckets with
+    min_doc_count=0 zero-fill between the observed min and max (the ES
+    default) — cross-checked against DuckDB, including a value gap."""
+    r = engine.search("events", {"size": 0, "aggs": {
+        "h": {"histogram": {"field": "value", "interval": 100}}}})
+    got = [(b["key"], b["doc_count"]) for b in r["aggregations"]["h"]["buckets"]]
+    exp = duck.execute("""
+      WITH d AS (SELECT floor(value/100)*100 AS k, count(*) n FROM events GROUP BY 1),
+      b AS (SELECT min(k) lo, max(k) hi FROM d),
+      a AS (SELECT lo + u*100 AS k FROM b, unnest(range(CAST((hi-lo)/100 AS BIGINT)+1)) t(u))
+      SELECT a.k, coalesce(d.n, 0) FROM a LEFT JOIN d USING (k) ORDER BY 1
+    """).fetchall()
+    assert [(float(k), int(n)) for k, n in exp] == [(float(k), int(n)) for k, n in got]
+    # explicit gap: buckets 0 and 300 only -> 100/200 zero-filled
+    e2 = Engine(spark)
+    e2.create_index("g", spark.createDataFrame(
+        [(1, 10.0), (2, 350.0)], "id long, v double"), id_col="id")
+    r2 = e2.search("g", {"size": 0, "aggs": {
+        "h": {"histogram": {"field": "v", "interval": 100}}}})
+    assert [(b["key"], b["doc_count"]) for b in r2["aggregations"]["h"]["buckets"]] == [
+        (0.0, 1), (100.0, 0), (200.0, 0), (300.0, 1)]
+    # min_doc_count=1 suppresses empties
+    r3 = e2.search("g", {"size": 0, "aggs": {
+        "h": {"histogram": {"field": "v", "interval": 100, "min_doc_count": 1}}}})
+    assert [(b["key"], b["doc_count"]) for b in r3["aggregations"]["h"]["buckets"]] == [
+        (0.0, 1), (300.0, 1)]
+
+
 def test_match_phrase_slop_through_engine(engine, oracle_small):
     """ES match_phrase slop maps to the FTS5 NEAR window (documented
     divergence from Lucene's ordered edit-move slop): rank-identical to
