@@ -143,6 +143,35 @@ def test_wand_or_block_skipping_under_skewed_idfs(spark, tmp_path):
     assert counted["n"] < total * 0.6, (counted["n"], total)
 
 
+def test_head_term_postings_split_across_segments(spark, tmp_path):
+    """North-rule skew evidence: a Zipf-head term (present in EVERY doc)
+    must spread across all segments — the seg axis is the salting device,
+    so no single task ever holds a stopword's full posting list. Assert
+    the head term's blocks span every segment with near-uniform load."""
+    from pyspark.sql import functions as F
+
+    from gopensearch_spark.index.builder import build_postings, finalize_stats
+
+    idx = str(tmp_path / "idx")
+    docs = spark.createDataFrame(
+        [(i, "the filler " + f"w{i % 97}") for i in range(4000)],
+        "doc_id long, text string",
+    )
+    build_postings(docs, idx, term_buckets=8, num_segments=8)
+    finalize_stats(spark, idx, term_buckets=8)
+    per_seg = {
+        r["seg_id"]: r["n"]
+        for r in spark.read.parquet(f"{idx}/blocks")
+        .where(F.col("term") == "the")
+        .groupBy("seg_id")
+        .agg(F.sum("n").alias("n"))
+        .collect()
+    }
+    assert len(per_seg) == 8, per_seg            # every segment holds a share
+    assert sum(per_seg.values()) == 4000
+    assert max(per_seg.values()) < 2 * (4000 / 8), per_seg  # near-uniform
+
+
 def test_phrase_candidate_pass_is_position_free(spark, index_small):
     """Round-3 pin: phrase/NEAR grouping is two-pass — a skinny
     (doc_id, term) aggregate finds docs containing ALL terms first, so
