@@ -423,7 +423,36 @@ def fold_corpus_stats(
     O(#batches) rows, NEVER a re-aggregation of doc_stats (O(total
     docs) per micro-batch, the scale-killer at 10^12 docs). Idempotent:
     a replayed batch REPLACED its batch_stats partition, so the fold
-    can never double-count."""
+    can never double-count.
+
+    Self-healing: a doc_stats batch partition with no batch_stats row
+    (an index written by a pre-delta version, or a crash between the
+    two writes) would silently UNDERCOUNT the fold. Partition dirs are
+    compared by listing (filesystem-cheap, O(#batches)) and any missing
+    delta is backfilled from ONLY that batch's doc_stats partition."""
+
+    def _batch_ids(table: str) -> set[int]:
+        d = os.path.join(out_dir, table)
+        if not os.path.isdir(d):
+            return set()
+        return {
+            int(name.split("=", 1)[1])
+            for name in os.listdir(d)
+            if name.startswith("batch_id=")
+        }
+
+    missing = _batch_ids("doc_stats") - _batch_ids("batch_stats")
+    for b in sorted(missing):
+        (
+            spark.read.parquet(os.path.join(out_dir, "doc_stats"))
+            .where(F.col("batch_id") == b)
+            .groupBy("batch_id")
+            .agg(F.count("*").alias("n_docs"), F.sum("doc_len").alias("total_tokens"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(os.path.join(out_dir, "batch_stats"))
+        )
     row = (
         spark.read.parquet(os.path.join(out_dir, "batch_stats"))
         .agg(

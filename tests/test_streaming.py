@@ -202,6 +202,36 @@ def test_prefix_prunes_on_streaming_index(spark, docs_small, tmp_path):
     pages.unpersist()
 
 
+def test_fold_backfills_missing_batch_deltas(spark, docs_small, tmp_path):
+    """Self-healing fold: destroying a batch's batch_stats delta (a
+    pre-delta-version index, or a crash between the doc_stats and
+    batch_stats writes) must NOT silently undercount — the fold
+    backfills the missing delta from only that batch's doc_stats
+    partition and lands on the exact totals."""
+    import shutil
+
+    from gopensearch_spark.index.builder import (
+        build_postings, fold_corpus_stats, read_corpus_stats,
+    )
+    from gopensearch_spark.webtext import prepare_corpus, synth_web_pages
+
+    idx = str(tmp_path / "idx")
+    pages = synth_web_pages(spark, docs_small.limit(60), copies=1).cache()
+    corpus = prepare_corpus(pages)
+    for b in (0, 1):
+        build_postings(corpus.where(f"pmod(xxhash64(doc_id), 2) = {b}"), idx,
+                       term_buckets=8, num_segments=4, batch_id=b)
+    total = corpus.count()
+    fold_corpus_stats(spark, idx, term_buckets=8)
+    assert read_corpus_stats(idx)["n_docs"] == total
+
+    shutil.rmtree(os.path.join(idx, "batch_stats", "batch_id=0"))
+    stats = fold_corpus_stats(spark, idx, term_buckets=8)
+    assert stats["n_docs"] == total  # backfilled, not undercounted
+    assert os.path.isdir(os.path.join(idx, "batch_stats", "batch_id=0"))
+    pages.unpersist()
+
+
 def test_streaming_auto_compaction(spark, docs_small, tmp_path):
     """compact_every=N: after every N-th batch the per-batch runs merge
     into ONE consolidated batch_id=-1 run per term (salted
