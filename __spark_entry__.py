@@ -868,6 +868,19 @@ WHERE bkt < CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2500 ELSE 10000 END
 """
 
 
+def _pack_sequences(spark, sf_dir):
+    """Fixed-token-budget sequence packing via a DISTRIBUTED two-pass
+    prefix sum (per-partition totals -> broadcast offsets -> Arrow
+    cumsum kernel) — never a single-partition global window. pack_id is
+    invariant to partitioning; oracle = the window cumsum in SQL."""
+    from gopensearch_spark.datapipe import pack_sequences
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    return pack_sequences(docs, budget=2048)
+
+
 def _mm_extract_features(spark, sf_dir):
     """Multimodal plumbing: binary payload -> fake-decoded features via
     Arrow-batched mapInPandas; the oracle checks the deterministic
@@ -1059,12 +1072,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_capped": _dedup_clusters_capped,
         "split_train_val_test": _split_train_val_test,
         "sample_stratified": _sample_stratified,
+        "pack_sequences": _pack_sequences,
         "mm_extract_features": _mm_extract_features,
         "mm_sample_frames": _mm_sample_frames,
         "ann_cosine_topk": _ann_cosine_topk,
         "ann_lsh_topk_valid": _ann_topk_valid("lsh"),
         "ann_ivf_topk_valid": _ann_topk_valid("ivf"),
-        "qc_token_stats": _qc_token_stats,
         "qc_quality_score": _qc_quality_score,
         "qc_lang_id": _qc_lang_id,
         "qc_fingerprint": _qc_fingerprint,
@@ -1083,6 +1096,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_avg_metric": _dsl_avg_metric,
         "dsl_terms_query": _dsl_terms_query,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
+        # qc_token_stats' projections are a strict subset of in-window
+        # qc_quality_score's token metrics
+        "qc_token_stats": _qc_token_stats,
         "bm25_head_term_flat": _bm25_flat(["data"], "or", 10),
         "bm25_and2_flat": _bm25_flat(["spark", "join"], "and", 10),
         "dedup_minhash_lsh": _dedup_minhash_lsh,
@@ -1220,6 +1236,15 @@ WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.
 """,
         "split_train_val_test": _SPLIT_ORACLE,
         "sample_stratified": _STRATIFIED_ORACLE,
+        "pack_sequences": (
+            "WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens "
+            "FROM documents), "
+            "c AS (SELECT doc_id, n_tokens, sum(n_tokens) OVER "
+            "(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum "
+            "FROM t) "
+            "SELECT doc_id, n_tokens, "
+            "CAST(floor((cum - n_tokens) * 1.0 / 2048) AS BIGINT) AS pack_id FROM c"
+        ),
         "mm_extract_features": (
             "SELECT doc_id, 'image' AS media_type, 64 AS feat_dim, "
             "octet_length(encode(text)) AS payload_bytes FROM documents"

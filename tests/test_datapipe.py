@@ -407,6 +407,32 @@ def test_hash_sample_and_stratified(spark, docs_small):
     assert {r["lang"] for r in rows} == total - {"en"}
 
 
+def test_pack_sequences_matches_sequential_packer(spark, docs_small):
+    """pack_id must equal the greedy sequential packer's assignment
+    (exclusive prefix // budget in doc_id order) and be IDENTICAL at any
+    partitioning — the distributed two-pass prefix sum, not a
+    single-partition global window."""
+    from gopensearch_spark.datapipe import pack_sequences
+
+    docs = docs_small.select("doc_id", F.size(F.split("text", " ")).alias("n_tokens"))
+    rows = sorted(
+        [(r["doc_id"], r["n_tokens"]) for r in docs.collect()], key=lambda t: t[0]
+    )
+    budget = 500
+    expect, cum = {}, 0
+    for doc_id, n in rows:
+        expect[doc_id] = cum // budget
+        cum += n
+
+    for parted in (docs.repartition(1), docs.repartition(17)):
+        got = {r["doc_id"]: r["pack_id"]
+               for r in pack_sequences(parted, budget=budget).collect()}
+        assert got == expect
+    # plan guard: no empty-partitionBy window (single-task global sort)
+    plan = pack_sequences(docs, budget=budget)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+
+
 def test_sample_frames_exact_multiple_boundary(spark):
     """dur == k*every_ms must NOT emit a frame at ts == dur (a real
     decoder has no frame at end-of-media); dur == 0/None emits none."""
