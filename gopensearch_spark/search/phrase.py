@@ -391,9 +391,10 @@ def _near_match(
     n_docs, avgdl = stats["n_docs"], stats["avg_doc_len"]
 
     all_terms = sorted({t for kind, v in units for t in ([v] if kind == "term" else v)})
-    buckets = sorted(set(term_buckets_for(spark, all_terms, stats["term_buckets"]).values()))
     posts = _pruned_positional_postings(spark, index_dir, all_terms, stats)
     grouped = _group_docs_with_all_terms(posts, len(all_terms))
+
+    from gopensearch_spark.search.readers import term_dfs
 
     n_units = len(units)
     out_schema = "doc_id long, doc_len int, near_ok boolean, " + ", ".join(
@@ -423,16 +424,10 @@ def _near_match(
 
     matches = _persist_for_query(grouped.mapInPandas(kernel, out_schema))
     # per-unit global df: docs containing the unit anywhere (NEAR-unconstrained)
-    # -- terms read it from term_stats; phrases count their own match relation.
+    # -- terms read it from the memoized term_stats lookup (streaming
+    # delta rows pre-summed); phrases count their own match relation.
     dfs = []
-    tstats: dict[str, int] = {}
-    for r in (
-        index_table(spark, index_dir, "term_stats")
-        .where(F.col("term_bucket").isin(buckets) & F.col("term").isin(all_terms))
-        .select("term", "df")
-        .collect()
-    ):  # a streaming index has one df-delta row per micro-batch: SUM
-        tstats[r["term"]] = tstats.get(r["term"], 0) + r["df"]
+    tstats = term_dfs(spark, index_dir, all_terms)
     for kind, val in units:
         if kind == "term":
             dfs.append(tstats.get(val, 0))

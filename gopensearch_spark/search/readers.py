@@ -19,6 +19,7 @@ from gopensearch_spark.index.builder import read_corpus_stats
 
 _DF_CACHE: dict[tuple[int, str, str], DataFrame] = {}
 _STATS_CACHE: dict[str, tuple[float, dict]] = {}
+_TERM_DF_CACHE: dict[tuple[int, str], dict[str, int]] = {}
 
 
 def index_table(spark: SparkSession, index_dir: str, name: str) -> DataFrame:
@@ -42,11 +43,42 @@ def corpus_stats(index_dir: str) -> dict:
     return stats
 
 
+def term_dfs(spark: SparkSession, index_dir: str, terms: list[str]) -> dict[str, int]:
+    """term -> document frequency (delta rows summed on a streaming
+    index), memoized per (session, index). Every query used to run one
+    metrics-sized Spark job to fetch its terms' dfs; repeated queries on
+    a read-mostly index now resolve idfs driver-side. Absent terms cache
+    as 0 (callers drop them). All index writers call ``invalidate``,
+    which clears this cache alongside the DataFrame handles."""
+    key = (id(spark), index_dir)
+    cache = _TERM_DF_CACHE.setdefault(key, {})
+    missing = sorted(t for t in set(terms) if t not in cache)
+    if missing:
+        from pyspark.sql import functions as F
+
+        from gopensearch_spark.search.bm25 import term_buckets_for
+
+        stats = corpus_stats(index_dir)
+        buckets = sorted(set(term_buckets_for(spark, missing, stats["term_buckets"]).values()))
+        found: dict[str, int] = {}
+        for r in (
+            index_table(spark, index_dir, "term_stats")
+            .where(F.col("term_bucket").isin(buckets) & F.col("term").isin(missing))
+            .select("term", "df")
+            .collect()
+        ):
+            found[r["term"]] = found.get(r["term"], 0) + r["df"]
+        for t in missing:
+            cache[t] = found.get(t, 0)
+    return {t: cache[t] for t in set(terms)}
+
+
 def invalidate(index_dir: str | None = None) -> None:
     """Drop cached handles (all, or one index) — call after a rebuild."""
-    global _DF_CACHE, _STATS_CACHE
+    global _DF_CACHE, _STATS_CACHE, _TERM_DF_CACHE
     if index_dir is None:
-        _DF_CACHE, _STATS_CACHE = {}, {}
+        _DF_CACHE, _STATS_CACHE, _TERM_DF_CACHE = {}, {}, {}
         return
     _DF_CACHE = {k: v for k, v in _DF_CACHE.items() if k[1] != index_dir}
     _STATS_CACHE.pop(index_dir, None)
+    _TERM_DF_CACHE = {k: v for k, v in _TERM_DF_CACHE.items() if k[1] != index_dir}

@@ -196,22 +196,14 @@ def wand_match(
     terms = sorted(set(normalize_query_terms(query)))
     if not terms:
         raise ValueError("empty query after tokenization")
-    from gopensearch_spark.search.readers import corpus_stats, index_table
+    from gopensearch_spark.search.readers import corpus_stats, index_table, term_dfs
 
     stats = corpus_stats(index_dir)
     n_docs, avgdl = stats["n_docs"], stats["avg_doc_len"]
     buckets = sorted(set(term_buckets_for(spark, terms, stats["term_buckets"]).values()))
 
-    tstats = (
-        index_table(spark, index_dir, "term_stats")
-        .where(F.col("term_bucket").isin(buckets) & F.col("term").isin(terms))
-        .select("term", "df")
-        .collect()
-    )
-    dfs: dict[str, int] = {}
-    for r in tstats:  # a streaming index has one df-delta row per batch
-        dfs[r["term"]] = dfs.get(r["term"], 0) + r["df"]
-    idfs = {t: idf(n_docs, d) for t, d in dfs.items()}
+    # memoized df resolution (delta rows pre-summed; absent terms = 0)
+    idfs = {t: idf(n_docs, d) for t, d in term_dfs(spark, index_dir, terms).items() if d > 0}
     if mode == "and" and len(idfs) < len(terms):
         return spark.createDataFrame([], "doc_id long, score double")
     present = sorted(idfs)
