@@ -10,23 +10,35 @@ The global running sum is a DISTRIBUTED two-pass prefix sum, not a
 single-partition window (``Window.orderBy`` without partitionBy pulls
 10^12 rows through ONE task — the classic anti-pattern):
 
-1. range-partition by id and aggregate one token-total row per
-   partition (driver holds #partitions rows, never data);
-2. broadcast the exclusive per-partition offsets back and compute the
-   within-partition cumulative sum in an Arrow-batched kernel.
+1. assign each row a DETERMINISTIC partition id ``pid`` by searching a
+   driver-collected boundary list (approxQuantile over the id column),
+   and aggregate one token-total row per pid (driver holds #pids rows,
+   never data);
+2. broadcast the exclusive per-pid offsets back, hash-repartition by
+   pid, and compute the within-pid cumulative sum in an Arrow-batched
+   kernel.
 
-Correctness does not depend on where the range boundaries land (the
-sampler may place them differently across runs): each doc's prefix sum
-equals the token total of all ids before it, however they are grouped.
+Determinism is by construction, not by luck: ``pid`` is a pure function
+of the row's id against ONE collected boundary array, so the totals job
+and the kernel job can never disagree about which rows a pid holds.
+(The previous formulation stamped ``spark_partition_id()`` after
+``repartitionByRange``, whose reservoir sampling is keyed to the
+per-execution RDD id — two executions of the unpersisted relation could
+place boundary docs in different partitions and silently miscount.)
+Correctness also does not depend on WHERE the quantile boundaries land:
+each doc's prefix sum equals the token total of all ids before it,
+however the ids are grouped.
 """
 
 from __future__ import annotations
 
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def pack_sequences(
@@ -41,19 +53,42 @@ def pack_sequences(
     A document longer than ``budget`` straddles packs (it still gets
     exactly one pack_id — the pack its first token falls in), matching
     the greedy streaming packer a sequential trainer would run.
+
+    ``id_col`` must be numeric (packing order is global id order; the
+    deterministic boundary path quantile-samples the id domain).
     """
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
     spark = df.sparkSession
+    id_type = df.schema[id_col].dataType
+    if not isinstance(id_type, T.NumericType):
+        raise ValueError(
+            f"pack_sequences needs a numeric id column; {id_col!r} is "
+            f"{id_type.simpleString()} (map it to a numeric surrogate first)"
+        )
     p = num_parts or spark.sparkContext.defaultParallelism * 2
-    parts = (
-        df.select(F.col(id_col).alias("id"), F.col(len_col).cast("long").alias("len"))
-        .repartitionByRange(p, F.col("id"))
-        .sortWithinPartitions("id")
-        .withColumn("pid", F.spark_partition_id())
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(len_col).cast("long").alias("len")
     )
-    # pass 1: one (pid, total) row per partition; pid is stamped map-side
-    # before the aggregation shuffle, so totals follow the range layout
+
+    # ONE driver-collected boundary list shared by both passes. Any
+    # boundary set is correct (the math is placement-free); collecting
+    # it once is what makes pid deterministic across the two jobs.
+    bounds: list[float] = []
+    if p > 1:
+        fracs = [i / p for i in range(1, p)]
+        bounds = sorted(base.stat.approxQuantile("id", fracs, 1.0 / (4 * p)))
+    if bounds:
+        barr = F.array(*[F.lit(float(b)) for b in bounds])
+        pid_expr = F.size(
+            F.filter(barr, lambda b: b <= F.col("id").cast("double"))
+        ).cast("int")
+    else:
+        pid_expr = F.lit(0)
+    parts = base.withColumn("pid", pid_expr)
+
+    # pass 1: one (pid, total) row per pid — a groupBy on the VALUE,
+    # independent of physical placement
     totals = {r["pid"]: r["t"] for r in parts.groupBy("pid").agg(F.sum("len").alias("t")).collect()}
     offsets = {}
     acc = 0
@@ -63,23 +98,40 @@ def pack_sequences(
     bc = spark.sparkContext.broadcast(offsets)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        running = None  # carried across Arrow batches of one partition
+        # running totals per pid, carried across Arrow batches of one
+        # task (hash repartition can co-locate several pids per task;
+        # sortWithinPartitions keeps each pid's rows contiguous)
+        running: dict[int, int] = {}
         for pdf in batches:
             if pdf.empty:
                 continue
-            if running is None:
-                running = int(bc.value.get(int(pdf["pid"].iloc[0]), 0))
-            cum = pdf["len"].cumsum() + running - pdf["len"]  # exclusive prefix
-            running += int(pdf["len"].sum())
+            lens = pdf["len"].to_numpy()
+            pids = pdf["pid"].to_numpy()
+            cum = lens.cumsum() - lens  # exclusive prefix within batch
+            prefix = np.empty(len(pdf), dtype=np.int64)
+            change = np.flatnonzero(pids[1:] != pids[:-1]) + 1
+            starts = np.concatenate(([0], change))
+            ends = np.concatenate((change, [len(pids)]))
+            for s, e in zip(starts, ends):
+                pid = int(pids[s])
+                acc0 = running.get(pid)
+                if acc0 is None:
+                    acc0 = int(bc.value.get(pid, 0))
+                prefix[s:e] = cum[s:e] - cum[s] + acc0
+                running[pid] = acc0 + int(lens[s:e].sum())
             yield pd.DataFrame(
                 {
                     "id": pdf["id"],
                     "len": pdf["len"],
-                    "pack_id": (cum // budget).astype("int64"),
+                    "pack_id": prefix // budget,
                 }
             )
 
-    out = parts.mapInPandas(kernel, "id long, len long, pack_id long")
+    out = (
+        parts.repartition(p, "pid")
+        .sortWithinPartitions("pid", "id")
+        .mapInPandas(kernel, "id long, len long, pack_id long")
+    )
     return out.select(
         F.col("id").alias(id_col), F.col("len").alias(len_col), "pack_id"
     )

@@ -151,10 +151,16 @@ def compile_agg(ctx: CompileContext, filtered: DataFrame, agg: model.Aggregate) 
             bounds = out.agg(F.min("key").alias("lo"), F.max("key").alias("hi")).where(
                 F.col("lo").isNotNull()
             )
+            # lo/hi are exact bucket keys (floor(x/iv)*iv) up to float
+            # error; round() recovers the integer bucket index — a raw
+            # long cast truncates toward zero, which can drop or
+            # misalign a boundary bucket for negative keys or
+            # non-integral intervals (e.g. -1.9999999 -> -1).
             axis = bounds.select(
                 F.explode(
                     F.sequence(
-                        (F.col("lo") / iv).cast("long"), (F.col("hi") / iv).cast("long")
+                        F.round(F.col("lo") / iv).cast("long"),
+                        F.round(F.col("hi") / iv).cast("long"),
                     )
                 ).alias("i")
             ).select((F.col("i") * F.lit(iv)).cast("double").alias("key"))

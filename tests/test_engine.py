@@ -248,6 +248,16 @@ def test_numeric_histogram_agg(engine, duck, spark):
         "h": {"histogram": {"field": "v", "interval": 100, "min_doc_count": 1}}}})
     assert [(b["key"], b["doc_count"]) for b in r3["aggregations"]["h"]["buckets"]] == [
         (0.0, 1), (300.0, 1)]
+    # negative keys + non-integral interval: lo/iv = -2.9999999999999996
+    # truncates to -2 under a raw long cast, silently DROPPING the
+    # populated -2.1 bucket from the zero-filled axis; round() keeps it
+    e3 = Engine(spark)
+    e3.create_index("neg", spark.createDataFrame(
+        [(1, -2.0), (2, 1.4)], "id long, v double"), id_col="id")
+    r4 = e3.search("neg", {"size": 0, "aggs": {
+        "h": {"histogram": {"field": "v", "interval": 0.7}}}})
+    buckets = [(round(b["key"], 6), b["doc_count"]) for b in r4["aggregations"]["h"]["buckets"]]
+    assert buckets == [(-2.1, 1), (-1.4, 0), (-0.7, 0), (0.0, 0), (0.7, 0), (1.4, 1)]
 
 
 def test_match_phrase_slop_through_engine(engine, oracle_small):
