@@ -22,12 +22,24 @@ def _varint_encode_raw(values: np.ndarray) -> tuple[bytes, np.ndarray]:
     v = np.ascontiguousarray(values, dtype=np.uint64)
     if v.size == 0:
         return b"", np.empty(0, dtype=np.int64)
+    mx = int(v.max())
+    if mx < 0x80:
+        # 1-byte fast path: the overwhelmingly common case for tf and
+        # position/doc-id deltas — a straight uint8 copy, none of the
+        # uint64 shift machinery (notoriously slow in numpy)
+        return v.astype(np.uint8).tobytes(), np.ones(v.size, dtype=np.int64)
     # bytes needed per value = ceil(bitlen/7), min 1
-    nbytes = np.ones(v.size, dtype=np.int64)
-    tmp = v >> _U7
-    while tmp.any():
-        nbytes += tmp > 0
-        tmp >>= _U7
+    if mx < (1 << 53):
+        # exact bit length via the float64 exponent (exact below 2^53);
+        # ~20x faster than the uint64 shift loop
+        exp = np.frexp(v.astype(np.float64))[1]
+        nbytes = np.maximum(1, -(-exp // 7)).astype(np.int64)
+    else:
+        nbytes = np.ones(v.size, dtype=np.int64)
+        tmp = v >> _U7
+        while tmp.any():
+            nbytes += tmp > 0
+            tmp >>= _U7
     out = np.zeros(int(nbytes.sum()), dtype=np.uint8)
     starts = np.concatenate(([0], np.cumsum(nbytes)[:-1]))
     remaining = v.copy()

@@ -52,11 +52,79 @@ from gopensearch_spark import codecs
 
 BLOCK_SIZE = 128            # postings per compressed block
 DEFAULT_TERM_BUCKETS = 64   # term_bucket partitions on disk
-DEFAULT_NUM_SEGMENTS = 32   # doc-hash segments for the block index
+DEFAULT_NUM_SEGMENTS = 32   # doc-hash segments (sandbox default; see below)
+TARGET_DOCS_PER_SEGMENT = 250_000  # sizing rule input, recommended_num_segments
+
+
+GEN_POINTER = "_current"  # generation pointer file (rename-free commit)
+
+
+def resolve_index_dir(index_dir: str) -> str:
+    """Data directory of the CURRENT generation: ``<dir>/gen-N`` when a
+    ``_current`` pointer file exists, else ``<dir>`` itself (flat legacy
+    layout). Idempotent — resolving a generation dir returns it.
+
+    The pointer file is the compaction COMMIT: one small atomic write
+    (``os.replace`` locally, a single object PUT on S3/GCS), never a
+    directory rename — object stores have no rename, so versioned
+    generation dirs + a pointer are the only deployable in-place swap at
+    100 TB. Readers resolve through this on every table access; a crash
+    while building the next generation leaves the pointer (and every
+    reader) on the committed one.
+    """
+    p = os.path.join(index_dir, GEN_POINTER)
+    if not os.path.exists(p):
+        return index_dir
+    with open(p) as f:
+        return os.path.join(index_dir, f"gen-{json.load(f)['generation']}")
+
+
+def current_generation(index_dir: str) -> int:
+    """0 = flat legacy layout (no pointer)."""
+    p = os.path.join(index_dir, GEN_POINTER)
+    if not os.path.exists(p):
+        return 0
+    with open(p) as f:
+        return int(json.load(f)["generation"])
+
+
+def _commit_generation(index_dir: str, gen: int) -> None:
+    tmp = os.path.join(index_dir, GEN_POINTER + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(
+            {"generation": gen,
+             "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())},
+            f,
+        )
+    os.replace(tmp, os.path.join(index_dir, GEN_POINTER))
+
+
+def recommended_num_segments(
+    n_docs: int,
+    parallelism: int = 32,
+    target_docs_per_segment: int = TARGET_DOCS_PER_SEGMENT,
+) -> int:
+    """Segment-count sizing rule: ``max(parallelism, ceil(n_docs /
+    target_docs_per_segment))``.
+
+    Segments are the query kernel's unit of both parallelism AND memory:
+    a worst-case term (df = N, a stopword) contributes ~N/num_segments
+    postings to each per-segment Arrow group, so the per-task bound is
+    ``target_docs_per_segment`` postings per query term regardless of
+    corpus size (~2 MB decoded arrays per term at the default). The
+    parallelism floor keeps small corpora from serializing the kernel.
+    At 10^12 docs this yields 4M segments — rare terms then carry one
+    block row per touched segment, the deliberate trade for a bounded
+    worst case. ``build_index(num_segments=None)`` applies this rule
+    automatically from a corpus count."""
+    import math
+
+    return max(int(parallelism), math.ceil(max(int(n_docs), 1) / target_docs_per_segment))
 
 BLOCKS_SCHEMA = (
     "term string, seg_id int, block_id int, n int, "
     "min_doc_id long, max_doc_id long, max_tf int, min_doc_len int, "
+    "min_tf int, max_doc_len int, "
     "doc_ids binary, tfs binary, doc_lens binary"
 )
 
@@ -72,8 +140,24 @@ def _flat_postings(
     Arrow crossing per input partition; no JVM map explode, no second
     UDF round-trip — measured ~3x less GC-churny than the
     map-column + explode + encode-UDF formulation it replaces.
+
+    A ZERO-TOKEN document (empty/whitespace text) emits one sentinel row
+    with ``term = NULL, tf = 0, doc_len = 0``: it has no postings, but
+    it IS a document — FTS5 counts every row in N and avgdl (verified
+    against SQLite directly; see tests), so dropping it would shift
+    every BM25 score. Posting/blocks/term-stat writers filter the
+    sentinels out; doc_stats keeps them.
+
+    The kernel is batch-vectorized: per doc only the C-speed pieces run
+    (ASCII/NFKD fold + one regex findall); everything after — term
+    dictionary encoding, per-(doc, term) tf, sorted position lists — is
+    one pandas.factorize + numpy lexsort + run-length pass over the
+    batch's FLAT token array. The previous per-doc Python dict loop
+    (setdefault/append per token) was the build's hottest path after the
+    ASCII fold fast path; tokenizer parity is unchanged
+    (tests/test_tokenizer.py pins it against fts5vocab).
     """
-    from gopensearch_spark.analysis import term_positions
+    from gopensearch_spark.analysis import tokenize
 
     schema = "doc_id long, doc_len int, term string, tf int" + (
         ", positions binary" if with_positions else ""
@@ -81,37 +165,83 @@ def _flat_postings(
 
     def flatten(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, dls, terms, tfs, pos_flat = [], [], [], [], []
-            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
-                pos = term_positions(text if text is not None else "")
-                dl = sum(len(p) for p in pos.values())
-                for t, p in pos.items():
-                    ids.append(doc_id)
-                    dls.append(dl)
-                    terms.append(t)
-                    tfs.append(len(p))
-                    if with_positions:
-                        pos_flat.extend(p)
+            if len(pdf) == 0:
+                continue
+            ids_arr = pdf[id_col].to_numpy()
+            tok_lists = [
+                tokenize(t) if isinstance(t, str) and t else [] for t in pdf[text_col]
+            ]
+            lens = np.fromiter(
+                (len(x) for x in tok_lists), dtype=np.int64, count=len(tok_lists)
+            )
+            total = int(lens.sum())
+            if total == 0:
+                yield _sentinel_frame(ids_arr, with_positions)
+                continue
+            flat = np.empty(total, dtype=object)
+            off = 0
+            for toks in tok_lists:
+                flat[off : off + len(toks)] = toks
+                off += len(toks)
+            codes, uniques = pd.factorize(flat, sort=False)
+            doc_idx = np.repeat(np.arange(len(tok_lists), dtype=np.int64), lens)
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            pos = np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
+            # group to (doc, term) with ONE stable argsort over a fused
+            # (doc, code) key — measured ~5x faster than np.lexsort's two
+            # passes; stability keeps positions ascending within each
+            # group (FTS5 stores them sorted). Fused key fits int64 for
+            # any realistic Arrow batch; lexsort fallback guards overflow.
+            n_uniq = len(uniques)
+            if len(tok_lists) * n_uniq < (1 << 62):
+                key = doc_idx * n_uniq + codes
+                order = np.argsort(key, kind="stable")
+                ks = key[order]
+                change = np.flatnonzero(ks[1:] != ks[:-1]) + 1
+                d, c, p = doc_idx[order], codes[order], pos[order]
+            else:
+                order = np.lexsort((codes, doc_idx))
+                d, c, p = doc_idx[order], codes[order], pos[order]
+                change = np.flatnonzero((d[1:] != d[:-1]) | (c[1:] != c[:-1])) + 1
+            g = np.concatenate(([0], change))
+            tf = np.diff(np.concatenate((g, [total])))
+            uniq_terms = np.asarray(uniques, dtype=object)
             out = {
-                "doc_id": pd.Series(ids, dtype="int64"),
-                "doc_len": pd.Series(dls, dtype="int32"),
-                "term": pd.Series(terms, dtype="object"),
-                "tf": pd.Series(tfs, dtype="int32"),
+                "doc_id": pd.Series(ids_arr[d[g]], dtype="int64"),
+                "doc_len": pd.Series(lens[d[g]], dtype="int32"),
+                "term": pd.Series(uniq_terms[c[g]], dtype="object"),
+                "tf": pd.Series(tf, dtype="int32"),
             }
             if with_positions:
-                # one vectorized encode for the whole batch (tf == list len)
                 out["positions"] = pd.Series(
-                    codecs.delta_encode_chunks(
-                        np.asarray(pos_flat, dtype=np.uint64),
-                        np.asarray(tfs, dtype=np.int64),
-                    ),
+                    codecs.delta_encode_chunks(p.astype(np.uint64), tf),
                     dtype="object",
                 )
-            yield pd.DataFrame(out)
+            frame = pd.DataFrame(out)
+            empty = np.flatnonzero(lens == 0)
+            if empty.size:  # zero-token docs: doc_stats sentinels
+                frame = pd.concat(
+                    [frame, _sentinel_frame(ids_arr[empty], with_positions)],
+                    ignore_index=True,
+                )
+            yield frame
 
     return docs.select(
         F.col(id_col).cast("long").alias(id_col), F.col(text_col)
     ).mapInPandas(flatten, schema)
+
+
+def _sentinel_frame(ids: np.ndarray, with_positions: bool) -> pd.DataFrame:
+    """doc_stats sentinel rows for zero-token docs (term NULL, tf 0)."""
+    out = {
+        "doc_id": pd.Series(np.asarray(ids, dtype=np.int64), dtype="int64"),
+        "doc_len": pd.Series(np.zeros(len(ids)), dtype="int32"),
+        "term": pd.Series([None] * len(ids), dtype="object"),
+        "tf": pd.Series(np.zeros(len(ids)), dtype="int32"),
+    }
+    if with_positions:
+        out["positions"] = pd.Series([b""] * len(ids), dtype="object")
+    return pd.DataFrame(out)
 
 
 def _encoders(block_codec: str):
@@ -169,8 +299,14 @@ def _build_segment_blocks(
                     hi - off,
                     int(doc_ids[off]),
                     int(doc_ids[hi - 1]),
+                    # (max_tf, min_doc_len) -> per-block BM25 UPPER bound
+                    # (block-max WAND); (min_tf, max_doc_len) -> LOWER
+                    # bound, which lets the query layer derive a safe
+                    # top-k score floor WITHOUT decoding (wand._prefilter)
                     int(tfs[off:hi].max()),
                     int(dls[off:hi].min()),
+                    int(tfs[off:hi].min()),
+                    int(dls[off:hi].max()),
                     ids_b,
                     tfs_b,
                     dls_b,
@@ -180,7 +316,8 @@ def _build_segment_blocks(
         rows,
         columns=[
             "term", "seg_id", "block_id", "n", "min_doc_id", "max_doc_id",
-            "max_tf", "min_doc_len", "doc_ids", "tfs", "doc_lens",
+            "max_tf", "min_doc_len", "min_tf", "max_doc_len",
+            "doc_ids", "tfs", "doc_lens",
         ],
     )
 
@@ -219,6 +356,7 @@ def build_postings(
     from gopensearch_spark.util import ensure_parallelism
 
     docs = ensure_parallelism(docs)
+    out_dir = resolve_index_dir(out_dir)  # write into the live generation
     flat = _flat_postings(docs, text_col, id_col, with_positions=with_positions).withColumn(
         "term_bucket", F.pmod(F.xxhash64("term"), F.lit(term_buckets)).cast("int")
     )
@@ -232,11 +370,14 @@ def build_postings(
 
     post_parts = (["batch_id"] if batch_id is not None else []) + ["term_bucket"]
     # Materialize flat postings once; all outputs derive from it.
+    # Zero-token docs ride along as term=NULL sentinel rows: they belong
+    # in doc_stats (FTS5 counts them in N/avgdl) but never in postings.
     flat.persist()
+    posts = flat.where(F.col("term").isNotNull())
     try:
         (
             writer(
-                flat.repartition(term_buckets, "term_bucket")
+                posts.repartition(term_buckets, "term_bucket")
                 .sortWithinPartitions("term", "doc_id")
             )
             .partitionBy(*post_parts)
@@ -252,7 +393,7 @@ def build_postings(
         if batch_id is not None:
             # batch-scoped term-df deltas (see docstring)
             (
-                writer(flat.groupBy("batch_id", "term_bucket", "term").agg(F.count("*").alias("df")))
+                writer(posts.groupBy("batch_id", "term_bucket", "term").agg(F.count("*").alias("df")))
                 .partitionBy(*post_parts)
                 .parquet(os.path.join(out_dir, "term_stats"))
             )
@@ -281,7 +422,7 @@ def build_postings(
             # Blocks are per (term, seg), and a term lives in exactly
             # one bucket, so the finer grouping changes nothing
             # semantically.
-            seg = flat.select("doc_id", "doc_len", "term", "tf", "term_bucket").withColumn(
+            seg = posts.select("doc_id", "doc_len", "term", "tf", "term_bucket").withColumn(
                 "seg_id",
                 F.pmod(F.xxhash64("doc_id"), F.lit(num_segments)).cast("int"),
             )
@@ -318,6 +459,7 @@ def finalize_stats(
     ``refresh_corpus_stats`` derives N/avgdl from doc_stats, so each
     micro-batch's stats cost scans only that batch's postings.
     """
+    out_dir = resolve_index_dir(out_dir)
     postings = spark.read.parquet(os.path.join(out_dir, "postings"))
     (
         postings.groupBy("term", "term_bucket")
@@ -352,6 +494,7 @@ def rebuild_term_dict(spark: SparkSession, out_dir: str, n_docs: int) -> None:
     crash between the stats fold and this rebuild, or a raw
     build_postings append without finalize) — a stale dict must degrade
     to a slower plan, never silently drop matching terms."""
+    out_dir = resolve_index_dir(out_dir)
     (
         spark.read.parquet(os.path.join(out_dir, "term_stats"))
         .groupBy("term")
@@ -368,7 +511,7 @@ def rebuild_term_dict(spark: SparkSession, out_dir: str, n_docs: int) -> None:
 
 
 def read_term_dict_meta(out_dir: str) -> dict | None:
-    path = os.path.join(out_dir, "term_dict", "_meta.json")
+    path = os.path.join(resolve_index_dir(out_dir), "term_dict", "_meta.json")
     if not os.path.exists(path):
         return None
     with open(path) as f:
@@ -386,6 +529,7 @@ def refresh_corpus_stats(
     doc, never the postings) -> corpus_stats.json. This is the batch
     finalize/compaction path; streaming micro-batches use
     ``fold_corpus_stats`` (O(#batches) delta rows) instead."""
+    out_dir = resolve_index_dir(out_dir)
     doc_stats = spark.read.parquet(os.path.join(out_dir, "doc_stats"))
     row = doc_stats.agg(
         F.count("*").alias("n_docs"),
@@ -394,8 +538,8 @@ def refresh_corpus_stats(
     ).collect()[0]
     stats = {
         "n_docs": row["n_docs"],
-        "avg_doc_len": float(row["avg_doc_len"]),
-        "total_tokens": row["total_tokens"],
+        "avg_doc_len": float(row["avg_doc_len"] or 0.0),
+        "total_tokens": int(row["total_tokens"] or 0),
         "term_buckets": term_buckets,
         "with_positions": with_positions,
         "block_codec": block_codec,
@@ -405,6 +549,8 @@ def refresh_corpus_stats(
 
 
 def _write_corpus_stats(out_dir: str, stats: dict) -> None:
+    out_dir = resolve_index_dir(out_dir)
+    os.makedirs(out_dir, exist_ok=True)
     tmp = os.path.join(out_dir, "corpus_stats.json.tmp")
     with open(tmp, "w") as f:
         json.dump(stats, f)
@@ -429,15 +575,17 @@ def fold_corpus_stats(
     (an index written by a pre-delta version, or a crash between the
     two writes) would silently UNDERCOUNT the fold. Partition dirs are
     compared by listing (filesystem-cheap, O(#batches)) and any missing
-    delta is backfilled from ONLY that batch's doc_stats partition."""
+    delta is backfilled from ONLY that batch's doc_stats partition.
+    The listing goes through the Hadoop FileSystem API so it works on
+    any scheme Spark can write to (local, HDFS, s3a://, gs://) —
+    ``os.listdir`` would silently no-op on object-store URIs."""
+    out_dir = resolve_index_dir(out_dir)
 
     def _batch_ids(table: str) -> set[int]:
-        d = os.path.join(out_dir, table)
-        if not os.path.isdir(d):
-            return set()
+        names = _list_dir(spark, os.path.join(out_dir, table))
         return {
             int(name.split("=", 1)[1])
-            for name in os.listdir(d)
+            for name in names
             if name.startswith("batch_id=")
         }
 
@@ -453,18 +601,26 @@ def fold_corpus_stats(
             .partitionBy("batch_id")
             .parquet(os.path.join(out_dir, "batch_stats"))
         )
-    row = (
-        spark.read.parquet(os.path.join(out_dir, "batch_stats"))
-        .agg(
-            F.sum("n_docs").alias("n_docs"),
-            F.sum("total_tokens").alias("total_tokens"),
+    # empty index (no batch partition ever written — e.g. every batch
+    # empty, or nothing ingested yet): write honest zeros instead of
+    # failing the parquet read / crashing on int(None) / dividing by 0
+    if _batch_ids("batch_stats"):
+        row = (
+            spark.read.parquet(os.path.join(out_dir, "batch_stats"))
+            .agg(
+                F.sum("n_docs").alias("n_docs"),
+                F.sum("total_tokens").alias("total_tokens"),
+            )
+            .collect()[0]
         )
-        .collect()[0]
-    )
+        n_docs = int(row["n_docs"] or 0)
+        total_tokens = int(row["total_tokens"] or 0)
+    else:
+        n_docs, total_tokens = 0, 0
     stats = {
-        "n_docs": int(row["n_docs"]),
-        "avg_doc_len": row["total_tokens"] / row["n_docs"],
-        "total_tokens": int(row["total_tokens"]),
+        "n_docs": n_docs,
+        "avg_doc_len": (total_tokens / n_docs) if n_docs else 0.0,
+        "total_tokens": total_tokens,
         "term_buckets": term_buckets,
         "with_positions": with_positions,
         "block_codec": block_codec,
@@ -473,8 +629,25 @@ def fold_corpus_stats(
     return stats
 
 
+def _list_dir(spark: SparkSession, path: str) -> list[str]:
+    """Child names of ``path`` via the Hadoop FileSystem API (scheme-
+    aware: local paths, HDFS, s3a://, gs://); [] when absent. Falls back
+    to os.listdir if the JVM gateway is unreachable (plain-Python use)."""
+    try:
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(jpath):
+            return []
+        return [st.getPath().getName() for st in fs.listStatus(jpath)]
+    except Exception:
+        if not os.path.isdir(path):
+            return []
+        return os.listdir(path)
+
+
 def read_corpus_stats(out_dir: str) -> dict:
-    with open(os.path.join(out_dir, "corpus_stats.json")) as f:
+    with open(os.path.join(resolve_index_dir(out_dir), "corpus_stats.json")) as f:
         return json.load(f)
 
 
@@ -504,7 +677,7 @@ def build_index(
     id_col: str = "doc_id",
     slices: int = 1,
     term_buckets: int = DEFAULT_TERM_BUCKETS,
-    num_segments: int = DEFAULT_NUM_SEGMENTS,
+    num_segments: int | None = DEFAULT_NUM_SEGMENTS,
     build_blocks: bool = True,
     with_positions: bool = False,
     block_codec: str = "varint",
@@ -517,7 +690,16 @@ def build_index(
     crashed build resumes by skipping committed slices — the reference
     has no equivalent (its bulk ingest is a sequential HTTP loop,
     reference pkg/server/server.go:253-364).
+
+    ``num_segments=None`` sizes the segment count from the corpus via
+    ``recommended_num_segments`` (one extra count job), bounding the
+    query kernel's worst-case per-task postings independent of corpus
+    size — pass an explicit value to pin it instead.
     """
+    if num_segments is None:
+        num_segments = recommended_num_segments(
+            docs.count(), spark.sparkContext.defaultParallelism
+        )
     os.makedirs(os.path.join(out_dir, "_checkpoints"), exist_ok=True)
     done = completed_slices(out_dir)
     for s in range(slices):
@@ -573,7 +755,7 @@ def compact_streaming_index(
     index_dir: str,
     num_segments: int = DEFAULT_NUM_SEGMENTS,
 ) -> dict:
-    """Compact a multi-batch STREAMING index in place (atomic-ish swap).
+    """Compact a multi-batch STREAMING index in place — RENAME-FREE.
 
     Every micro-batch appends its own (term, seg) block runs and
     per-batch delta rows; after B batches a term's postings are spread
@@ -588,27 +770,35 @@ def compact_streaming_index(
     - postings/blocks/doc_stats/term_stats rewritten under
       ``batch_id=-1``; batch_stats collapses to ONE consolidated row, so
       ``fold_corpus_stats`` stays O(#batches-since-compaction);
-    - ``_stream_batches`` commit records are preserved across the swap
-      (replayed batches still skip);
-    - swap = build ``<dir>.compact`` fully, rename the old dir aside,
-      rename the new one in, delete the old. A crash between the two
-      renames leaves ``<dir>.pre_compact`` on disk for manual recovery —
-      the compacted data is never destructively overwritten in place.
+    - doc_stats copied from the SOURCE doc_stats (zero-token docs stay
+      in N/avgdl — FTS5 semantics);
+    - ``_stream_batches`` commit records live at the index ROOT, outside
+      any generation, so replayed batches still skip;
+    - COMMIT = write the next generation dir ``<dir>/gen-{N+1}`` fully,
+      then atomically write the ``_current`` pointer file. No directory
+      rename anywhere — deployable on object stores (S3/GCS have no
+      rename; a small pointer PUT is atomic). A crash mid-build leaves
+      the pointer (and every reader) on the committed generation; the
+      half-built dir is removed and rebuilt by the next attempt. The
+      previous generation is kept for in-flight readers; generations
+      older than that are deleted.
 
     Called manually or via ``start_streaming_index(compact_every=N)``.
     """
     import shutil
 
+    src = resolve_index_dir(index_dir)
+    gen = current_generation(index_dir)
     src_stats = read_corpus_stats(index_dir)
     term_buckets = src_stats["term_buckets"]
     block_codec = src_stats.get("block_codec", "varint")
     with_positions = bool(src_stats.get("with_positions"))
-    dst = index_dir + ".compact"
-    shutil.rmtree(dst, ignore_errors=True)
+    dst = os.path.join(index_dir, f"gen-{gen + 1}")
+    shutil.rmtree(dst, ignore_errors=True)  # junk from a crashed attempt
 
     cb = F.lit(int(CONSOLIDATED_BATCH_ID))
     flat = (
-        spark.read.parquet(os.path.join(index_dir, "postings"))
+        spark.read.parquet(os.path.join(src, "postings"))
         .drop("batch_id", "term_bucket")
         .withColumn("term_bucket", F.pmod(F.xxhash64("term"), F.lit(term_buckets)).cast("int"))
         .withColumn("batch_id", cb)
@@ -622,7 +812,16 @@ def compact_streaming_index(
             .partitionBy("batch_id", "term_bucket")
             .parquet(os.path.join(dst, "postings"))
         )
-        doc_stats = flat.select("doc_id", "doc_len", "batch_id").dropDuplicates(["doc_id"])
+        # doc_stats from the SOURCE doc_stats table, not from postings:
+        # zero-token docs have no posting rows but still count in
+        # N/avgdl (FTS5 semantics) — rebuilding from postings would drop
+        # them and shift every BM25 score across the compaction.
+        doc_stats = (
+            spark.read.parquet(os.path.join(src, "doc_stats"))
+            .drop("batch_id")
+            .dropDuplicates(["doc_id"])
+            .withColumn("batch_id", cb)
+        )
         doc_stats.write.mode("overwrite").partitionBy("batch_id").parquet(
             os.path.join(dst, "doc_stats")
         )
@@ -659,20 +858,35 @@ def compact_streaming_index(
         with_positions=with_positions, block_codec=block_codec,
     )
     rebuild_term_dict(spark, dst, n_docs=stats["n_docs"])
-    # preserve streaming commit records + slice checkpoints across the swap
-    for meta in ("_stream_batches", "_checkpoints"):
-        src_meta = os.path.join(index_dir, meta)
-        if os.path.isdir(src_meta):
-            shutil.copytree(src_meta, os.path.join(dst, meta))
-    old = index_dir + ".pre_compact"
-    shutil.rmtree(old, ignore_errors=True)
-    os.rename(index_dir, old)
-    os.rename(dst, index_dir)
-    shutil.rmtree(old)
+    # THE commit: one atomic pointer write; everything before this line
+    # is invisible to readers, everything after is cleanup
+    _commit_generation(index_dir, gen + 1)
+    _cleanup_old_generations(index_dir, gen + 1)
     from gopensearch_spark.search.readers import invalidate
 
     invalidate(index_dir)
     return stats
+
+
+_TABLE_DIRS = ("postings", "blocks", "doc_stats", "term_stats", "batch_stats", "term_dict")
+
+
+def _cleanup_old_generations(index_dir: str, committed_gen: int) -> None:
+    """Keep the committed generation plus ONE predecessor (for in-flight
+    readers); delete anything older. Generation 0 is the flat legacy
+    layout — its table dirs live at the index root, so only those are
+    removed (never ``_stream_batches``/``_checkpoints``/the pointer)."""
+    import shutil
+
+    for g in range(1, committed_gen - 1):
+        shutil.rmtree(os.path.join(index_dir, f"gen-{g}"), ignore_errors=True)
+    if committed_gen >= 2:  # flat layout is now two generations old
+        for t in _TABLE_DIRS:
+            shutil.rmtree(os.path.join(index_dir, t), ignore_errors=True)
+        try:
+            os.remove(os.path.join(index_dir, "corpus_stats.json"))
+        except OSError:
+            pass
 
 
 def compact_index(
@@ -719,8 +933,11 @@ def compact_index(
             .partitionBy("term_bucket")
             .parquet(os.path.join(dst_dir, "postings"))
         )
+        # source doc_stats, not postings-derived: preserves zero-token
+        # docs' membership in N/avgdl (see compact_streaming_index)
         (
-            flat.select("doc_id", "doc_len")
+            spark.read.parquet(os.path.join(src_dir, "doc_stats"))
+            .drop("batch_id")
             .dropDuplicates(["doc_id"])
             .write.mode("overwrite")
             .parquet(os.path.join(dst_dir, "doc_stats"))

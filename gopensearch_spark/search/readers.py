@@ -15,7 +15,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
-from gopensearch_spark.index.builder import read_corpus_stats
+from gopensearch_spark.index.builder import read_corpus_stats, resolve_index_dir
 
 _DF_CACHE: dict[tuple[int, str, str], DataFrame] = {}
 _STATS_CACHE: dict[str, tuple[float, dict]] = {}
@@ -23,23 +23,28 @@ _TERM_DF_CACHE: dict[tuple[int, str], dict[str, int]] = {}
 
 
 def index_table(spark: SparkSession, index_dir: str, name: str) -> DataFrame:
-    """`postings` / `term_stats` / `blocks` / `doc_stats` reader, memoized."""
-    key = (id(spark), index_dir, name)
+    """`postings` / `term_stats` / `blocks` / `doc_stats` reader, memoized.
+
+    Cache keys hold the RESOLVED generation dir, so a pointer flip
+    (rename-free compaction) naturally misses the stale handle even
+    before ``invalidate`` runs."""
+    key = (id(spark), resolve_index_dir(index_dir), name)
     df = _DF_CACHE.get(key)
     if df is None:
-        df = spark.read.parquet(os.path.join(index_dir, name))
+        df = spark.read.parquet(os.path.join(key[1], name))
         _DF_CACHE[key] = df
     return df
 
 
 def corpus_stats(index_dir: str) -> dict:
-    path = os.path.join(index_dir, "corpus_stats.json")
+    resolved = resolve_index_dir(index_dir)
+    path = os.path.join(resolved, "corpus_stats.json")
     mtime = os.path.getmtime(path)
-    hit = _STATS_CACHE.get(index_dir)
+    hit = _STATS_CACHE.get(resolved)
     if hit is not None and hit[0] == mtime:
         return hit[1]
     stats = read_corpus_stats(index_dir)
-    _STATS_CACHE[index_dir] = (mtime, stats)
+    _STATS_CACHE[resolved] = (mtime, stats)
     return stats
 
 
@@ -74,11 +79,17 @@ def term_dfs(spark: SparkSession, index_dir: str, terms: list[str]) -> dict[str,
 
 
 def invalidate(index_dir: str | None = None) -> None:
-    """Drop cached handles (all, or one index) — call after a rebuild."""
+    """Drop cached handles (all, or one index) — call after a rebuild.
+    Prefix-matched: cache keys may hold generation subdirs of the index
+    (``<dir>/gen-N``), which must invalidate with their root."""
     global _DF_CACHE, _STATS_CACHE, _TERM_DF_CACHE
     if index_dir is None:
         _DF_CACHE, _STATS_CACHE, _TERM_DF_CACHE = {}, {}, {}
         return
-    _DF_CACHE = {k: v for k, v in _DF_CACHE.items() if k[1] != index_dir}
-    _STATS_CACHE.pop(index_dir, None)
-    _TERM_DF_CACHE = {k: v for k, v in _TERM_DF_CACHE.items() if k[1] != index_dir}
+
+    def _keep(path: str) -> bool:
+        return path != index_dir and not path.startswith(index_dir.rstrip(os.sep) + os.sep)
+
+    _DF_CACHE = {k: v for k, v in _DF_CACHE.items() if _keep(k[1])}
+    _STATS_CACHE = {k: v for k, v in _STATS_CACHE.items() if _keep(k)}
+    _TERM_DF_CACHE = {k: v for k, v in _TERM_DF_CACHE.items() if _keep(k[1])}

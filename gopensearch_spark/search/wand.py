@@ -183,12 +183,121 @@ def _topk_frame(ids: np.ndarray, scores: np.ndarray, k: int) -> pd.DataFrame:
     return pd.DataFrame({"doc_id": ids[sel].astype("int64"), "score": scores[sel]})
 
 
+# Pre-filter engages only when the query terms' total postings exceed
+# this — per-segment Arrow groups below it are trivially small, and the
+# probe jobs would be pure latency on a sandbox-sized index.
+PREFILTER_MIN_POSTINGS = 500_000
+# AND pre-filter broadcasts the rarest term's block ranges; skip it when
+# even the rarest term is this common (the broadcast would be large and
+# the range join unselective).
+PREFILTER_MAX_RARE_DF = 1 << 20
+
+
+def _bm25_w(tf, dl, avgdl: float):
+    """BM25 tf-weight as a Column expression (monotone up in tf, down in dl)."""
+    return tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / avgdl))
+
+
+def _idf_map(idfs: dict) -> F.Column:
+    kv = []
+    for t, v in idfs.items():
+        kv += [F.lit(t), F.lit(float(v))]
+    return F.create_map(*kv)[F.col("term")]
+
+
+def _prefilter_blocks(
+    blocks: DataFrame, idfs: dict, dfs: dict, avgdl: float, k: int, mode: str
+) -> DataFrame:
+    """Drop block rows that provably cannot affect the exact top-k BEFORE
+    the per-segment applyInPandas group materializes them — the kernel's
+    own skipping decides what to DECODE, but only after a whole segment's
+    block rows (compressed bytes included) sit in one pandas frame. At
+    10^12 docs a stopword's per-segment rows are the per-task memory
+    bound; this filter makes that bound ~(candidate blocks) instead of
+    ~(all blocks of the head term).
+
+    AND — rarest-term range overlap: a kept block of term t must overlap
+    [min_doc_id, max_doc_id] of SOME rarest-term block in the same
+    segment. Exact: an AND candidate doc appears in the rare term's
+    postings, hence in some rare block r of its own segment; any block of
+    any other term containing that doc overlaps r by construction, so
+    dropped blocks contain no candidate.
+
+    OR — score-floor filter: the per-block LOWER bound lb(min_tf,
+    max_doc_len) gives, per term, >= k distinct docs scoring >= theta
+    (cumulate block n over that term's best-lb blocks: within one term a
+    doc occurs once), so the true k-th score >= theta. A block of term t
+    is kept iff ub_t(block) + sum_{s != t} idf_s*(K1+1) >= theta (the
+    free tf->inf cap bounds every other term's contribution). Any doc in
+    a dropped block scores < theta <= kth, so it is outside the true
+    top-k; every true top-k doc's blocks survive (its ub >= its score >=
+    theta), so survivors keep EXACT scores and partial-score artifacts
+    rank strictly below them. Rank identity is pinned by
+    tests/test_plans.py::test_wand_prefilter_* and the rank-identity
+    fuzz suite."""
+    idf_col = _idf_map(idfs)
+    ub = idf_col * _bm25_w(F.col("max_tf").cast("double"),
+                           F.col("min_doc_len").cast("double"), avgdl)
+    if mode == "and":
+        rare = min(dfs, key=lambda t: dfs[t])
+        if dfs[rare] > PREFILTER_MAX_RARE_DF:
+            return blocks
+        b = blocks.alias("b")
+        r = (
+            blocks.where(F.col("term") == rare)
+            .select(
+                F.col("seg_id").alias("r_seg"),
+                F.col("min_doc_id").alias("r_min"),
+                F.col("max_doc_id").alias("r_max"),
+            )
+            .alias("r")
+        )
+        return b.join(
+            F.broadcast(r),
+            (F.col("b.seg_id") == F.col("r.r_seg"))
+            & (F.col("b.min_doc_id") <= F.col("r.r_max"))
+            & (F.col("b.max_doc_id") >= F.col("r.r_min")),
+            "leftsemi",
+        )
+    # OR: theta probe — one TakeOrdered job over (term, lb, n), k rows
+    # per term suffice (block n >= 1)
+    lb = idf_col * _bm25_w(F.col("min_tf").cast("double"),
+                           F.col("max_doc_len").cast("double"), avgdl)
+    top = (
+        blocks.select("term", lb.alias("lb"), "n")
+        .orderBy(F.desc("lb"))
+        .limit(k * len(idfs))
+        .collect()
+    )
+    theta = None
+    per_term: dict[str, list] = {}
+    for row in top:
+        per_term.setdefault(row["term"], []).append(row)
+    for t, rows in per_term.items():
+        cum = 0
+        for row in rows:  # already in global lb-desc order
+            cum += row["n"]
+            if cum >= k:
+                theta = row["lb"] if theta is None else max(theta, row["lb"])
+                break
+    if theta is None:
+        return blocks  # fewer than k docs under any single term: no safe floor
+    caps = {t: idfs[t] * (K1 + 1.0) for t in idfs}
+    total_cap = sum(caps.values())
+    thr_kv = []
+    for t in idfs:
+        thr_kv += [F.lit(t), F.lit(float(theta - (total_cap - caps[t])))]
+    thr = F.create_map(*thr_kv)[F.col("term")]
+    return blocks.where(ub >= thr)
+
+
 def wand_match(
     spark: SparkSession,
     index_dir: str,
     query: str | list[str],
     k: int = 10,
     mode: str = "and",
+    prefilter_min_postings: int = PREFILTER_MIN_POSTINGS,
 ) -> DataFrame:
     """Top-k BM25 match over the compressed block index."""
     from gopensearch_spark.analysis import normalize_query_terms
@@ -203,14 +312,24 @@ def wand_match(
     buckets = sorted(set(term_buckets_for(spark, terms, stats["term_buckets"]).values()))
 
     # memoized df resolution (delta rows pre-summed; absent terms = 0)
-    idfs = {t: idf(n_docs, d) for t, d in term_dfs(spark, index_dir, terms).items() if d > 0}
+    all_dfs = term_dfs(spark, index_dir, terms)
+    idfs = {t: idf(n_docs, d) for t, d in all_dfs.items() if d > 0}
     if mode == "and" and len(idfs) < len(terms):
         return spark.createDataFrame([], "doc_id long, score double")
     present = sorted(idfs)
+    dfs = {t: all_dfs[t] for t in present}
 
     blocks = index_table(spark, index_dir, "blocks").where(
         F.col("term_bucket").isin(buckets) & F.col("term").isin(present)
     )
+    # Bound each segment group's materialized rows (see _prefilter_blocks).
+    # Engages only past the postings threshold AND on indexes whose block
+    # format carries the lower-bound columns (round-4 format).
+    if (
+        sum(dfs.values()) >= prefilter_min_postings
+        and "min_tf" in blocks.columns
+    ):
+        blocks = _prefilter_blocks(blocks, idfs, dfs, avgdl, k, mode)
 
     dec = _decoders(stats.get("block_codec", "varint"))
 

@@ -201,3 +201,100 @@ def test_prefix_scan_prunes_buckets_via_term_dict(spark, index_small):
     assert "StringStartsWith(term,dat)" in plan
     # unmatched prefix short-circuits to an empty relation, no scan job
     assert prefix_match(spark, index_small, "zzzzqq", k=5).count() == 0
+
+
+def test_wand_prefilter_bounds_segment_rows(spark, tmp_path):
+    """Round-4 pin: the DataFrame-layer block pre-filter bounds what a
+    per-segment Arrow group MATERIALIZES (the kernel's own skipping only
+    bounds what it decodes, after a whole segment's rows already sit in
+    one pandas frame). For a head-term query whose strong postings are
+    doc_id-clustered, surviving rows must be a small fraction of the
+    term's blocks — with rank identity to the unfiltered paths."""
+    from pyspark.sql import functions as F
+
+    from gopensearch_spark.index.builder import build_postings, finalize_stats, read_corpus_stats
+    from gopensearch_spark.search import bm25_match, wand_match
+    from gopensearch_spark.search import wand as W
+    from gopensearch_spark.search.bm25 import idf as _idf
+
+    idx = str(tmp_path / "idx")
+    # 'common' in every doc: tf=30 for doc_id < 500 (clustered strong
+    # region), tf=1 elsewhere; 'rare' clustered in [3000, 3040)
+    rows = [
+        (
+            i,
+            ("common " * 30 if i < 500 else "common ")
+            + ("rare " if 3000 <= i < 3040 else "")
+            + f"w{i % 211}",
+        )
+        for i in range(20_000)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    build_postings(docs, idx, term_buckets=8, num_segments=4)
+    finalize_stats(spark, idx, term_buckets=8)
+    stats = read_corpus_stats(idx)
+    blocks = spark.read.parquet(f"{idx}/blocks")
+
+    def _dfs(terms):
+        return {
+            r["term"]: r["df"]
+            for r in spark.read.parquet(f"{idx}/term_stats")
+            .where(F.col("term").isin(terms)).collect()
+        }
+
+    # --- OR / single head term: theta floor drops weak blocks -----------
+    dfs = _dfs(["common"])
+    idfs = {t: _idf(stats["n_docs"], d) for t, d in dfs.items()}
+    b = blocks.where(F.col("term") == "common")
+    kept = W._prefilter_blocks(b, idfs, dfs, stats["avg_doc_len"], 10, "or")
+    total, surv = b.count(), kept.count()
+    assert surv < total * 0.25, (surv, total)
+    assert surv >= 4  # at least the strong block of each segment
+    # rank identity: pre-filter forced on vs off vs the flat path
+    flat = [(r["doc_id"], round(r["score"], 9))
+            for r in bm25_match(spark, idx, ["common"], k=10, mode="or").collect()]
+    for thresh in (0, 10**9):
+        got = [(r["doc_id"], round(r["score"], 9))
+               for r in wand_match(spark, idx, ["common"], k=10, mode="or",
+                                   prefilter_min_postings=thresh).collect()]
+        assert got == flat and len(got) == 10
+
+    # --- AND / rare range overlap: head blocks outside the rare range drop
+    dfs2 = _dfs(["common", "rare"])
+    idfs2 = {t: _idf(stats["n_docs"], d) for t, d in dfs2.items()}
+    b2 = blocks.where(F.col("term").isin(["common", "rare"]))
+    kept2 = W._prefilter_blocks(b2, idfs2, dfs2, stats["avg_doc_len"], 10, "and")
+    total2, surv2 = b2.count(), kept2.count()
+    assert surv2 < total2 * 0.25, (surv2, total2)
+    flat_and = [(r["doc_id"], round(r["score"], 9))
+                for r in bm25_match(spark, idx, ["common", "rare"], k=50, mode="and").collect()]
+    for thresh in (0, 10**9):
+        got = [(r["doc_id"], round(r["score"], 9))
+               for r in wand_match(spark, idx, ["common", "rare"], k=50, mode="and",
+                                   prefilter_min_postings=thresh).collect()]
+        assert got == flat_and and len(got) == 40
+
+
+def test_wand_prefilter_or_multi_term_rank_identity(spark, tmp_path):
+    """Multi-term OR with the pre-filter forced on: exact scores vs the
+    flat path (the per-term threshold composes theta with the other
+    terms' tf->inf caps — dropped blocks can never reach the top-k)."""
+    from gopensearch_spark.index.builder import build_postings, finalize_stats
+    from gopensearch_spark.search import bm25_match, wand_match
+
+    idx = str(tmp_path / "idx")
+    rows = [
+        (i, ("alpha " * (1 + i % 7)) + ("beta " if i % 3 == 0 else "")
+            + ("gamma " if i % 50 == 7 else "") + f"w{i % 83}")
+        for i in range(6000)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    build_postings(docs, idx, term_buckets=8, num_segments=4)
+    finalize_stats(spark, idx, term_buckets=8)
+    for k in (5, 25, 100):
+        flat = [(r["doc_id"], round(r["score"], 9))
+                for r in bm25_match(spark, idx, ["alpha", "beta", "gamma"], k=k, mode="or").collect()]
+        got = [(r["doc_id"], round(r["score"], 9))
+               for r in wand_match(spark, idx, ["alpha", "beta", "gamma"], k=k, mode="or",
+                                   prefilter_min_postings=0).collect()]
+        assert got == flat, (k, got[:3], flat[:3])

@@ -258,8 +258,13 @@ def test_streaming_auto_compaction(spark, docs_small, tmp_path):
                                    with_positions=True, compact_every=2)
 
     # batches 0..3 drained, compactions fired after batches 1 and 3:
-    # everything is consolidated under batch_id=-1
-    parts = {os.path.basename(p) for p in glob.glob(os.path.join(idx, "postings", "batch_id=*"))}
+    # everything is consolidated under batch_id=-1, in a GENERATION dir
+    # committed by a pointer write (rename-free: deployable on object
+    # stores) — data paths resolve through the pointer
+    from gopensearch_spark.index.builder import resolve_index_dir
+    data = resolve_index_dir(idx)
+    assert data != idx and os.path.basename(data).startswith("gen-"), data
+    parts = {os.path.basename(p) for p in glob.glob(os.path.join(data, "postings", "batch_id=*"))}
     assert parts == {"batch_id=-1"}, parts
     recs = os.listdir(os.path.join(idx, "_stream_batches"))
     assert len([r for r in recs if r.endswith(".json")]) >= 4  # records survive swaps
@@ -285,9 +290,10 @@ def test_streaming_auto_compaction(spark, docs_small, tmp_path):
     extra.coalesce(1).write.mode("append").parquet(inbox)
     index_stream_available_now(spark, inbox, idx, cp,
                                with_positions=True, compact_every=None)
-    parts = {os.path.basename(p) for p in glob.glob(os.path.join(idx, "postings", "batch_id=*"))}
+    data = resolve_index_dir(idx)
+    parts = {os.path.basename(p) for p in glob.glob(os.path.join(data, "postings", "batch_id=*"))}
     assert "batch_id=-1" in parts and len(parts) == 2, parts
-    all_rows = spark.read.parquet(os.path.join(idx, "doc_stats")).count()
+    all_rows = spark.read.parquet(os.path.join(data, "doc_stats")).count()
     from gopensearch_spark.index.builder import read_corpus_stats
     assert read_corpus_stats(idx)["n_docs"] == all_rows
     o.close()
@@ -354,3 +360,60 @@ def test_wand_and_on_range_split_batches(spark, tmp_path):
                for r in wand_match(spark, idx, terms, k=200, mode=mode).collect()]
         assert wnd == flat, (terms, mode, len(wnd), len(flat))
         assert len(flat) > 100 or mode == "and" and "rare" in terms
+
+
+def test_compaction_crash_leaves_readers_on_committed_generation(spark, docs_small, tmp_path):
+    """Rename-free commit crash window: a compaction that dies while
+    building gen-(N+1) must leave the pointer — and every reader — on
+    generation N; the next compaction attempt rebuilds the junk dir and
+    commits atomically. There is no rename anywhere in the flow."""
+    import shutil
+
+    from gopensearch_spark.fts5_oracle import Fts5Oracle
+    from gopensearch_spark.index.builder import (
+        compact_streaming_index,
+        current_generation,
+        resolve_index_dir,
+    )
+    from gopensearch_spark.search import wand_match
+    from gopensearch_spark.streaming import index_stream_available_now
+    from gopensearch_spark.webtext import prepare_corpus, synth_web_pages
+
+    inbox, idx, cp = (str(tmp_path / d) for d in ("inbox", "idx", "cp"))
+    os.makedirs(inbox)
+    pages = synth_web_pages(spark, docs_small.limit(100), copies=1).cache()
+    pages.coalesce(1).write.mode("append").parquet(inbox)
+    index_stream_available_now(spark, inbox, idx, cp, with_positions=True)
+
+    compact_streaming_index(spark, idx, num_segments=4)
+    assert current_generation(idx) == 1
+
+    rows = prepare_corpus(pages).select("doc_id", "text").collect()
+    o = Fts5Oracle(); o.load([(int(r.doc_id), r.text) for r in rows])
+    ref = o.match(["spark", "join"], k=10, mode="or")
+
+    # simulate a crash mid-build of gen-2: a half-written table dir
+    junk = os.path.join(idx, "gen-2", "postings")
+    os.makedirs(junk)
+    with open(os.path.join(junk, "part-garbage.parquet"), "wb") as f:
+        f.write(b"\x00not a parquet file")
+    # pointer still says gen-1; every read path serves the committed gen
+    assert resolve_index_dir(idx).endswith("gen-1")
+    got = [(int(r.doc_id), float(r.score))
+           for r in wand_match(spark, idx, ["spark", "join"], k=10, mode="or").collect()]
+    _assert_identical(got, ref)
+
+    # the retry rebuilds gen-2 from scratch and commits via the pointer
+    compact_streaming_index(spark, idx, num_segments=4)
+    assert current_generation(idx) == 2
+    assert resolve_index_dir(idx).endswith("gen-2")
+    got = [(int(r.doc_id), float(r.score))
+           for r in wand_match(spark, idx, ["spark", "join"], k=10, mode="or").collect()]
+    _assert_identical(got, ref)
+    # flat-layout tables (two generations old) were cleaned up; gen-1 kept
+    assert not os.path.isdir(os.path.join(idx, "postings"))
+    assert os.path.isdir(os.path.join(idx, "gen-1"))
+    # streaming commit records live at the root, outside generations
+    assert os.path.isdir(os.path.join(idx, "_stream_batches"))
+    o.close()
+    pages.unpersist()

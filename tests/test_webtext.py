@@ -164,3 +164,33 @@ def test_compact_index_merges_slices(spark, docs_small, oracle_small, tmp_path):
     got = [(int(r["doc_id"]), float(r["score"]))
            for r in phrase_match(spark, dst, "spark join", k=10).collect()]
     assert [d for d, _ in got] == [d for d, _ in ref]
+
+
+def test_positions_optional_profile(spark, docs_small, oracle_small, tmp_path):
+    """detail=none analogue (FTS5 has one): with_positions=False (the
+    build default) skips per-posting position lists — materially smaller
+    postings at 100 TB — while BM25/WAND/prefix stay fully functional
+    and rank-identical; phrase/NEAR raise the clear capability error."""
+    import math
+
+    from gopensearch_spark.index import build_index
+    from gopensearch_spark.search import near_match, phrase_match, prefix_match, wand_match
+
+    idx = str(tmp_path / "nopos")
+    build_index(spark, docs_small, idx, term_buckets=8, num_segments=4,
+                with_positions=False)
+    post = spark.read.parquet(os.path.join(idx, "postings"))
+    assert "positions" not in post.columns
+
+    got = [(int(r["doc_id"]), float(r["score"]))
+           for r in wand_match(spark, idx, ["spark", "join"], k=10, mode="or").collect()]
+    ref = oracle_small.match(["spark", "join"], k=10, mode="or")
+    assert [d for d, _ in got] == [d for d, _ in ref]
+    for (_, a), (_, b) in zip(got, ref):
+        assert math.isclose(a, b, rel_tol=1e-9)
+    assert prefix_match(spark, idx, "dat", k=5).count() > 0
+
+    with pytest.raises(ValueError, match="without positions"):
+        phrase_match(spark, idx, "spark join", k=5).collect()
+    with pytest.raises(ValueError, match="without positions"):
+        near_match(spark, idx, [("term", "spark"), ("term", "data")], n=5, k=5).collect()
