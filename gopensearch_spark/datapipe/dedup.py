@@ -481,54 +481,78 @@ def connected_components(
     """(id, cluster_id) for every id in ``pairs`` — cluster_id = the
     minimum id reachable through the pair graph.
 
-    Min-label propagation: every node starts labeled with itself; each
-    round takes the min over its neighbors' labels; converged when no
-    label changes. Rounds needed = graph diameter (near-dup clusters are
-    shallow — typically 2-4 rounds). Each round is one join + one
-    groupBy, all shuffles keyed by node id; checkpointing truncates the
-    growing lineage so round N's plan doesn't replay rounds 1..N-1.
+    Alternating large-star / small-star (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", 2014): each round rewires every
+    node's neighbors toward its local minimum, collapsing the graph into
+    stars in O(log^2 n) rounds worst case — an adversarial 10^6-node
+    PATH converges in ~2*log2(n) rounds, where plain min-label
+    propagation needs diameter (= 10^6) join rounds. Near-dup graphs are
+    shallow, but a dedup operator must not melt down on the adversarial
+    shape (pinned by tests/test_datapipe.py::test_connected_components_
+    long_path_converges_in_log_rounds). Each round is two groupBy-min +
+    two joins, all shuffles keyed by node id; checkpointing truncates
+    the growing lineage so round N's plan doesn't replay rounds 1..N-1.
 
     ``reliable_checkpoint=True`` uses `DataFrame.checkpoint()` (requires
     `spark.sparkContext.setCheckpointDir(...)` to durable storage) so an
     executor loss mid-iteration recovers from HDFS/S3 instead of
-    recomputing the whole propagation — the right setting for a
-    many-hour 10^12-edge run; the default `localCheckpoint` (executor
-    memory/disk) is cheaper and fine for interactive scale.
-    """
+    recomputing the whole run — the right setting for a many-hour
+    10^12-edge job; the default `localCheckpoint` (executor memory/disk)
+    is cheaper and fine for interactive scale.
+
+    After each call, ``connected_components.last_rounds`` holds the
+    number of rounds the run took (convergence observability)."""
 
     def ckpt(df: DataFrame) -> DataFrame:
         return df.checkpoint() if reliable_checkpoint else df.localCheckpoint()
 
-    edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
-        .distinct()
-        .persist()
+    # canonical direction u > v, self-loops dropped
+    raw = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b")).where(
+        F.col("a") != F.col("b")
     )
-    labels = ckpt(
-        edges.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
+    edges = ckpt(
+        raw.select(
+            F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+        ).distinct()
     )
+    rounds = 0
     for _ in range(max_iter):
-        nbr = (
-            edges.join(labels, edges["src"] == labels["id"])
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.min("label").alias("nbr_min"))
+        rounds += 1
+        # large-star: m(u) = min(N(u) ∪ {u}); every neighbor v > u
+        # re-points to m — long chains halve toward the minimum
+        sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        large = (
+            sym.join(m, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )  # every edge now points strictly downward (m < v)
+        # small-star: over the downward edges, every node and its
+        # smaller neighbors re-point to the local minimum
+        m2 = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            large.join(m2, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .union(m2.select(F.col("u"), F.col("m").alias("v")))
+            .distinct()
         )
-        new = ckpt(
-            labels.join(nbr, "id", "left")
-            .select("id", F.least("label", F.coalesce("nbr_min", "label")).alias("label"))
-        )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new
-        if changed == 0:
+        new = ckpt(small)
+        n_new = new.count()
+        if n_new == edges.count() and new.subtract(edges).count() == 0:
             break
-    edges.unpersist()
-    return labels.select("id", F.col("label").alias("cluster_id"))
+        edges = new
+    connected_components.last_rounds = rounds
+    # converged edges are stars (u -> component minimum); roots label themselves
+    labels = edges.select(F.col("u").alias("id"), F.col("v").alias("cluster_id"))
+    roots = (
+        edges.select(F.col("v").alias("id"))
+        .distinct()
+        .join(labels.select("id"), "id", "left_anti")
+        .withColumn("cluster_id", F.col("id"))
+    )
+    return labels.union(roots)
 
 
 def assign_dup_clusters(

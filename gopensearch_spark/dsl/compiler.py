@@ -239,6 +239,16 @@ def compile_query(ctx: CompileContext, q: model.Query | None, scoring: bool = Tr
         else:
             target = qs.default_field or ctx.json_col or ctx.df.columns[0]
             preds.append(ctx.resolve(target).rlike(glob_to_regex(qs.query)))
+    if q.multi_match is not None:
+        if ctx.fulltext_predicate is None:
+            raise ValueError("multi_match requires a full-text-indexed Engine index")
+        ft = ctx.fulltext_predicate(None, q.multi_match, "multi", scoring)
+        if ft is None:
+            raise ValueError(
+                "multi_match fields must all be full-text indexed "
+                f"(got {[f for f, _ in q.multi_match.fields]!r})"
+            )
+        preds.append(ft)
     if q.bool_ is not None:
         b = q.bool_
         for sub in b.must:

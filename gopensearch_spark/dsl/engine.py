@@ -41,6 +41,16 @@ class IndexSpec:
     index_dir: str | None = None
     id_col: str = "doc_id"
     doc_backed: bool = False        # created via bulk/single-doc ingest
+    # further full-text-indexed columns (field -> index dir), the
+    # multi_match surface: each field has its OWN inverted index with
+    # its own df/avgdl stats, exactly like per-field Lucene indexes
+    extra_text_fields: dict[str, str] = dc_field(default_factory=dict)
+
+    def indexed_fields(self) -> dict[str, str]:
+        out = dict(self.extra_text_fields)
+        if self.text_field and self.index_dir:
+            out[self.text_field] = self.index_dir
+        return out
 
 
 @dataclass
@@ -61,11 +71,18 @@ class Engine:
         spark: SparkSession,
         compat_quirks: bool = False,
         meta_dir: str | None = None,
+        track_total_hits: bool = False,
     ):
         self.spark = spark
         self.indices: dict[str, IndexSpec] = {}
         self.templates: dict[str, Template] = {}
         self.compat_quirks = compat_quirks
+        # hits.total semantics default: False = the reference-compat
+        # post-limit count (server.go:222-230); True = ES-correct exact
+        # pre-limit count of the filtered relation. A per-request
+        # `track_total_hits` in the body overrides this default.
+        self.track_total_hits = track_total_hits
+        self._last_prelimit: DataFrame | None = None
         # Template persistence (reference pkg/server/template.go:101-161
         # keeps templates in a __templates SQLite table so they survive
         # restarts): with a meta_dir, put/delete_template write
@@ -358,7 +375,22 @@ class Engine:
         # (kind, query, mode, scoring, slop)
         ft_specs: list[tuple[str, str, str, bool, int]] = []
 
-        def fulltext(field: str, m: model.Match, kind: str = "match", scoring: bool = True):
+        def fulltext(field: str, m, kind: str = "match", scoring: bool = True):
+            if kind == "multi":
+                # multi_match: every requested field must be indexed
+                indexed = spec.indexed_fields()
+                from gopensearch_spark.dsl.compiler import strip_keyword as _sk
+
+                missing = [f for f, _ in m.fields if _sk(f) not in indexed]
+                if missing:
+                    raise ValueError(
+                        f"multi_match fields {missing!r} have no full-text index "
+                        f"(indexed: {sorted(indexed)!r})"
+                    )
+                mode = "and" if m.operator.upper() == "AND" else "or"
+                i = len(ft_specs)
+                ft_specs.append(("multi", m, mode, scoring, 0))
+                return F.col(f"__ft_id_{i}").isNotNull()
             if spec.index_dir and field == spec.text_field:
                 mode = "and" if m.operator.upper() == "AND" else "or"
                 i = len(ft_specs)
@@ -393,6 +425,7 @@ class Engine:
             and not (q.term or q.terms or q.wildcard or q.match_phrase or q.prefix)
             and not (q.range or q.query_string or q.bool_ or q.match_all)
             and q.exists is None
+            and q.multi_match is None
         ):
             ((field, m),) = q.match.items()
             if strip_keyword(field) == spec.text_field:
@@ -411,8 +444,10 @@ class Engine:
         if self._last_cached is not None:
             self._last_cached.unpersist()
             self._last_cached = None
+        self._last_prelimit = None
         d = model.parse_dsl(body)
         spec = self.indices[index]
+        track = d.track_total_hits if d.track_total_hits is not None else self.track_total_hits
 
         m = self._pure_match(d, spec)
         if m is not None:
@@ -425,6 +460,15 @@ class Engine:
 
             size = 10 if d.size is None else d.size
             mode = "and" if m.operator.upper() == "AND" else "or"
+            if track:
+                # exact total needs the full (unordered) match relation —
+                # a count-only aggregate, no corpus-wide sort; the hit
+                # page still serves from the block index below
+                from gopensearch_spark.search import bm25_scores
+
+                self._last_prelimit = bm25_scores(
+                    self.spark, spec.index_dir, m.query, mode=mode
+                )
             top = wand_match(
                 self.spark, spec.index_dir, m.query,
                 k=size + (d.from_ or 0), mode=mode,
@@ -451,9 +495,26 @@ class Engine:
                 prefix_match,
             )
 
-            def relation(kind: str, q: str, mode: str, slop: int) -> DataFrame:
+            def relation(kind: str, q, mode: str, slop: int) -> DataFrame:
                 # k=None returns the UNORDERED scoring relation — no
                 # corpus-wide sort; the Engine filters and top-k's itself.
+                if kind == "multi":
+                    # most_fields: per-field BM25 (each field's OWN index
+                    # stats) scaled by its boost, summed across fields;
+                    # a doc matches when ANY field's subquery matches
+                    # (ES's bool-should expansion of multi_match)
+                    indexed = spec.indexed_fields()
+                    parts = []
+                    for fname, boost in q.fields:
+                        idx = indexed[strip_keyword(fname)]
+                        r = bm25_scores(self.spark, idx, q.query, mode=mode)
+                        parts.append(r.select(
+                            "doc_id", (F.col("score") * F.lit(float(boost))).alias("score")
+                        ))
+                    u = parts[0]
+                    for p in parts[1:]:
+                        u = u.unionByName(p)
+                    return u.groupBy("doc_id").agg(F.sum("score").alias("score"))
                 if kind == "phrase":
                     from gopensearch_spark.analysis import normalize_query_terms
 
@@ -519,6 +580,7 @@ class Engine:
             )
             aggs_out = compile_aggs(agg_ctx, filtered, d.aggs)
 
+        self._last_prelimit = filtered  # pre-sort/offset/limit relation
         hits = filtered
         if d.sort:
             hits = hits.orderBy(
@@ -577,6 +639,11 @@ class Engine:
         spec = self.indices[index]
         rows = hits.collect()
         agg_rows = {label: (kind, df.collect()) for label, (kind, df) in aggs_out.items()}
+        track = d.track_total_hits if d.track_total_hits is not None else self.track_total_hits
+        total = None
+        if track and self._last_prelimit is not None:
+            # counted while the agg cache (if any) is still live
+            total = int(self._last_prelimit.count())
         if self._last_cached is not None:  # everything is collected now
             self._last_cached.unpersist()
             self._last_cached = None
@@ -587,6 +654,8 @@ class Engine:
             id_col=spec.id_col,
             took_ms=int((time.time() - t0) * 1000),
         )
+        if total is not None:
+            resp["hits"]["total"] = {"value": total, "relation": "eq"}
         if spec.doc_backed:
             self._unmarshal_source(index, spec, resp)
         if d.highlight and spec.text_field and spec.text_field in d.highlight.get("fields", {}):

@@ -33,6 +33,22 @@ class Match:
 
 
 @dataclass
+class MultiMatch:
+    """ES `multi_match` (type=most_fields: ADDITIVE weighted BM25 over N
+    indexed fields — the reference's `match` TODO at sql.go:126-141 is
+    the hook; the reference itself never parses multi_match). Per-field
+    boosts come from the `"field^2.5"` suffix syntax. `operator` applies
+    WITHIN each field (AND = all terms in that one field); a doc matches
+    when ANY field's subquery matches, exactly ES's bool-should
+    expansion of most_fields."""
+
+    query: str
+    fields: list  # [(field, boost)]
+    operator: str = ""  # "OR" (default) | "AND"
+    type: str = "most_fields"
+
+
+@dataclass
 class Term:
     value: str
 
@@ -94,6 +110,7 @@ class Query:
     bool_: Bool | None = None
     range: dict[str, Range] = field(default_factory=dict)
     query_string: QueryString | None = None
+    multi_match: MultiMatch | None = None
 
 
 @dataclass
@@ -162,6 +179,11 @@ class Dsl:
     aggs: dict[str, Aggregate] = field(default_factory=dict)
     sort: list[Sort] = field(default_factory=list)
     highlight: dict | None = None  # ES highlight spec (fetch-phase)
+    # ES `track_total_hits`: None -> the Engine's default; True (or a
+    # positive int — we always count exactly) -> hits.total is the
+    # pre-limit count of the filtered relation; False -> the compat
+    # post-limit count (reference server.go:222-230).
+    track_total_hits: bool | None = None
 
 
 def _parse_match(raw: dict) -> dict[str, Match]:
@@ -242,6 +264,18 @@ def _parse_query(raw: dict) -> Query:
             analyze_wildcard=bool(s.get("analyze_wildcard", False)),
             default_field=str(s.get("default_field", "")),
         )
+    if "multi_match" in raw:
+        mm = raw["multi_match"]
+        fields = []
+        for f in mm.get("fields", []):
+            name, _, boost = str(f).partition("^")
+            fields.append((name, float(boost) if boost else 1.0))
+        q.multi_match = MultiMatch(
+            query=str(mm.get("query", "")),
+            fields=fields,
+            operator=str(mm.get("operator", "")),
+            type=str(mm.get("type", "most_fields")),
+        )
     return q
 
 
@@ -310,6 +344,8 @@ def parse_dsl(body: str | dict) -> Dsl:
         d.from_ = int(raw["from"])
     if raw.get("highlight") is not None:
         d.highlight = raw["highlight"]
+    if raw.get("track_total_hits") is not None:
+        d.track_total_hits = bool(raw["track_total_hits"])
     # `aggregations` wins over `aggs` (reference json.go:81-85)
     aggs = raw.get("aggregations") or raw.get("aggs") or {}
     d.aggs = {k: _parse_agg(v) for k, v in aggs.items()}

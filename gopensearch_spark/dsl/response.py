@@ -5,8 +5,10 @@ Divergences from the reference, on purpose (ES-correct):
 - terms buckets report real doc_count (the reference's empty
   `case *dsl.AggTerms:` leaves 0, db.go:131-137);
 - hits.total is the returned-hit count like the reference
-  (post-LIMIT, server.go:222-230) — callers wanting true totals
-  count the filtered DataFrame before limiting.
+  (post-LIMIT, server.go:222-230) by default; `track_total_hits`
+  (per request, or Engine(track_total_hits=True)) switches to the
+  ES-correct exact pre-limit count — Engine.search overrides the
+  total this module shapes.
 """
 
 from __future__ import annotations

@@ -450,3 +450,46 @@ def test_sample_frames_exact_multiple_boundary(spark):
     for r in sample_frames(media, every_ms=1000, max_frames=32).collect():
         got.setdefault(r["doc_id"], []).append(r["ts_ms"])
     assert got == {1: [0], 2: [0, 1000]}
+
+
+def test_connected_components_long_path_converges_in_log_rounds(spark):
+    """Adversarial diameter: a 1024-node PATH graph. Min-label
+    propagation needs diameter (~1024) rounds; the alternating
+    large-star/small-star rewiring must converge in <= 2*log2(n) rounds
+    with the exact min-label result. Also: ids in REVERSE order (worst
+    case for min-propagation direction) and a shuffled-id path."""
+    import math as _math
+
+    from gopensearch_spark.datapipe import connected_components
+    from gopensearch_spark.datapipe.dedup import connected_components as cc_fn
+
+    n = 1024
+    bound = int(2 * _math.log2(n)) + 2  # +2: final no-change round & slack
+    # forward path 0-1-2-...-1023
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    got = {r["id"]: r["cluster_id"] for r in connected_components(pairs, max_iter=bound).collect()}
+    assert got == {i: 0 for i in range(n)}
+    assert cc_fn.last_rounds <= bound, cc_fn.last_rounds
+
+    # reverse-labeled path: node ids descend along the chain
+    pairs_r = spark.createDataFrame(
+        [(n - i, n - i - 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    got = {r["id"]: r["cluster_id"] for r in connected_components(pairs_r, max_iter=bound).collect()}
+    assert got == {i: 1 for i in range(1, n + 1)}
+    assert cc_fn.last_rounds <= bound, cc_fn.last_rounds
+
+    # shuffled ids (deterministic permutation), two components
+    perm = [(i * 7919) % 2048 for i in range(n)]  # injective mod 2048
+    pairs_s = spark.createDataFrame(
+        [(perm[i], perm[i + 1]) for i in range(n - 1) if i != n // 2],
+        "id_a long, id_b long",
+    )
+    got = {r["id"]: r["cluster_id"] for r in connected_components(pairs_s, max_iter=bound).collect()}
+    left = {perm[i] for i in range(n // 2 + 1)}
+    right = {perm[i] for i in range(n // 2 + 1, n)}
+    assert all(got[x] == min(left) for x in left)
+    assert all(got[x] == min(right) for x in right)
+    assert cc_fn.last_rounds <= bound, cc_fn.last_rounds

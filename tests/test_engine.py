@@ -651,3 +651,128 @@ def test_filter_context_fulltext_scoring_exempt(engine, oracle_small):
     assert ids and ids <= both
     for h in r["hits"]["hits"]:
         assert math.isclose(h["_score"], must_only[int(h["_id"])], rel_tol=1e-9)
+
+
+@pytest.fixture(scope="module")
+def lang_index(spark, docs_small, tmp_path_factory):
+    """Second per-field inverted index (over `lang`) for multi_match."""
+    from gopensearch_spark.index import build_index
+
+    out = str(tmp_path_factory.mktemp("idx") / "lang")
+    build_index(spark, docs_small.select("doc_id", "lang"), out,
+                text_col="lang", term_buckets=4, num_segments=2)
+    return out
+
+
+def _py_bm25(n_docs, df, tf, dl, avgdl):
+    idf = math.log((n_docs - df + 0.5) / (df + 0.5))
+    if idf <= 0:
+        idf = 1e-6
+    return idf * tf * 2.2 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+
+
+def test_multi_match_most_fields(spark, docs_small, index_small, lang_index):
+    """ES multi_match type=most_fields: additive weighted BM25 over two
+    per-field indexes (each with its OWN df/avgdl stats), verified
+    against an independent Python BM25 over the tokenized corpus."""
+    from gopensearch_spark.analysis import tokenize
+
+    e = Engine(spark)
+    e.create_index("docs", docs_small, text_field="text", index_dir=index_small,
+                   extra_text_fields={"lang": lang_index})
+    body = {"query": {"multi_match": {
+        "query": "data en", "fields": ["text^2", "lang"]}}, "size": 100000}
+    hits, _, _ = e.search_df("docs", body)
+    got = {r["doc_id"]: r["score"] for r in hits.collect()}
+
+    rows = [(r["doc_id"], r["text"], r["lang"]) for r in docs_small.collect()]
+    n = len(rows)
+    toks = {d: tokenize(t) for d, t, _ in rows}
+    avgdl = sum(len(v) for v in toks.values()) / n
+    dfs = {q: sum(1 for v in toks.values() if q in v) for q in ("data", "en")}
+    lang_df = {q: sum(1 for _, _, l in rows if l == q) for q in ("data", "en")}
+    exp = {}
+    for d, t, l in rows:
+        s = 0.0
+        for q in ("data", "en"):
+            tf = toks[d].count(q)
+            if tf:
+                s += 2.0 * _py_bm25(n, dfs[q], tf, len(toks[d]), avgdl)
+            if l == q:  # lang field: dl == avgdl == 1, tf == 1 -> w == 1
+                s += _py_bm25(n, lang_df[q], 1, 1, 1.0)
+        if s:
+            exp[d] = s
+    assert set(got) == set(exp)
+    for d in exp:
+        assert math.isclose(got[d], exp[d], rel_tol=1e-9), (d, got[d], exp[d])
+    # both fields actually contribute: some doc matches via lang only
+    text_only = {d for d, t, l in rows if "data" in toks[d]}
+    assert set(exp) - text_only, "expected lang-only matches in the corpus"
+
+    # operator=AND applies WITHIN a field: no doc has both terms in one
+    # field here, so the result is empty
+    body_and = {"query": {"multi_match": {
+        "query": "data en", "fields": ["text^2", "lang"], "operator": "AND"}},
+        "size": 100000}
+    hits_and, _, _ = e.search_df("docs", body_and)
+    assert hits_and.count() == 0
+
+    # un-indexed field -> clear error
+    with pytest.raises(ValueError, match="no full-text index"):
+        e.search_df("docs", {"query": {"multi_match": {
+            "query": "x", "fields": ["text", "source"]}}})
+
+
+def test_multi_match_composes_under_bool(spark, docs_small, index_small, lang_index):
+    """multi_match is a marker-predicate clause like every other
+    full-text leaf: it composes under bool.must with scoring-exempt
+    filters."""
+    e = Engine(spark)
+    e.create_index("docs", docs_small, text_field="text", index_dir=index_small,
+                   extra_text_fields={"lang": lang_index})
+    body = {"query": {"bool": {
+        "must": [{"multi_match": {"query": "data en", "fields": ["text", "lang"]}}],
+        "filter": [{"range": {"n_chars": {"gte": 300}}}],
+    }}, "size": 100000}
+    hits, _, _ = e.search_df("docs", body)
+    rows = hits.collect()
+    assert rows
+    n_chars = {r["doc_id"]: r["n_chars"] for r in docs_small.collect()}
+    assert all(n_chars[r["doc_id"]] >= 300 for r in rows)
+
+
+def test_track_total_hits(spark, docs_small, index_small, duck):
+    """hits.total: post-limit count by default (reference compat),
+    exact pre-limit count with track_total_hits — per request or as the
+    Engine default; both the general path and the pure-match WAND fast
+    path."""
+    e = Engine(spark)
+    e.create_index("events", spark.read.parquet(os.path.join(SF, "events.parquet")),
+                   json_col="props", id_col="event_id")
+    e.create_index("docs", docs_small, text_field="text", index_dir=index_small)
+
+    n_err = duck.execute("SELECT count(*) FROM events WHERE event_type = 'error'").fetchone()[0]
+    body = {"query": {"term": {"event_type": "error"}}, "size": 2}
+    r = e.search("events", body)
+    assert r["hits"]["total"]["value"] == 2  # compat default: post-limit
+    r = e.search("events", {**body, "track_total_hits": True})
+    assert r["hits"]["total"]["value"] == n_err > 2
+    assert len(r["hits"]["hits"]) == 2
+
+    # pure-match WAND fast path: total = full match count, page = top-k
+    n_data = duck.execute(
+        "SELECT count(*) FROM documents WHERE list_contains(string_split(text, ' '), 'data')"
+    ).fetchone()[0]
+    r = e.search("docs", {"query": {"match": {"text": "data"}}, "size": 3,
+                          "track_total_hits": True})
+    assert r["hits"]["total"]["value"] == n_data > 3
+    assert len(r["hits"]["hits"]) == 3
+
+    # Engine-level default, overridable per request
+    e2 = Engine(spark, track_total_hits=True)
+    e2.create_index("events", spark.read.parquet(os.path.join(SF, "events.parquet")),
+                    json_col="props", id_col="event_id")
+    r = e2.search("events", body)
+    assert r["hits"]["total"]["value"] == n_err
+    r = e2.search("events", {**body, "track_total_hits": False})
+    assert r["hits"]["total"]["value"] == 2
