@@ -240,6 +240,58 @@ def bench_wand_vs_flat(copies: int) -> dict:
     return out
 
 
+def bench_or_decode(copies: int) -> dict:
+    """Instrument the WAND-OR kernel's block skipping on the
+    wand-vs-flat index: % of block rows DECODED per query shape (the
+    r3 methodology, tests/test_plans.py::test_wand_or_block_skipping...).
+    Run AFTER --wand-vs-flat so the index exists."""
+    from pyspark.sql import functions as F
+
+    from gopensearch_spark.index.builder import read_corpus_stats
+    from gopensearch_spark.search import wand as W
+    from gopensearch_spark.search.bm25 import idf as _idf
+    from gopensearch_spark.session import get_spark
+
+    spark = get_spark("bench-ordec", master=f"local[{CPUS}]")
+    idx = f"/tmp/gopensearch_bench/idx_wvf_x{copies}"
+    stats = read_corpus_stats(idx)
+    out: dict = {"metric": "or3_block_decode", "copies": copies,
+                 "n_docs": stats["n_docs"], "queries": {}}
+    qset = [
+        ("rare_or_heads", ["data", "merge", "dup"], 10),
+        ("or3", ["merge", "sort", "batch"], 25),
+    ]
+    for name, terms, k in qset:
+        blocks = spark.read.parquet(os.path.join(idx, "blocks")).where(
+            F.col("term").isin(terms)).toPandas()
+        tstats = {r["term"]: r["df"]
+                  for r in spark.read.parquet(os.path.join(idx, "term_stats"))
+                  .where(F.col("term").isin(terms)).collect()}
+        idfs = {t: _idf(stats["n_docs"], d) for t, d in tstats.items()}
+        counted = {"n": 0}
+        orig = W._decode_term
+
+        def counting(rows, *a, **kw):
+            counted["n"] += len(rows)
+            return orig(rows, *a, **kw)
+
+        W._decode_term = counting
+        try:
+            total = 0
+            for _, g in blocks.groupby("seg_id"):
+                total += len(g)
+                W._score_segment_or({t: gg for t, gg in g.groupby("term")},
+                                    idfs, stats["avg_doc_len"], k)
+        finally:
+            W._decode_term = orig
+        out["queries"][name] = {
+            "blocks_total": int(total),
+            "blocks_decoded": int(counted["n"]),
+            "decoded_pct": round(100.0 * counted["n"] / max(total, 1), 1),
+        }
+    return out
+
+
 def bench_stream(copies: int, batches: int = 8, compact_every: int | None = None) -> dict:
     """Streaming micro-batch ingest throughput: drain a web_pages inbox
     in ~``batches`` micro-batches (maxFilesPerTrigger over the 64-file
@@ -291,14 +343,68 @@ def bench_stream(copies: int, batches: int = 8, compact_every: int | None = None
     }
 
 
-def bench_scaling(small: int, big: int, copies: int) -> dict:
+def _du(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
+
+
+def bench_positions_compare(copies: int, runs: int = 2) -> dict:
+    """detail=none profile (VERDICT r3 #8): same corpus built WITH and
+    WITHOUT per-posting position lists — build throughput + on-disk
+    bytes for both. Positions exist only for phrase/NEAR; a corpus that
+    doesn't need them should not pay for them at 100 TB."""
+    from gopensearch_spark.index import build_index
+    from gopensearch_spark.session import get_spark
+    from gopensearch_spark.webtext import prepare_corpus
+
+    spark = get_spark("bench-pos", master=f"local[{CPUS}]")
+    wp = _build_web_pages(
+        spark, SF_DIR, copies=copies, out=f"/tmp/gopensearch_bench/web_pages_x{copies}"
+    )
+    corpus = prepare_corpus(spark.read.parquet(wp))
+    out: dict = {"metric": "positions_profile", "cpus": CPUS, "copies": copies, "profiles": {}}
+    for label, with_pos in (("detail_full", True), ("detail_none", False)):
+        idx = f"/tmp/gopensearch_bench/idx_pos_{label}"
+        samples = []
+        for r in range(runs + 1):  # +1 warm-up, excluded
+            _fresh_dir(idx)
+            t0 = time.time()
+            stats = build_index(spark, corpus, idx, slices=1, term_buckets=32,
+                                num_segments=32, with_positions=with_pos)
+            if r > 0:
+                samples.append(round(time.time() - t0, 3))
+        out["profiles"][label] = {
+            "build_sec": min(samples),
+            "build_runs": samples,
+            "docs_per_sec": round(stats["n_docs"] / min(samples), 1),
+            "bytes_total": _du(idx),
+            "bytes_postings": _du(os.path.join(idx, "postings")),
+            "bytes_blocks": _du(os.path.join(idx, "blocks")),
+            "n_docs": stats["n_docs"],
+        }
+    f = out["profiles"]
+    out["bytes_ratio_none_over_full"] = round(
+        f["detail_none"]["bytes_total"] / f["detail_full"]["bytes_total"], 3)
+    out["speedup_none_over_full"] = round(
+        f["detail_full"]["build_sec"] / f["detail_none"]["build_sec"], 3)
+    return out
+
+
+def bench_scaling(small: int, big: int, copies: int, runs: int = 3) -> dict:
     """Same job + same input at two parallelism levels, subprocess-isolated
     so each gets a fresh JVM sized to its core count."""
     results = {}
     for n in (small, big):
         env = dict(os.environ, SPARK_GRAFT_CPUS=str(n))
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--index-only", "--copies", str(copies)],
+            [sys.executable, os.path.abspath(__file__), "--index-only",
+             "--copies", str(copies), "--runs", str(runs)],
             capture_output=True, text=True, env=env, cwd=os.path.dirname(os.path.abspath(__file__)),
         )
         if out.returncode != 0:
@@ -332,9 +438,15 @@ if __name__ == "__main__":
     p.add_argument("--runs", type=int, default=3)
     p.add_argument("--small", type=int, default=2)
     p.add_argument("--big", type=int, default=8)
+    p.add_argument("--positions-compare", action="store_true")
+    p.add_argument("--or-decode", action="store_true")
     a = p.parse_args()
     if a.scaling:
-        print(json.dumps(bench_scaling(a.small, a.big, a.copies)))
+        print(json.dumps(bench_scaling(a.small, a.big, a.copies, runs=a.runs)))
+    elif a.positions_compare:
+        print(json.dumps(bench_positions_compare(a.copies, runs=a.runs)))
+    elif a.or_decode:
+        print(json.dumps(bench_or_decode(a.copies)))
     elif a.wand_vs_flat:
         print(json.dumps(bench_wand_vs_flat(a.copies)))
     elif a.stream:
