@@ -102,7 +102,7 @@ def run_index_build(spark, web_pages_path: str, idx_out: str) -> dict:
         prepare_corpus(web_pages),
         idx_out,
         slices=1,
-        term_buckets=32,
+        term_buckets=None,  # corpus-sized (recommended_term_buckets)
         num_segments=32,
         with_positions=True,  # FTS5 stores positions (detail=full); so do we
         input_lineage=f"parquet:{web_pages_path}",
@@ -375,7 +375,7 @@ def bench_positions_compare(copies: int, runs: int = 2) -> dict:
         for r in range(runs + 1):  # +1 warm-up, excluded
             _fresh_dir(idx)
             t0 = time.time()
-            stats = build_index(spark, corpus, idx, slices=1, term_buckets=32,
+            stats = build_index(spark, corpus, idx, slices=1, term_buckets=None,
                                 num_segments=32, with_positions=with_pos)
             if r > 0:
                 samples.append(round(time.time() - t0, 3))

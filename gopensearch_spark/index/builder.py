@@ -121,6 +121,36 @@ def recommended_num_segments(
 
     return max(int(parallelism), math.ceil(max(int(n_docs), 1) / target_docs_per_segment))
 
+
+EST_POSTINGS_PER_DOC = 120          # distinct terms per ~400-token web page
+TARGET_POSTINGS_PER_BUCKET = 2_000_000  # ~100-250 MB sorted parquet w/ positions
+
+
+def recommended_term_buckets(n_docs: int) -> int:
+    """Bucket-count sizing rule: ``clamp(est_postings / target, 64, 64k)``.
+
+    term_bucket is the unit of the build's big shuffle-and-sort (one
+    sorted parquet run per bucket) and of query-side partition pruning.
+    A FIXED bucket count stops scaling the moment the corpus outgrows
+    it: per-bucket sort partitions exceed each task's execution-memory
+    share (heap / concurrent tasks), every sort spills, and — because
+    the per-task share SHRINKS as cores grow — the spill tax lands
+    hardest on the biggest cluster (measured here: 2->8 core efficiency
+    0.81 at 800k docs vs 0.57 at 6M with 32 fixed buckets). Sizing by
+    estimated posting rows keeps the sorted unit ~constant
+    (``TARGET_POSTINGS_PER_BUCKET``) at any corpus size; the estimate
+    errs toward MORE buckets (smaller sorts, finer pruning), which is
+    the safe side. ``build_index(term_buckets=None)`` applies this rule
+    from a corpus count."""
+    import math
+
+    est_postings = max(int(n_docs), 1) * EST_POSTINGS_PER_DOC
+    return min(
+        max(DEFAULT_TERM_BUCKETS, math.ceil(est_postings / TARGET_POSTINGS_PER_BUCKET)),
+        65536,
+    )
+
+
 BLOCKS_SCHEMA = (
     "term string, seg_id int, block_id int, n int, "
     "min_doc_id long, max_doc_id long, max_tf int, min_doc_len int, "
@@ -141,12 +171,16 @@ def _flat_postings(
     UDF round-trip — measured ~3x less GC-churny than the
     map-column + explode + encode-UDF formulation it replaces.
 
-    A ZERO-TOKEN document (empty/whitespace text) emits one sentinel row
-    with ``term = NULL, tf = 0, doc_len = 0``: it has no postings, but
-    it IS a document — FTS5 counts every row in N and avgdl (verified
-    against SQLite directly; see tests), so dropping it would shift
-    every BM25 score. Posting/blocks/term-stat writers filter the
-    sentinels out; doc_stats keeps them.
+    EVERY document additionally emits one per-doc SENTINEL row with
+    ``term = NULL, tf = 0`` and its true ``doc_len``. Sentinels make the
+    flat relation self-contained: ``doc_stats`` is a NULL-term filter
+    scan (no dropDuplicates shuffle over per-(doc, term) rows), and a
+    zero-token document (empty/whitespace text) — which has no postings
+    but IS a document, FTS5 counts every row in N and avgdl (verified
+    against SQLite directly; see tests) — needs no special casing: its
+    sentinel is its only row. Postings/blocks/term-stat consumers filter
+    ``term IS NOT NULL``; query-side term-equality/prefix predicates
+    never match NULL, so sentinels are invisible to search.
 
     The kernel is batch-vectorized: per doc only the C-speed pieces run
     (ASCII/NFKD fold + one regex findall); everything after — term
@@ -176,7 +210,7 @@ def _flat_postings(
             )
             total = int(lens.sum())
             if total == 0:
-                yield _sentinel_frame(ids_arr, with_positions)
+                yield _sentinel_frame(ids_arr, lens, with_positions)
                 continue
             flat = np.empty(total, dtype=object)
             off = 0
@@ -218,24 +252,24 @@ def _flat_postings(
                     dtype="object",
                 )
             frame = pd.DataFrame(out)
-            empty = np.flatnonzero(lens == 0)
-            if empty.size:  # zero-token docs: doc_stats sentinels
-                frame = pd.concat(
-                    [frame, _sentinel_frame(ids_arr[empty], with_positions)],
-                    ignore_index=True,
-                )
-            yield frame
+            # one per-doc sentinel for EVERY doc (incl. zero-token docs)
+            yield pd.concat(
+                [frame, _sentinel_frame(ids_arr, lens, with_positions)],
+                ignore_index=True,
+            )
 
     return docs.select(
         F.col(id_col).cast("long").alias(id_col), F.col(text_col)
     ).mapInPandas(flatten, schema)
 
 
-def _sentinel_frame(ids: np.ndarray, with_positions: bool) -> pd.DataFrame:
-    """doc_stats sentinel rows for zero-token docs (term NULL, tf 0)."""
+def _sentinel_frame(
+    ids: np.ndarray, lens: np.ndarray, with_positions: bool
+) -> pd.DataFrame:
+    """Per-doc stats sentinel rows (term NULL, tf 0, true doc_len)."""
     out = {
         "doc_id": pd.Series(np.asarray(ids, dtype=np.int64), dtype="int64"),
-        "doc_len": pd.Series(np.zeros(len(ids)), dtype="int32"),
+        "doc_len": pd.Series(np.asarray(lens, dtype=np.int32), dtype="int32"),
         "term": pd.Series([None] * len(ids), dtype="object"),
         "tf": pd.Series(np.zeros(len(ids)), dtype="int32"),
     }
@@ -335,9 +369,18 @@ def build_postings(
     block_codec: str = "varint",
     batch_id: int | None = None,
 ) -> None:
-    """One build pass over ``docs`` -> postings/, blocks/, doc_stats/.
+    """One build pass over ``docs``.
 
-    ``batch_id`` (streaming ingest) makes the pass IDEMPOTENT: every
+    BATCH (``batch_id=None``): writes ONLY ``postings/`` (per-doc
+    sentinel rows included) in a single persist-free lineage;
+    ``finalize_stats`` derives doc_stats/blocks/term_stats from the
+    written parquet with column-pruned re-reads. ``build_blocks`` /
+    ``num_segments`` are ignored on this path — pass them to
+    ``finalize_stats`` (or use ``build_index``, which wires both).
+
+    STREAMING (``batch_id=N``): one persisted pass writes every
+    per-batch table (postings, doc_stats, term-df deltas, batch_stats,
+    blocks). ``batch_id`` makes the pass IDEMPOTENT: every
     table gains a leading ``batch_id`` partition and is written with
     dynamic partition-overwrite, so a replayed micro-batch (crash after
     the data write, before the commit record) REPLACES its own
@@ -357,21 +400,55 @@ def build_postings(
 
     docs = ensure_parallelism(docs)
     out_dir = resolve_index_dir(out_dir)  # write into the live generation
-    flat = _flat_postings(docs, text_col, id_col, with_positions=with_positions).withColumn(
-        "term_bucket", F.pmod(F.xxhash64("term"), F.lit(term_buckets)).cast("int")
+    # per-doc sentinels (term NULL) spread by doc hash so they never
+    # concentrate in one repartition key / one output dir
+    bucket_expr = (
+        F.when(
+            F.col("term").isNull(),
+            F.pmod(F.xxhash64("doc_id"), F.lit(term_buckets)),
+        )
+        .otherwise(F.pmod(F.xxhash64("term"), F.lit(term_buckets)))
+        .cast("int")
     )
-    if batch_id is not None:
-        flat = flat.withColumn("batch_id", F.lit(int(batch_id)))
-        mode = "overwrite"  # dynamic: replaces only this batch's partitions
+    flat = _flat_postings(
+        docs, text_col, id_col, with_positions=with_positions
+    ).withColumn("term_bucket", bucket_expr)
+
+    if batch_id is None:
+        # BATCH path: SINGLE-PASS. One lineage — tokenize -> shuffle by
+        # term_bucket -> sort (term, doc_id) -> parquet — with no
+        # persist/cache: at 10^8+ docs a persisted flat relation (posting
+        # rows + position bytes) spills far past executor storage memory,
+        # and that disk traffic is exactly what stops the build scaling
+        # with cores (measured: 2->8 core efficiency fell 0.81 -> 0.57
+        # between 800k and 6M docs with the old persist+re-consume
+        # design). doc_stats, blocks, and term_stats all derive from the
+        # WRITTEN postings parquet in ``finalize_stats`` — column-pruned
+        # re-reads (never the position bytes) instead of cache hits.
+        # Sentinel rows ride along in the postings table; NULLS-FIRST
+        # sorting clusters them at each file's head so the doc_stats
+        # filter scan row-group-skips the rest.
+        (
+            flat.repartition(term_buckets, "term_bucket")
+            .sortWithinPartitions("term", "doc_id")
+            .write.mode(mode)
+            .partitionBy("term_bucket")
+            .parquet(os.path.join(out_dir, "postings"))
+        )
+        return
+
+    # STREAMING micro-batch path: batches are small (bounded by the
+    # trigger), so one persist + multi-consumer fan-out is cheap and
+    # keeps every per-batch table (postings, doc_stats, term-df deltas,
+    # batch_stats, blocks) in a single pass over the batch.
+    flat = flat.withColumn("batch_id", F.lit(int(batch_id)))
+    mode = "overwrite"  # dynamic: replaces only this batch's partitions
 
     def writer(df):
         w = df.write.mode(mode)
-        return w.option("partitionOverwriteMode", "dynamic") if batch_id is not None else w
+        return w.option("partitionOverwriteMode", "dynamic")
 
-    post_parts = (["batch_id"] if batch_id is not None else []) + ["term_bucket"]
-    # Materialize flat postings once; all outputs derive from it.
-    # Zero-token docs ride along as term=NULL sentinel rows: they belong
-    # in doc_stats (FTS5 counts them in N/avgdl) but never in postings.
+    post_parts = ["batch_id", "term_bucket"]
     flat.persist()
     posts = flat.where(F.col("term").isNotNull())
     try:
@@ -383,36 +460,36 @@ def build_postings(
             .partitionBy(*post_parts)
             .parquet(os.path.join(out_dir, "postings"))
         )
-        doc_stats = flat.select(
-            "doc_id", "doc_len", *(["batch_id"] if batch_id is not None else [])
-        ).dropDuplicates(["doc_id"])
-        w = writer(doc_stats)
-        if batch_id is not None:
-            w = w.partitionBy("batch_id")
-        w.parquet(os.path.join(out_dir, "doc_stats"))
-        if batch_id is not None:
-            # batch-scoped term-df deltas (see docstring)
-            (
-                writer(posts.groupBy("batch_id", "term_bucket", "term").agg(F.count("*").alias("df")))
-                .partitionBy(*post_parts)
-                .parquet(os.path.join(out_dir, "term_stats"))
-            )
-            # batch-scoped corpus-stat delta: ONE row (n_docs,
-            # total_tokens) per batch, aggregated from the in-memory
-            # persisted postings — never a scan of other batches.
-            # fold_corpus_stats sums these rows (O(#batches), not
-            # O(total docs)) to refresh N/avgdl per micro-batch; the
-            # dynamic partition overwrite keeps replays idempotent.
-            (
-                writer(
-                    doc_stats.groupBy("batch_id").agg(
-                        F.count("*").alias("n_docs"),
-                        F.sum("doc_len").alias("total_tokens"),
-                    )
+        # per-doc sentinel filter — one row per doc by construction, no
+        # dropDuplicates shuffle over per-(doc, term) rows
+        doc_stats = flat.where(F.col("term").isNull()).select(
+            "doc_id", "doc_len", "batch_id"
+        )
+        writer(doc_stats).partitionBy("batch_id").parquet(
+            os.path.join(out_dir, "doc_stats")
+        )
+        # batch-scoped term-df deltas (see docstring)
+        (
+            writer(posts.groupBy("batch_id", "term_bucket", "term").agg(F.count("*").alias("df")))
+            .partitionBy(*post_parts)
+            .parquet(os.path.join(out_dir, "term_stats"))
+        )
+        # batch-scoped corpus-stat delta: ONE row (n_docs,
+        # total_tokens) per batch, aggregated from the in-memory
+        # persisted postings — never a scan of other batches.
+        # fold_corpus_stats sums these rows (O(#batches), not
+        # O(total docs)) to refresh N/avgdl per micro-batch; the
+        # dynamic partition overwrite keeps replays idempotent.
+        (
+            writer(
+                doc_stats.groupBy("batch_id").agg(
+                    F.count("*").alias("n_docs"),
+                    F.sum("doc_len").alias("total_tokens"),
                 )
-                .partitionBy("batch_id")
-                .parquet(os.path.join(out_dir, "batch_stats"))
             )
+            .partitionBy("batch_id")
+            .parquet(os.path.join(out_dir, "batch_stats"))
+        )
         if build_blocks:
             # blocks carry no positions — select only what the kernel
             # needs so position bytes never enter the segment shuffle.
@@ -431,9 +508,7 @@ def build_postings(
             ).withColumn(
                 "term_bucket",
                 F.pmod(F.xxhash64("term"), F.lit(term_buckets)).cast("int"),
-            )
-            if batch_id is not None:
-                blocks = blocks.withColumn("batch_id", F.lit(int(batch_id)))
+            ).withColumn("batch_id", F.lit(int(batch_id)))
             (
                 writer(blocks)
                 .partitionBy(*post_parts)
@@ -443,26 +518,106 @@ def build_postings(
         flat.unpersist()
 
 
+def _write_blocks_from_postings(
+    spark: SparkSession,
+    postings_path: str,
+    blocks_path: str,
+    term_buckets: int,
+    num_segments: int,
+    block_codec: str = "varint",
+    batch_id: int | None = None,
+) -> None:
+    """Blocks derived from the WRITTEN postings parquet.
+
+    Column-pruned read (doc_id, doc_len, term, tf, term_bucket — never
+    the position bytes; parquet's columnar layout skips them on disk),
+    sentinels filtered, then the (seg_id, term_bucket) grouped kernel.
+    The explicit ``repartition(K, seg_id, term_bucket)`` sizes the
+    shuffle by DATA (one partition per term_bucket floor), not by
+    ``spark.sql.shuffle.partitions``: with the session default (~1 per
+    core) each reduce task would hold corpus_size/cores posting rows —
+    the per-task sort/group spill that erased core scaling at 6M docs.
+    HashPartitioning(seg_id, term_bucket, K) satisfies the groupBy's
+    clustering requirement, so no second shuffle is added.
+
+    Grouping by (seg_id, term_bucket), NOT seg_id alone, keeps one task
+    at 1/(segments*buckets) of the postings — a Zipf-head term is
+    processed as ``num_segments`` independent tasks (the north rule's
+    explicit skew split), never one giant one.
+    """
+    posts = (
+        spark.read.parquet(postings_path)
+        .where(F.col("term").isNotNull())
+        .select("doc_id", "doc_len", "term", "tf", "term_bucket")
+    )
+    k = max(spark.sparkContext.defaultParallelism, term_buckets)
+    blocks = (
+        posts.withColumn(
+            "seg_id", F.pmod(F.xxhash64("doc_id"), F.lit(num_segments)).cast("int")
+        )
+        .repartition(k, "seg_id", "term_bucket")
+        .groupBy("seg_id", "term_bucket")
+        .applyInPandas(_make_segment_blocks_kernel(block_codec), schema=BLOCKS_SCHEMA)
+        .withColumn(
+            "term_bucket", F.pmod(F.xxhash64("term"), F.lit(term_buckets)).cast("int")
+        )
+    )
+    parts = ["term_bucket"]
+    if batch_id is not None:
+        blocks = blocks.withColumn("batch_id", F.lit(int(batch_id)))
+        parts = ["batch_id", "term_bucket"]
+    blocks.write.mode("overwrite").partitionBy(*parts).parquet(blocks_path)
+
+
 def finalize_stats(
     spark: SparkSession,
     out_dir: str,
     term_buckets: int = DEFAULT_TERM_BUCKETS,
     with_positions: bool = False,
     block_codec: str = "varint",
+    num_segments: int = DEFAULT_NUM_SEGMENTS,
+    build_blocks: bool = True,
+    derive_doc_stats: bool | None = None,
 ) -> dict:
-    """Global stats after all slices: term df + corpus N/avgdl.
+    """Derive every secondary table from the written postings parquet:
+    doc_stats (per-doc sentinel filter scan), blocks (pruned re-read +
+    segment kernel), term_stats (the only unavoidable full groupBy —
+    map-side combined), then corpus N/avgdl and the sorted term_dict.
 
-    One groupBy over the postings table (the only unavoidable full
-    shuffle of the build); df counts are map-side combined by Spark's
-    partial hash aggregation. Streaming ingest does NOT use this —
-    build_postings(batch_id=N) writes batch-scoped term deltas and
-    ``refresh_corpus_stats`` derives N/avgdl from doc_stats, so each
-    micro-batch's stats cost scans only that batch's postings.
+    ``derive_doc_stats=None`` probes the postings table for sentinel
+    rows (one pushdown ``term IS NULL`` row fetch): a fresh batch build
+    always has them; a compacted index (sentinels dropped at merge, the
+    doc_stats table authoritative) or a pre-sentinel layout keeps its
+    existing doc_stats untouched.
+
+    Streaming ingest does NOT use this — build_postings(batch_id=N)
+    writes batch-scoped term deltas and ``fold_corpus_stats`` folds
+    O(#batches) delta rows, so micro-batch stats never rescan the index.
     """
     out_dir = resolve_index_dir(out_dir)
-    postings = spark.read.parquet(os.path.join(out_dir, "postings"))
+    postings_path = os.path.join(out_dir, "postings")
+    postings = spark.read.parquet(postings_path)
+    sentinels = postings.where(F.col("term").isNull())
+    if derive_doc_stats is None:
+        derive_doc_stats = bool(sentinels.select("doc_id").take(1))
+    if derive_doc_stats:
+        (
+            sentinels.select("doc_id", "doc_len")
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, "doc_stats"))
+        )
+    if build_blocks:
+        _write_blocks_from_postings(
+            spark,
+            postings_path,
+            os.path.join(out_dir, "blocks"),
+            term_buckets=term_buckets,
+            num_segments=num_segments,
+            block_codec=block_codec,
+        )
     (
-        postings.groupBy("term", "term_bucket")
+        postings.where(F.col("term").isNotNull())
+        .groupBy("term", "term_bucket")
         .agg(F.count("*").alias("df"))
         .write.mode("overwrite")
         .partitionBy("term_bucket")
@@ -676,30 +831,42 @@ def build_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     slices: int = 1,
-    term_buckets: int = DEFAULT_TERM_BUCKETS,
+    term_buckets: int | None = None,
     num_segments: int | None = DEFAULT_NUM_SEGMENTS,
     build_blocks: bool = True,
     with_positions: bool = False,
     block_codec: str = "varint",
     input_lineage: str = "",
 ) -> dict:
-    """Full resumable build: slices -> postings/blocks -> global stats.
+    """Full resumable build: slices -> postings -> derived tables + stats.
 
     Each slice is a doc_id hash class processed as its own distributed
     job and committed with a checkpoint record (lineage + metrics), so a
     crashed build resumes by skipping committed slices — the reference
     has no equivalent (its bulk ingest is a sequential HTTP loop,
-    reference pkg/server/server.go:253-364).
+    reference pkg/server/server.go:253-364). Per slice only the postings
+    table is written (single-pass, persist-free); doc_stats/blocks/
+    term_stats derive from the complete postings parquet in the finalize
+    step — blocks in particular are built ONCE over all slices instead
+    of per-slice incremental runs.
 
-    ``num_segments=None`` sizes the segment count from the corpus via
-    ``recommended_num_segments`` (one extra count job), bounding the
-    query kernel's worst-case per-task postings independent of corpus
-    size — pass an explicit value to pin it instead.
+    ``num_segments=None`` / ``term_buckets=None`` (the default) size the
+    segment and bucket counts from the corpus via
+    ``recommended_num_segments`` / ``recommended_term_buckets`` (one
+    shared count job): segments bound the query kernel's worst-case
+    per-task postings, buckets bound the build's per-task sort — both
+    must GROW with the corpus or per-task state eventually outruns each
+    core's memory share and the build stops scaling. Pass explicit
+    values to pin either.
     """
-    if num_segments is None:
-        num_segments = recommended_num_segments(
-            docs.count(), spark.sparkContext.defaultParallelism
-        )
+    if num_segments is None or term_buckets is None:
+        n_docs_total = docs.count()
+        if num_segments is None:
+            num_segments = recommended_num_segments(
+                n_docs_total, spark.sparkContext.defaultParallelism
+            )
+        if term_buckets is None:
+            term_buckets = recommended_term_buckets(n_docs_total)
     os.makedirs(os.path.join(out_dir, "_checkpoints"), exist_ok=True)
     done = completed_slices(out_dir)
     for s in range(slices):
@@ -740,6 +907,8 @@ def build_index(
     stats = finalize_stats(
         spark, out_dir, term_buckets=term_buckets,
         with_positions=with_positions, block_codec=block_codec,
+        num_segments=num_segments, build_blocks=build_blocks,
+        derive_doc_stats=True,
     )
     from gopensearch_spark.search.readers import invalidate
 
@@ -797,62 +966,61 @@ def compact_streaming_index(
     shutil.rmtree(dst, ignore_errors=True)  # junk from a crashed attempt
 
     cb = F.lit(int(CONSOLIDATED_BATCH_ID))
+    # persist-free merge (same rationale as the batch build): the merged
+    # postings are written once, then term_stats/blocks derive from the
+    # WRITTEN parquet with column-pruned re-reads — a compaction input
+    # is O(index), far past what a cached relation holds at scale.
     flat = (
         spark.read.parquet(os.path.join(src, "postings"))
+        .where(F.col("term").isNotNull())  # batch-gen per-doc sentinels, if any
         .drop("batch_id", "term_bucket")
         .withColumn("term_bucket", F.pmod(F.xxhash64("term"), F.lit(term_buckets)).cast("int"))
         .withColumn("batch_id", cb)
     )
-    flat.persist()
-    try:
-        (
-            flat.repartition(term_buckets, "term_bucket")
-            .sortWithinPartitions("term", "doc_id")
-            .write.mode("overwrite")
-            .partitionBy("batch_id", "term_bucket")
-            .parquet(os.path.join(dst, "postings"))
-        )
-        # doc_stats from the SOURCE doc_stats table, not from postings:
-        # zero-token docs have no posting rows but still count in
-        # N/avgdl (FTS5 semantics) — rebuilding from postings would drop
-        # them and shift every BM25 score across the compaction.
-        doc_stats = (
-            spark.read.parquet(os.path.join(src, "doc_stats"))
-            .drop("batch_id")
-            .dropDuplicates(["doc_id"])
-            .withColumn("batch_id", cb)
-        )
-        doc_stats.write.mode("overwrite").partitionBy("batch_id").parquet(
-            os.path.join(dst, "doc_stats")
-        )
-        (
-            doc_stats.groupBy("batch_id")
-            .agg(F.count("*").alias("n_docs"), F.sum("doc_len").alias("total_tokens"))
-            .write.mode("overwrite")
-            .partitionBy("batch_id")
-            .parquet(os.path.join(dst, "batch_stats"))
-        )
-        (
-            flat.groupBy("batch_id", "term_bucket", "term")
-            .agg(F.count("*").alias("df"))
-            .write.mode("overwrite")
-            .partitionBy("batch_id", "term_bucket")
-            .parquet(os.path.join(dst, "term_stats"))
-        )
-        seg = flat.select("doc_id", "doc_len", "term", "tf", "term_bucket").withColumn(
-            "seg_id", F.pmod(F.xxhash64("doc_id"), F.lit(num_segments)).cast("int")
-        )
-        (
-            seg.groupBy("seg_id", "term_bucket")
-            .applyInPandas(_make_segment_blocks_kernel(block_codec), schema=BLOCKS_SCHEMA)
-            .withColumn("term_bucket", F.pmod(F.xxhash64("term"), F.lit(term_buckets)).cast("int"))
-            .withColumn("batch_id", cb)
-            .write.mode("overwrite")
-            .partitionBy("batch_id", "term_bucket")
-            .parquet(os.path.join(dst, "blocks"))
-        )
-    finally:
-        flat.unpersist()
+    (
+        flat.repartition(term_buckets, "term_bucket")
+        .sortWithinPartitions("term", "doc_id")
+        .write.mode("overwrite")
+        .partitionBy("batch_id", "term_bucket")
+        .parquet(os.path.join(dst, "postings"))
+    )
+    # doc_stats from the SOURCE doc_stats table, not from postings:
+    # zero-token docs have no posting rows but still count in
+    # N/avgdl (FTS5 semantics) — rebuilding from postings would drop
+    # them and shift every BM25 score across the compaction.
+    doc_stats = (
+        spark.read.parquet(os.path.join(src, "doc_stats"))
+        .drop("batch_id")
+        .dropDuplicates(["doc_id"])
+        .withColumn("batch_id", cb)
+    )
+    doc_stats.write.mode("overwrite").partitionBy("batch_id").parquet(
+        os.path.join(dst, "doc_stats")
+    )
+    (
+        doc_stats.groupBy("batch_id")
+        .agg(F.count("*").alias("n_docs"), F.sum("doc_len").alias("total_tokens"))
+        .write.mode("overwrite")
+        .partitionBy("batch_id")
+        .parquet(os.path.join(dst, "batch_stats"))
+    )
+    merged = spark.read.parquet(os.path.join(dst, "postings"))
+    (
+        merged.groupBy("batch_id", "term_bucket", "term")
+        .agg(F.count("*").alias("df"))
+        .write.mode("overwrite")
+        .partitionBy("batch_id", "term_bucket")
+        .parquet(os.path.join(dst, "term_stats"))
+    )
+    _write_blocks_from_postings(
+        spark,
+        os.path.join(dst, "postings"),
+        os.path.join(dst, "blocks"),
+        term_buckets=term_buckets,
+        num_segments=num_segments,
+        block_codec=block_codec,
+        batch_id=CONSOLIDATED_BATCH_ID,
+    )
     stats = fold_corpus_stats(
         spark, dst, term_buckets=term_buckets,
         with_positions=with_positions, block_codec=block_codec,
@@ -921,43 +1089,36 @@ def compact_index(
     block_codec = block_codec or src_stats.get("block_codec", "varint")
     with_positions = bool(src_stats.get("with_positions"))
 
-    flat = spark.read.parquet(os.path.join(src_dir, "postings")).withColumn(
-        "term_bucket", F.pmod(F.xxhash64("term"), F.lit(term_buckets)).cast("int")
+    # persist-free merge: write the re-sorted postings once, then derive
+    # blocks/term_stats from the WRITTEN parquet (see build_postings)
+    flat = (
+        spark.read.parquet(os.path.join(src_dir, "postings"))
+        .where(F.col("term").isNotNull())  # drop per-doc sentinels
+        .withColumn(
+            "term_bucket", F.pmod(F.xxhash64("term"), F.lit(term_buckets)).cast("int")
+        )
     )
-    flat.persist()
-    try:
-        (
-            flat.repartition(term_buckets, "term_bucket")
-            .sortWithinPartitions("term", "doc_id")
-            .write.mode("overwrite")
-            .partitionBy("term_bucket")
-            .parquet(os.path.join(dst_dir, "postings"))
-        )
-        # source doc_stats, not postings-derived: preserves zero-token
-        # docs' membership in N/avgdl (see compact_streaming_index)
-        (
-            spark.read.parquet(os.path.join(src_dir, "doc_stats"))
-            .drop("batch_id")
-            .dropDuplicates(["doc_id"])
-            .write.mode("overwrite")
-            .parquet(os.path.join(dst_dir, "doc_stats"))
-        )
-        seg = flat.select("doc_id", "doc_len", "term", "tf", "term_bucket").withColumn(
-            "seg_id", F.pmod(F.xxhash64("doc_id"), F.lit(num_segments)).cast("int")
-        )
-        (
-            seg.groupBy("seg_id", "term_bucket")
-            .applyInPandas(_make_segment_blocks_kernel(block_codec), schema=BLOCKS_SCHEMA)
-            .withColumn("term_bucket", F.pmod(F.xxhash64("term"), F.lit(term_buckets)).cast("int"))
-            .write.mode("overwrite")
-            .partitionBy("term_bucket")
-            .parquet(os.path.join(dst_dir, "blocks"))
-        )
-    finally:
-        flat.unpersist()
+    (
+        flat.repartition(term_buckets, "term_bucket")
+        .sortWithinPartitions("term", "doc_id")
+        .write.mode("overwrite")
+        .partitionBy("term_bucket")
+        .parquet(os.path.join(dst_dir, "postings"))
+    )
+    # source doc_stats, not postings-derived: preserves zero-token
+    # docs' membership in N/avgdl (see compact_streaming_index)
+    (
+        spark.read.parquet(os.path.join(src_dir, "doc_stats"))
+        .drop("batch_id")
+        .dropDuplicates(["doc_id"])
+        .write.mode("overwrite")
+        .parquet(os.path.join(dst_dir, "doc_stats"))
+    )
     stats = finalize_stats(
         spark, dst_dir, term_buckets=term_buckets,
         with_positions=with_positions, block_codec=block_codec,
+        num_segments=num_segments, build_blocks=True,
+        derive_doc_stats=False,
     )
     from gopensearch_spark.search.readers import invalidate
 

@@ -82,8 +82,8 @@ def test_wand_or_block_skipping_under_skewed_idfs(spark, tmp_path):
         for i in range(8000)
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
-    build_postings(docs, idx, term_buckets=8, num_segments=4)
-    finalize_stats(spark, idx, term_buckets=8)
+    build_postings(docs, idx, term_buckets=8)
+    finalize_stats(spark, idx, term_buckets=8, num_segments=4)
 
     flat = [(r["doc_id"], round(r["score"], 9))
             for r in bm25_match(spark, idx, ["common", "rare"], k=3, mode="or").collect()]
@@ -157,8 +157,8 @@ def test_head_term_postings_split_across_segments(spark, tmp_path):
         [(i, "the filler " + f"w{i % 97}") for i in range(4000)],
         "doc_id long, text string",
     )
-    build_postings(docs, idx, term_buckets=8, num_segments=8)
-    finalize_stats(spark, idx, term_buckets=8)
+    build_postings(docs, idx, term_buckets=8)
+    finalize_stats(spark, idx, term_buckets=8, num_segments=8)
     per_seg = {
         r["seg_id"]: r["n"]
         for r in spark.read.parquet(f"{idx}/blocks")
@@ -230,8 +230,8 @@ def test_wand_prefilter_bounds_segment_rows(spark, tmp_path):
         for i in range(20_000)
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
-    build_postings(docs, idx, term_buckets=8, num_segments=4)
-    finalize_stats(spark, idx, term_buckets=8)
+    build_postings(docs, idx, term_buckets=8)
+    finalize_stats(spark, idx, term_buckets=8, num_segments=4)
     stats = read_corpus_stats(idx)
     blocks = spark.read.parquet(f"{idx}/blocks")
 
@@ -289,8 +289,8 @@ def test_wand_prefilter_or_multi_term_rank_identity(spark, tmp_path):
         for i in range(6000)
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
-    build_postings(docs, idx, term_buckets=8, num_segments=4)
-    finalize_stats(spark, idx, term_buckets=8)
+    build_postings(docs, idx, term_buckets=8)
+    finalize_stats(spark, idx, term_buckets=8, num_segments=4)
     for k in (5, 25, 100):
         flat = [(r["doc_id"], round(r["score"], 9))
                 for r in bm25_match(spark, idx, ["alpha", "beta", "gamma"], k=k, mode="or").collect()]

@@ -124,7 +124,14 @@ def test_head_term_postings_split_across_segments(spark, index_small):
 
 def test_compact_index_merges_slices(spark, docs_small, oracle_small, tmp_path):
     """A fragmented 3-slice build compacts into single sorted runs with
-    unchanged (rank-identical) query results."""
+    unchanged (rank-identical) query results.
+
+    Since the single-pass restructure, BLOCKS are built once over the
+    complete postings at finalize (never per-slice), so only the
+    postings parquet fragments: each slice appends its own sorted file
+    per term_bucket. Compaction merges those back to one run per bucket;
+    blocks stay duplicate-free on both sides."""
+    import glob
     import math
     import os
 
@@ -138,15 +145,23 @@ def test_compact_index_merges_slices(spark, docs_small, oracle_small, tmp_path):
     build_index(spark, docs_small, src, slices=3, term_buckets=8,
                 num_segments=4, with_positions=True,
                 input_lineage="sf0.001/documents.parquet")
+
+    def files_per_bucket(d):
+        return [
+            len(glob.glob(os.path.join(b, "*.parquet")))
+            for b in glob.glob(os.path.join(d, "postings", "term_bucket=*"))
+        ]
+
+    assert max(files_per_bucket(src)) > 1  # slices really did fragment
     blocks_frag = spark.read.parquet(os.path.join(src, "blocks"))
-    n_frag = blocks_frag.count()
-    dup_frag = n_frag - blocks_frag.select("term", "seg_id", "block_id").distinct().count()
-    assert dup_frag > 0  # slices really did fragment the block runs
+    assert blocks_frag.count() == (
+        blocks_frag.select("term", "seg_id", "block_id").distinct().count()
+    )  # finalize built blocks ONCE over all slices — no per-slice runs
 
     compact_index(spark, src, dst, num_segments=4)
+    assert max(files_per_bucket(dst)) == 1  # one sorted run per bucket
     blocks = spark.read.parquet(os.path.join(dst, "blocks"))
     assert blocks.count() == blocks.select("term", "seg_id", "block_id").distinct().count()
-    assert blocks.count() < n_frag
 
     for terms, mode in [(["spark", "join"], "or"), (["merge", "sort", "batch"], "and")]:
         ref = oracle_small.match(terms, k=25, mode=mode)
