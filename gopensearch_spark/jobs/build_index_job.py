@@ -18,9 +18,12 @@ The job is resumable: each slice commits a checkpoint with lineage and
 doc/term/byte metrics (gopensearch_spark/index/builder.py); re-running
 after a crash skips committed slices. Prints one JSON metrics line.
 
-Sizing guidance at 10^12 docs: slices ~ O(1000) so one slice is a few
-10^9 docs; term_buckets ~ O(4096); segments ~ O(1024) (the skew axis —
-a stopword's postings split across all segments).
+Sizing: by default both term_buckets and segments are CORPUS-SIZED
+(recommended_term_buckets / recommended_num_segments — constant per-task
+sort and kernel units at any scale); pass explicit values only to pin a
+layout. slices ~ O(1000) at 10^12 docs so one slice is a few 10^9 docs;
+segments are the skew axis — a stopword's postings split across all of
+them.
 """
 
 from __future__ import annotations
@@ -37,8 +40,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--format", default="parquet", choices=["parquet", "iceberg"])
     p.add_argument("--output", required=True, help="index output directory")
     p.add_argument("--slices", type=int, default=1)
-    p.add_argument("--term-buckets", type=int, default=64)
-    p.add_argument("--segments", type=int, default=32)
+    p.add_argument("--term-buckets", type=int, default=None,
+                   help="postings bucket count; default: corpus-sized "
+                        "(recommended_term_buckets, ~2M posting rows per "
+                        "sorted bucket)")
+    p.add_argument("--segments", type=int, default=None,
+                   help="doc-hash segment count; default: corpus-sized "
+                        "(recommended_num_segments)")
     p.add_argument("--no-blocks", action="store_true", help="skip compressed block index")
     p.add_argument("--positions", action="store_true",
                    help="store per-posting position lists (phrase queries)")
