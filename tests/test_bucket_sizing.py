@@ -19,8 +19,17 @@ from gopensearch_spark.index.builder import (
 
 
 def test_recommended_term_buckets_rule():
-    assert recommended_term_buckets(0) == DEFAULT_TERM_BUCKETS
-    assert recommended_term_buckets(1000) == DEFAULT_TERM_BUCKETS
+    # adaptive floor: tiny corpora get few fat-enough buckets (per-file
+    # overhead would dominate at the 64 floor), mid-size corpora rise to
+    # the DEFAULT_TERM_BUCKETS parallelism floor
+    from gopensearch_spark.index.builder import MIN_POSTINGS_PER_BUCKET
+
+    assert recommended_term_buckets(0) == 1
+    assert recommended_term_buckets(1000) == -(
+        -1000 * EST_POSTINGS_PER_DOC // MIN_POSTINGS_PER_BUCKET
+    )
+    assert recommended_term_buckets(60_000) == DEFAULT_TERM_BUCKETS
+    assert recommended_term_buckets(800_000) == DEFAULT_TERM_BUCKETS
     # grows linearly once past the floor
     n = 10_000_000
     expect = n * EST_POSTINGS_PER_DOC / TARGET_POSTINGS_PER_BUCKET
@@ -72,11 +81,13 @@ def test_auto_bucket_build_records_count(spark, tmp_path):
     )
     idx = str(tmp_path / "idx")
     build_index(spark, docs, idx, term_buckets=None, num_segments=4)
-    # tiny corpus -> the floor; recorded so query-side bucket hashing
-    # (term_buckets_for) agrees with the layout
-    assert read_corpus_stats(idx)["term_buckets"] == DEFAULT_TERM_BUCKETS
+    # tiny corpus -> the adaptive floor; recorded so query-side bucket
+    # hashing (term_buckets_for) agrees with the layout
+    expect = recommended_term_buckets(300)
+    assert 1 <= expect < DEFAULT_TERM_BUCKETS
+    assert read_corpus_stats(idx)["term_buckets"] == expect
     dirs = [
         d for d in os.listdir(os.path.join(idx, "postings"))
         if d.startswith("term_bucket=")
     ]
-    assert 0 < len(dirs) <= DEFAULT_TERM_BUCKETS
+    assert 0 < len(dirs) <= expect
