@@ -531,6 +531,52 @@ def _dsl_percentiles(spark, sf_dir):
     )
 
 
+def _dsl_range_agg(spark, sf_dir):
+    """ES `range` bucket agg (round 4): from-inclusive / to-exclusive,
+    overlapping buckets allowed, request order kept, empty ranges emit
+    doc_count 0. One conditional-count pass (no per-range rescan)."""
+    body = {"size": 0, "aggs": {"r": {"range": {"field": "value", "ranges": [
+        {"to": 100}, {"from": 100, "to": 500}, {"from": 500},
+        {"from": 0, "key": "nonneg"},
+    ]}}}}
+    _, aggs, _ = _engine(spark, sf_dir).search_df("events", body)
+    _, df = aggs["r"]
+    return df.select(F.col("key").alias("bucket"), "doc_count")
+
+
+def _dsl_filters_agg(spark, sf_dir):
+    """ES `filters` agg (round 4): named buckets compiled on the
+    relational path, counted in one pass, composed under a query."""
+    body = {
+        "query": {"range": {"value": {"gte": 0}}},
+        "size": 0,
+        "aggs": {"f": {"filters": {"filters": {
+            "errors": {"term": {"event_type": "error"}},
+            "big_clicks": {"bool": {"must": [
+                {"term": {"event_type": "click"}},
+                {"range": {"value": {"gte": 100}}}]}},
+        }}}},
+    }
+    _, aggs, _ = _engine(spark, sf_dir).search_df("events", body)
+    _, df = aggs["f"]
+    return df.select(F.col("key").alias("bucket"), "doc_count")
+
+
+def _dsl_stats_agg(spark, sf_dir):
+    """ES `stats` metric agg (round 4): count/min/max/avg/sum in one
+    partial+final hash aggregation."""
+    body = {"size": 0, "aggs": {"s": {"stats": {"field": "value"}}}}
+    _, aggs, _ = _engine(spark, sf_dir).search_df("events", body)
+    _, df = aggs["s"]
+    return df.select(
+        F.col("count").alias("n"),
+        F.round("min", 6).alias("min_value"),
+        F.round("max", 6).alias("max_value"),
+        F.round("avg", 6).alias("avg_value"),
+        F.round("sum", 4).alias("sum_value"),
+    )
+
+
 def _dsl_date_histogram_bounds(spark, sf_dir):
     """min_doc_count=0 + extended_bounds: zero-filled 6h buckets over a
     range wider than the data (the Grafana explore shape the reference
@@ -1113,7 +1159,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_or3": _bm25(["merge", "sort", "batch"], "or", 25),
         "bm25_phrase2": _phrase("spark join", 25),
         "bm25_prefix": _prefix("dat", 25),
-        "bm25_near2": _near2("spark", "data", 6, 25),
         "bm25_expr_and_or_not": _match_expr("data AND (scan OR batch) NOT dup", 50),
         # ES-DSL relational surface (compiled to DataFrame ops)
         "dsl_term_filter": _dsl_term_filter,
@@ -1123,7 +1168,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_bool_must_not": _dsl_bool_must_not,
         "dsl_terms_query": _dsl_terms_query,
         "dsl_exists_query": _dsl_exists_query,
-        "dsl_wildcard_query": _dsl_wildcard_query,
         "dsl_sort_limit": _dsl_sort_limit,
         "dsl_query_string_glob": _dsl_query_string_glob,
         "dsl_multi_match": _dsl_multi_match,
@@ -1134,7 +1178,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_match_phrase_slop": _dsl_match_phrase_slop,
         "dsl_cardinality": _dsl_cardinality,
         "dsl_percentiles": _dsl_percentiles,
-        "dsl_date_histogram_bounds": _dsl_date_histogram_bounds,
+        "dsl_range_agg": _dsl_range_agg,
+        "dsl_filters_agg": _dsl_filters_agg,
+        "dsl_stats_agg": _dsl_stats_agg,
         "dsl_subagg": _dsl_subagg,
         "dsl_phrase_filter": _dsl_phrase_filter,
         "dsl_prefix_filter": _dsl_prefix_filter,
@@ -1163,6 +1209,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- entries 51+: outside the driver's 50-entry value window ---
         # (every code path represented above; see the ordering-contract
         # note at the top of this function)
+        # round-4 displacements, each with its code path represented
+        # in-window: bm25_near2 (same trimmed-tf NEAR kernel as
+        # dsl_match_phrase_slop), dsl_wildcard_query (same
+        # glob_to_regex+rlike machinery as dsl_query_string_glob),
+        # dsl_date_histogram_bounds (same zero-fill path as
+        # dsl_date_histogram, parameter-only variant)
+        "bm25_near2": _near2("spark", "data", 6, 25),
+        "dsl_wildcard_query": _dsl_wildcard_query,
+        "dsl_date_histogram_bounds": _dsl_date_histogram_bounds,
         "bm25_tail_term": _bm25(["dup"], "or", 10),
         "bm25_and3_k100": _bm25(["data", "scan", "batch"], "and", 100),
         "bm25_and2_flat": _bm25_flat(["spark", "join"], "and", 10),
@@ -1266,6 +1321,31 @@ def oracle_sql() -> dict[str, str]:
             "FROM axis LEFT JOIN d USING (bucket) ORDER BY 1"
         ),
         "dsl_cardinality": "SELECT count(DISTINCT event_type) AS n_types FROM events",
+        "dsl_range_agg": (
+            # from-inclusive / to-exclusive, NULLs excluded, overlap OK
+            "SELECT '*-100.0' AS bucket, coalesce(sum(CASE WHEN value < 100 "
+            "THEN 1 ELSE 0 END), 0)::BIGINT AS doc_count FROM events "
+            "WHERE value IS NOT NULL "
+            "UNION ALL SELECT '100.0-500.0', coalesce(sum(CASE WHEN value >= 100 "
+            "AND value < 500 THEN 1 ELSE 0 END), 0)::BIGINT FROM events "
+            "WHERE value IS NOT NULL "
+            "UNION ALL SELECT '500.0-*', coalesce(sum(CASE WHEN value >= 500 "
+            "THEN 1 ELSE 0 END), 0)::BIGINT FROM events WHERE value IS NOT NULL "
+            "UNION ALL SELECT 'nonneg', coalesce(sum(CASE WHEN value >= 0 "
+            "THEN 1 ELSE 0 END), 0)::BIGINT FROM events WHERE value IS NOT NULL"
+        ),
+        "dsl_filters_agg": (
+            "SELECT 'errors' AS bucket, coalesce(sum(CASE WHEN event_type = 'error' "
+            "THEN 1 ELSE 0 END), 0)::BIGINT AS doc_count FROM events WHERE value >= 0 "
+            "UNION ALL SELECT 'big_clicks', coalesce(sum(CASE WHEN event_type = 'click' "
+            "AND value >= 100 THEN 1 ELSE 0 END), 0)::BIGINT "
+            "FROM events WHERE value >= 0"
+        ),
+        "dsl_stats_agg": (
+            "SELECT count(value) AS n, round(min(value), 6) AS min_value, "
+            "round(max(value), 6) AS max_value, round(avg(value), 6) AS avg_value, "
+            "round(sum(value), 4) AS sum_value FROM events"
+        ),
         "dsl_percentiles": (
             "WITH q AS (SELECT unnest([25.0, 50.0, 75.0, 95.0]) AS percent, "
             "unnest(quantile_cont(value, [0.25, 0.5, 0.75, 0.95])) AS v FROM events) "

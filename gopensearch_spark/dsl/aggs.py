@@ -96,6 +96,9 @@ def _metric_expr(ctx: CompileContext, sub: model.Aggregate) -> Column | None:
         # exact distinct; ES uses HLL — we prefer exactness (Spark's
         # approx_count_distinct is one call away if scale demands)
         return F.countDistinct(ctx.resolve(sub.cardinality.field))
+    if sub.value_count is not None:
+        # ES value_count: number of non-null values of the field
+        return F.count(ctx.resolve(sub.value_count.field))
     return None
 
 
@@ -166,6 +169,86 @@ def compile_agg(ctx: CompileContext, filtered: DataFrame, agg: model.Aggregate) 
             ).select((F.col("i") * F.lit(iv)).cast("double").alias("key"))
             out = axis.join(out, "key", "left").na.fill({"doc_count": 0})
         return "buckets", out.orderBy(F.asc("key"))
+    if agg.range is not None:
+        r = agg.range
+        col = ctx.resolve(r.field).cast("double")
+        # ES `range`: `from` inclusive, `to` exclusive; buckets may
+        # overlap and keep REQUEST order (never sorted); empty ranges
+        # still emit doc_count 0. One conditional-count pass over the
+        # filtered relation (partial+final hash agg — no per-range
+        # rescan), then the single stats row unpivots to bucket rows
+        # with posexplode. Range count is query-literal-sized, so the
+        # unpivot array is O(#ranges) regardless of data volume.
+        cnts, pairs = [], []
+        for i, rg in enumerate(r.ranges):
+            frm, to = rg.get("from"), rg.get("to")
+            cond = F.lit(True) & col.isNotNull()
+            if frm is not None:
+                cond = cond & (col >= F.lit(float(frm)))
+            if to is not None:
+                cond = cond & (col < F.lit(float(to)))
+            key = rg.get("key") or "{}-{}".format(
+                float(frm) if frm is not None else "*",
+                float(to) if to is not None else "*",
+            )
+            cnts.append(
+                F.coalesce(
+                    F.sum(F.when(cond, 1).otherwise(0)), F.lit(0)
+                ).cast("long").alias(f"__r{i}")
+            )
+            pairs.append(F.struct(
+                F.lit(key).alias("key"), F.col(f"__r{i}").alias("doc_count")
+            ))
+        if not cnts:
+            raise ValueError("range aggregation requires at least one range")
+        out = (
+            filtered.agg(*cnts)
+            .select(F.posexplode(F.array(*pairs)).alias("pos", "kv"))
+            .orderBy("pos")
+            .select("kv.key", "kv.doc_count")
+        )
+        return "buckets", out
+    if agg.filters is not None:
+        import dataclasses
+
+        from gopensearch_spark.dsl.compiler import compile_query
+
+        # named filter buckets in ONE conditional-count pass. Sub-queries
+        # compile on the relational path (fulltext_predicate detached):
+        # term/terms/range/bool/exists/wildcard behave exactly as in the
+        # query; `match` takes the reference's term-equality semantics
+        # (sql.go:126-141) — full-text scoring relations don't compose
+        # into per-bucket counts (match_phrase raises its clear error).
+        plain = dataclasses.replace(ctx, fulltext_predicate=None)
+        names = list(agg.filters.filters)
+        cnts = [
+            F.coalesce(
+                F.sum(F.when(compile_query(plain, q, False), 1).otherwise(0)),
+                F.lit(0),
+            ).cast("long").alias(f"__f{i}")
+            for i, q in enumerate(agg.filters.filters.values())
+        ]
+        pairs = [
+            F.struct(F.lit(name).alias("key"), F.col(f"__f{i}").alias("doc_count"))
+            for i, name in enumerate(names)
+        ]
+        out = (
+            filtered.agg(*cnts)
+            .select(F.posexplode(F.array(*pairs)).alias("pos", "kv"))
+            .orderBy("pos")
+            .select("kv.key", "kv.doc_count")
+        )
+        return "filters", out
+    if agg.stats is not None:
+        col = ctx.resolve(agg.stats.field).cast("double")
+        out = filtered.agg(
+            F.count(col).alias("count"),
+            F.min(col).alias("min"),
+            F.max(col).alias("max"),
+            F.avg(col).alias("avg"),
+            F.coalesce(F.sum(col), F.lit(0.0)).alias("sum"),
+        )
+        return "stats", out
     metric = _metric_expr(ctx, agg)
     if metric is not None:
         return "metric", filtered.agg(metric.alias("value"))

@@ -156,6 +156,21 @@ class Percentiles:
 
 
 @dataclass
+class RangeAgg:
+    """ES `range` bucket agg. Each range dict carries optional
+    `from` (inclusive) / `to` (exclusive) / `key`; buckets keep request
+    order and may overlap (a doc can land in several)."""
+    field: str
+    ranges: list[dict] = field(default_factory=list)
+
+
+@dataclass
+class FiltersAgg:
+    """ES `filters` bucket agg: one named bucket per sub-query."""
+    filters: dict[str, "Query"] = field(default_factory=dict)
+
+
+@dataclass
 class Aggregate:
     terms: AggTerms | None = None
     date_histogram: DateHistogram | None = None
@@ -167,7 +182,11 @@ class Aggregate:
     min: AggField | None = None
     sum: AggField | None = None
     cardinality: AggField | None = None
+    value_count: AggField | None = None
+    stats: AggField | None = None
     percentiles: Percentiles | None = None
+    range: RangeAgg | None = None
+    filters: FiltersAgg | None = None
     aggs: dict[str, "Aggregate"] = field(default_factory=dict)
 
 
@@ -314,12 +333,19 @@ def _parse_agg(raw: dict) -> Aggregate:
             interval=float(h["interval"]),
             min_doc_count=int(h.get("min_doc_count", 0)),
         )
-    for metric in ("avg", "max", "min", "sum", "cardinality"):
+    for metric in ("avg", "max", "min", "sum", "cardinality", "value_count", "stats"):
         if metric in raw:
             setattr(a, metric, AggField(
                 field=raw[metric]["field"],
                 missing=str(raw[metric].get("missing", "")),
             ))
+    if "range" in raw:
+        r = raw["range"]
+        a.range = RangeAgg(field=r["field"], ranges=list(r.get("ranges", [])))
+    if "filters" in raw:
+        a.filters = FiltersAgg(
+            filters={k: _parse_query(v) for k, v in raw["filters"]["filters"].items()}
+        )
     if "percentiles" in raw:
         p = raw["percentiles"]
         a.percentiles = Percentiles(

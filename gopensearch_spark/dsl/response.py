@@ -63,6 +63,24 @@ def shape_response(index: str, rows, agg_rows: dict, id_col: str, took_ms: int) 
         for label, (kind, rws) in agg_rows.items():
             if kind == "metric":
                 aggs[label] = {"value": _json_safe(rws[0]["value"]) if rws else None}
+            elif kind == "stats":
+                if rws:
+                    r0 = rws[0].asDict()
+                    aggs[label] = {
+                        "count": int(r0["count"]),
+                        "min": _json_safe(r0["min"]),
+                        "max": _json_safe(r0["max"]),
+                        "avg": _json_safe(r0["avg"]),
+                        "sum": _json_safe(r0["sum"]),
+                    }
+                else:
+                    aggs[label] = {"count": 0, "min": None, "max": None,
+                                   "avg": None, "sum": 0.0}
+            elif kind == "filters":
+                # ES keyed form: named buckets as an object, request order
+                aggs[label] = {"buckets": {
+                    r["key"]: {"doc_count": int(r["doc_count"])} for r in rws
+                }}
             elif kind == "percentiles":
                 if rws:
                     r0 = rws[0]

@@ -776,3 +776,86 @@ def test_track_total_hits(spark, docs_small, index_small, duck):
     assert r["hits"]["total"]["value"] == n_err
     r = e2.search("events", {**body, "track_total_hits": False})
     assert r["hits"]["total"]["value"] == 2
+
+
+def test_range_agg(engine, duck):
+    """ES `range` bucket agg: from inclusive / to exclusive, request
+    order kept, overlapping + empty ranges allowed, custom keys."""
+    body = {"size": 0, "aggs": {"r": {"range": {"field": "value", "ranges": [
+        {"to": 100}, {"from": 100, "to": 500},
+        {"from": 500}, {"from": 0, "key": "all_nonneg"},
+        {"from": 1e12, "to": 2e12},  # empty
+    ]}}}}
+    r = engine.search("events", body)
+    buckets = r["aggregations"]["r"]["buckets"]
+    lo, mid, hi, nonneg = duck.execute("""
+      SELECT sum(CASE WHEN value < 100 THEN 1 ELSE 0 END),
+             sum(CASE WHEN value >= 100 AND value < 500 THEN 1 ELSE 0 END),
+             sum(CASE WHEN value >= 500 THEN 1 ELSE 0 END),
+             sum(CASE WHEN value >= 0 THEN 1 ELSE 0 END)
+      FROM events WHERE value IS NOT NULL
+    """).fetchone()
+    assert [(b["key"], b["doc_count"]) for b in buckets] == [
+        ("*-100.0", int(lo)), ("100.0-500.0", int(mid)), ("500.0-*", int(hi)),
+        ("all_nonneg", int(nonneg)), ("1000000000000.0-2000000000000.0", 0)]
+    assert int(nonneg) > 0
+
+
+def test_filters_agg(engine, duck):
+    """ES `filters` agg: named buckets in one conditional-count pass,
+    composed under a query filter (bucket counts respect the query)."""
+    body = {
+        "query": {"range": {"value": {"gte": 0}}},
+        "size": 0,
+        "aggs": {"by_kind": {"filters": {"filters": {
+            "errors": {"term": {"event_type": "error"}},
+            "big_clicks": {"bool": {"must": [
+                {"term": {"event_type": "click"}},
+                {"range": {"value": {"gte": 100}}}]}},
+            "nothing": {"term": {"event_type": "no_such_type"}},
+        }}}},
+    }
+    r = engine.search("events", body)
+    buckets = r["aggregations"]["by_kind"]["buckets"]
+    n_err, n_big = duck.execute("""
+      SELECT sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END),
+             sum(CASE WHEN event_type = 'click' AND value >= 100 THEN 1 ELSE 0 END)
+      FROM events WHERE value >= 0
+    """).fetchone()
+    assert buckets == {
+        "errors": {"doc_count": int(n_err)},
+        "big_clicks": {"doc_count": int(n_big)},
+        "nothing": {"doc_count": 0},
+    }
+    assert int(n_err) > 0 and int(n_big) > 0
+
+
+def test_stats_and_value_count_aggs(engine, duck):
+    body = {"size": 0, "aggs": {
+        "s": {"stats": {"field": "value"}},
+        "n": {"value_count": {"field": "event_type"}},
+    }}
+    r = engine.search("events", body)
+    s = r["aggregations"]["s"]
+    cnt, mn, mx, avg, sm, n_types = duck.execute(
+        "SELECT count(value), min(value), max(value), avg(value), sum(value),"
+        " count(event_type) FROM events"
+    ).fetchone()
+    assert s["count"] == cnt
+    assert math.isclose(s["min"], mn, rel_tol=1e-9)
+    assert math.isclose(s["max"], mx, rel_tol=1e-9)
+    assert math.isclose(s["avg"], avg, rel_tol=1e-9)
+    assert math.isclose(s["sum"], sm, rel_tol=1e-9)
+    assert r["aggregations"]["n"]["value"] == n_types
+    # value_count as a metric sub-agg under terms
+    r2 = engine.search("events", {"size": 0, "aggs": {"t": {
+        "terms": {"field": "event_type", "size": 3},
+        "aggs": {"nv": {"value_count": {"field": "value"}}},
+    }}})
+    exp = duck.execute("""
+      SELECT event_type, count(*) AS n, count(value) AS nv FROM events
+      GROUP BY 1 ORDER BY n DESC, event_type ASC LIMIT 3
+    """).fetchall()
+    got = [(b["key"], b["doc_count"], b["nv"]["value"])
+           for b in r2["aggregations"]["t"]["buckets"]]
+    assert got == [(t, int(n), int(nv)) for t, n, nv in exp]
