@@ -216,6 +216,45 @@ ORDER BY score DESC, doc_id ASC LIMIT {k}
 """
 
 
+def _phrase_prefix(phrase: str, k: int):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from gopensearch_spark.search import phrase_prefix_match
+
+        out = phrase_prefix_match(spark, _index_dir(spark, sf_dir), phrase, k=k)
+        return out.select("doc_id", F.round("score", _ROUND).alias("score"))
+
+    return q
+
+
+def _phrase_prefix_oracle(t0: str, pre: str, k: int) -> str:
+    """DuckDB BM25 for a phrase-prefix `"t0 pre" *` (FTS5: final token a
+    prefix): tf counts start positions whose continuation token starts
+    with the prefix; df = docs with >= 1 such occurrence — one phrase
+    unit, NOT a per-expansion OR."""
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS term,
+         unnest(range(len(string_split(text, ' ')))) AS pos
+  FROM documents
+),
+hits AS (
+  SELECT a.doc_id, count(*) AS tf FROM tok a
+  JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = '{t0}' AND b.term LIKE '{pre}%' GROUP BY 1
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+u AS (SELECT count(*) AS df FROM hits)
+SELECT h.doc_id,
+  round((CASE WHEN ln((s.n_docs - u.df + 0.5) / (u.df + 0.5)) > 0
+        THEN ln((s.n_docs - u.df + 0.5) / (u.df + 0.5)) ELSE 1e-6 END)
+   * (h.tf * {K1 + 1.0}) / (h.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl)), {_ROUND}) AS score
+FROM hits h JOIN dl USING (doc_id) CROSS JOIN stats s CROSS JOIN u
+ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
 def _near2(t0: str, t1: str, nn: int, k: int):
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
         from gopensearch_spark.search import near_match
@@ -1141,7 +1180,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # invariant-gate) representative inside that window — round 4 per
     # the round-3 advisory: dsl_metrics covers all four _metric_expr
     # arms in one entry, dsl_terms_query and bm25_head_term_flat moved
-    # in, dsl_multi_match is new. The tail (51+) holds only entries
+    # in, dsl_multi_match is new; round 4b adds bm25_phrase_prefix,
+    # dsl_range_agg, dsl_filters_agg, dsl_stats_agg in-window (each a
+    # NEW code path; the four displaced entries below list their
+    # in-window representatives). The tail (51+) holds only entries
     # whose code path has an in-window representative: rows-only
     # approximate paths gated by in-window *_valid/*_recall/*_precision,
     # bm25_tail_term (same OR kernel as bm25_head_term), bm25_and3_k100
@@ -1159,6 +1201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_or3": _bm25(["merge", "sort", "batch"], "or", 25),
         "bm25_phrase2": _phrase("spark join", 25),
         "bm25_prefix": _prefix("dat", 25),
+        "bm25_phrase_prefix": _phrase_prefix("spark jo", 25),
         "bm25_expr_and_or_not": _match_expr("data AND (scan OR batch) NOT dup", 50),
         # ES-DSL relational surface (compiled to DataFrame ops)
         "dsl_term_filter": _dsl_term_filter,
@@ -1203,7 +1246,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk_valid": _ann_topk_valid("ivf"),
         "qc_quality_score": _qc_quality_score,
         "qc_lang_id": _qc_lang_id,
-        "qc_fingerprint": _qc_fingerprint,
         # plain SQL surface
         "sql_q1": _sql_q1,
         # --- entries 51+: outside the driver's 50-entry value window ---
@@ -1214,7 +1256,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dsl_match_phrase_slop), dsl_wildcard_query (same
         # glob_to_regex+rlike machinery as dsl_query_string_glob),
         # dsl_date_histogram_bounds (same zero-fill path as
-        # dsl_date_histogram, parameter-only variant)
+        # dsl_date_histogram, parameter-only variant), qc_fingerprint
+        # (same pure-JVM textqc family as in-window qc_quality_score /
+        # qc_lang_id)
+        "qc_fingerprint": _qc_fingerprint,
         "bm25_near2": _near2("spark", "data", 6, 25),
         "dsl_wildcard_query": _dsl_wildcard_query,
         "dsl_date_histogram_bounds": _dsl_date_histogram_bounds,
@@ -1266,6 +1311,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_and2_flat": _bm25_oracle(["spark", "join"], "and", 10),
         "bm25_phrase2": _phrase_oracle("spark", "join", 25),
         "bm25_prefix": _prefix_oracle("dat", 25),
+        "bm25_phrase_prefix": _phrase_prefix_oracle("spark", "jo", 25),
         "bm25_near2": _near2_oracle("spark", "data", 6, 25),
         "bm25_expr_and_or_not": _match_expr_oracle_and_or_not("data", "scan", "batch", "dup", 50),
         "dsl_term_filter": "SELECT event_id, event_type FROM events WHERE event_type = 'error'",

@@ -220,6 +220,15 @@ def compile_query(ctx: CompileContext, q: model.Query | None, scoring: bool = Tr
         raise ValueError(
             f"match_phrase on {field!r} requires a full-text index (positions)"
         )
+    for field, m in q.match_phrase_prefix.items():
+        if ctx.fulltext_predicate is not None:
+            ft = ctx.fulltext_predicate(strip_keyword(field), m, "phrase_prefix", scoring)
+            if ft is not None:
+                preds.append(ft)
+                continue
+        raise ValueError(
+            f"match_phrase_prefix on {field!r} requires a full-text index (positions)"
+        )
     for field, t in q.prefix.items():
         if ctx.fulltext_predicate is not None:
             ft = ctx.fulltext_predicate(

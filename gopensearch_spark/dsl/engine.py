@@ -492,6 +492,7 @@ class Engine:
                 bm25_scores,
                 near_match,
                 phrase_match,
+                phrase_prefix_match,
                 prefix_match,
             )
 
@@ -528,6 +529,8 @@ class Engine:
                         units = [("term", t) for t in terms]
                         return near_match(self.spark, spec.index_dir, units, n=slop, k=None)
                     return phrase_match(self.spark, spec.index_dir, q, k=None)
+                if kind == "phrase_prefix":
+                    return phrase_prefix_match(self.spark, spec.index_dir, q, k=None)
                 if kind == "prefix":
                     return prefix_match(self.spark, spec.index_dir, q, k=None)
                 return bm25_scores(self.spark, spec.index_dir, q, mode=mode)

@@ -105,6 +105,9 @@ class Query:
     # its FTS5 backend natively answers them ('"a b"' / 'ab*' MATCH
     # expressions); our positional index restores the capability.
     match_phrase: dict[str, Match] = field(default_factory=dict)
+    # ES match_phrase_prefix: phrase whose final token is a prefix
+    # (FTS5 `"a b" *`); full expansion, no max_expansions truncation
+    match_phrase_prefix: dict[str, Match] = field(default_factory=dict)
     prefix: dict[str, Term] = field(default_factory=dict)
     term: dict[str, Term] = field(default_factory=dict)
     bool_: Bool | None = None
@@ -262,6 +265,8 @@ def _parse_query(raw: dict) -> Query:
         q.match_all = True
     if "match_phrase" in raw:
         q.match_phrase = _parse_match(raw["match_phrase"])
+    if "match_phrase_prefix" in raw:
+        q.match_phrase_prefix = _parse_match(raw["match_phrase_prefix"])
     if "prefix" in raw:
         q.prefix = _parse_term(raw["prefix"])
     if "term" in raw:

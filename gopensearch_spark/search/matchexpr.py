@@ -139,6 +139,16 @@ class _Parser:
             terms = tokenize(val)
             if not terms:
                 raise ValueError(f"empty phrase {val!r}")
+            # FTS5: a `*` following a phrase makes the FINAL token a
+            # prefix token (`"a b" *` — with or without whitespace)
+            if (
+                self.i < len(self.toks)
+                and self.toks[self.i] == ("word", "*")
+            ):
+                self.next()
+                if len(terms) == 1:
+                    return Leaf("prefix", terms[0])
+                return Leaf("phrase_prefix", terms)
             return Leaf("phrase", terms) if len(terms) > 1 else Leaf("term", terms[0])
         if kind == "word":
             if val.endswith("*") and len(val) > 1:
@@ -186,12 +196,19 @@ def parse_match_expr(expr: str):
 
 def _leaf_scores(spark: SparkSession, index_dir: str, leaf: Leaf) -> DataFrame:
     from gopensearch_spark.search.bm25 import bm25_scores
-    from gopensearch_spark.search.phrase import near_match, phrase_match, prefix_match
+    from gopensearch_spark.search.phrase import (
+        near_match,
+        phrase_match,
+        phrase_prefix_match,
+        prefix_match,
+    )
 
     if leaf.kind == "term":
         return bm25_scores(spark, index_dir, [leaf.value], mode="or")
     if leaf.kind == "phrase":
         return phrase_match(spark, index_dir, list(leaf.value), k=None)
+    if leaf.kind == "phrase_prefix":
+        return phrase_prefix_match(spark, index_dir, list(leaf.value), k=None)
     if leaf.kind == "near":
         units, n = leaf.value
         return near_match(spark, index_dir, units, n=n, k=None)

@@ -272,6 +272,136 @@ def _prefix_match(
     return _score_topk(matches, stats["n_docs"], stats["avg_doc_len"], k)
 
 
+def _make_phrase_prefix_tf_udf(exact_terms: list[str], prefix: str):
+    """pandas UDF for a phrase whose LAST token is a prefix: keep start
+    positions p of term0 such that term_i hits p+i for every exact slot,
+    and ANY prefix-matching term hits p+n. The prefix slot's position
+    set is the union over every term in the doc starting with `prefix`
+    (FTS5 `"a b" *` semantics: the expansion is positional, one phrase
+    unit, not a per-expansion OR)."""
+    n = len(exact_terms)
+    exact_set = set(exact_terms)
+
+    @F.pandas_udf(T.IntegerType())
+    def phrase_prefix_tf(terms: pd.Series, poss: pd.Series) -> pd.Series:
+        def one(ts, ps) -> int:
+            pos: dict = {}
+            pref: list = []
+            for t, p in zip(ts, ps):
+                arr = codecs.delta_decode(bytes(p)).astype(np.int64)
+                if t in exact_set:
+                    pos[t] = arr
+                if t.startswith(prefix):
+                    pref.append(arr)
+            if len(pos) != len(exact_set) or not pref:
+                return 0
+            starts = pos[exact_terms[0]]
+            for i, t in enumerate(exact_terms[1:], 1):
+                if starts.size == 0:
+                    return 0
+                starts = starts[np.isin(starts + i, pos[t])]
+            union = np.unique(np.concatenate(pref))
+            return int(np.isin(starts + n, union).sum())
+
+        return pd.Series(
+            [one(ts, ps) for ts, ps in zip(terms, poss)], dtype="int32"
+        )
+
+    return phrase_prefix_tf
+
+
+def phrase_prefix_match(
+    spark: SparkSession, index_dir: str, phrase: str | list[str], k: int | None = 10
+) -> DataFrame:
+    """Top-k BM25 for a phrase-prefix (`t MATCH '"a b" *'` in FTS5: the
+    final token is a prefix token). ES `match_phrase_prefix` maps here
+    (full expansion — no max_expansions truncation; documented
+    divergence from Lucene's 50-term default, which silently drops
+    matches)."""
+    with query_scope():
+        return _phrase_prefix_match(spark, index_dir, phrase, k)
+
+
+def _phrase_prefix_match(
+    spark: SparkSession, index_dir: str, phrase: str | list[str], k: int | None
+) -> DataFrame:
+    from gopensearch_spark.analysis import normalize_query_terms
+    from gopensearch_spark.search.readers import corpus_stats, index_table
+
+    terms = normalize_query_terms(phrase)
+    if not terms:
+        raise ValueError("empty phrase after tokenization")
+    exact, prefix = terms[:-1], terms[-1]
+    if not exact:
+        return _prefix_match(spark, index_dir, prefix, k)
+    stats = corpus_stats(index_dir)
+    if not stats.get("with_positions"):
+        raise ValueError(f"index at {index_dir} was built without positions")
+
+    # scan pruning: exact terms prune to their hash buckets; the prefix
+    # disjunct reuses the sorted term_dict to resolve its bucket set
+    # (same freshness-token degrade rule as _prefix_match — a stale
+    # dict widens the scan, never drops terms)
+    from gopensearch_spark.index.builder import read_term_dict_meta
+
+    distinct_exact = sorted(set(exact))
+    exact_buckets = set(
+        term_buckets_for(spark, distinct_exact, stats["term_buckets"]).values()
+    )
+    posts = index_table(spark, index_dir, "postings")
+    is_exact = F.col("term").isin(distinct_exact)
+    is_pref = F.col("term").startswith(prefix)
+    meta = read_term_dict_meta(index_dir)
+    if meta is not None and meta.get("n_docs") == stats["n_docs"]:
+        pref_buckets = {
+            r["b"]
+            for r in index_table(spark, index_dir, "term_dict")
+            .where(F.col("term").startswith(prefix))
+            .select(
+                F.pmod(F.xxhash64("term"), F.lit(stats["term_buckets"])).cast("int").alias("b")
+            )
+            .distinct()
+            .collect()
+        }
+        if not pref_buckets:
+            return spark.createDataFrame([], _EMPTY)
+        posts = posts.where(
+            F.col("term_bucket").isin(sorted(exact_buckets | pref_buckets))
+        )
+    posts = posts.where(is_exact | is_pref).select(
+        "doc_id", "doc_len", "term", "positions"
+    )
+
+    # skinny candidate pass first (same shape as _group_docs_with_all_terms):
+    # docs holding every exact term AND >= 1 prefix expansion — only their
+    # position bytes enter the fat groupBy
+    cand = (
+        posts.select(
+            "doc_id",
+            F.when(F.col("term").isin(distinct_exact), F.col("term")).alias("et"),
+            F.col("term").startswith(prefix).cast("int").alias("pf"),
+        )
+        .groupBy("doc_id")
+        .agg(F.count_distinct("et").alias("ne"), F.max("pf").alias("hp"))
+        .where((F.col("ne") == len(distinct_exact)) & (F.col("hp") == 1))
+        .select("doc_id")
+    )
+    grouped = (
+        posts.join(cand, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.collect_list("term").alias("terms"),
+            F.collect_list("positions").alias("poss"),
+            F.first("doc_len").alias("doc_len"),
+        )
+    )
+    tf_udf = _make_phrase_prefix_tf_udf(exact, prefix)
+    matches = grouped.select(
+        "doc_id", "doc_len", tf_udf("terms", "poss").alias("tf")
+    ).where(F.col("tf") > 0)
+    return _score_topk(matches, stats["n_docs"], stats["avg_doc_len"], k)
+
+
 # --- NEAR groups (FTS5 `NEAR(p1 p2 ..., N)`) ---------------------------------
 
 def _instance_intervals(pos: dict, unit: tuple) -> tuple[np.ndarray, np.ndarray]:

@@ -859,3 +859,24 @@ def test_stats_and_value_count_aggs(engine, duck):
     got = [(b["key"], b["doc_count"], b["nv"]["value"])
            for b in r2["aggregations"]["t"]["buckets"]]
     assert got == [(t, int(n), int(nv)) for t, n, nv in exp]
+
+
+def test_match_phrase_prefix_through_engine(engine, oracle_small):
+    """ES match_phrase_prefix = FTS5 phrase-prefix (`"a b" *`, final
+    token a prefix): rank+score identical to the FTS5 oracle through the
+    full DSL path, composing under bool like any full-text clause."""
+    body = {"query": {"match_phrase_prefix": {"text": "spark jo"}}, "size": 10}
+    r = engine.search("docs", body)
+    ref = oracle_small.match_raw('"spark jo" *', k=10)
+    got = [(int(h["_id"]), h["_score"]) for h in r["hits"]["hits"]]
+    assert [d for d, _ in got] == [d for d, _ in ref] and got
+    for (_, s1), (_, s2) in zip(got, ref):
+        assert math.isclose(s1, s2, rel_tol=1e-9)
+    # composes as a scoring-exempt filter clause
+    rf = engine.search("docs", {"query": {"bool": {"filter": [
+        {"match_phrase_prefix": {"text": "spark jo"}}]}}, "size": 10000})
+    assert {int(h["_id"]) for h in rf["hits"]["hits"]} >= {d for d, _ in ref}
+    # unindexed field -> the clear capability error
+    with pytest.raises(Exception, match="match_phrase_prefix"):
+        engine.search("events", {"query": {
+            "match_phrase_prefix": {"event_type": "cli"}}})

@@ -96,6 +96,25 @@ def test_prefix_rank_identity(spark, index_small, oracle_small, prefix):
     _assert_rank_identical(got, ref)
 
 
+@pytest.mark.parametrize("phrase,prefix", [
+    ("spark", "jo"),          # 2-slot, head continuation
+    ("the", "dat"),           # stopword-ish head, broad expansion
+    ("spark", "s"),           # 1-char expansion (many terms)
+    ("the data", "sc"),       # 3-slot
+    ("spark", "zzz"),         # empty expansion -> no hits
+])
+def test_phrase_prefix_rank_identity(spark, index_small, oracle_small, phrase, prefix):
+    """FTS5 `"a b" *`: the final token is a prefix token; tf counts
+    start positions whose continuation chain ends on ANY expansion term
+    — one phrase unit, not a per-expansion OR."""
+    from gopensearch_spark.search import phrase_prefix_match
+
+    ref = oracle_small.match_raw(f'"{phrase} {prefix}" *', k=25)
+    got = _ours(phrase_prefix_match(
+        spark, index_small, f"{phrase} {prefix}", k=25))
+    _assert_rank_identical(got, ref)
+
+
 # --- full FTS5 MATCH expressions ---------------------------------------------
 
 EXPRS = [
@@ -106,6 +125,9 @@ EXPRS = [
     "spark NOT join",
     "(spark OR merge) NOT (batch OR sort)",
     '"spark join" OR dat*',
+    '"spark jo" *',                    # phrase-prefix unit
+    '"spark jo"* AND data',            # no-space star form, composed
+    'merge OR "the dat" *',
     '"the data" AND scan',
     "spar* AND jo*",
     "data NOT zzz_absent_term",
