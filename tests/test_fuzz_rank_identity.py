@@ -86,8 +86,11 @@ def _rand_leaf(rng):
         return rng.choice(["alpha", "beta", "gamma", "data", "merge", "zoo", "gain"])
     if r < 0.7:
         return '"data merge"'
-    if r < 0.85:
+    if r < 0.8:
         return rng.choice(["alp", "bet", "dat", "mer"]) + "*"
+    if r < 0.9:
+        # phrase-prefix: final token a prefix ("data mer" * etc.)
+        return rng.choice(['"data mer" *', '"data me"*', '"alpha dat" *'])
     return f"NEAR(data merge, {rng.randint(0, 6)})"
 
 
