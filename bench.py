@@ -48,8 +48,10 @@ BENCH_QUERIES = [
     "bm25_or3",
     "bm25_phrase2",
     "bm25_prefix",
+    "bm25_phrase_prefix",
     "bm25_near2",
     "dsl_bool_must_filter",
+    "dsl_multi_match",
     "dsl_terms_agg",
     "dsl_date_histogram",
     "dsl_subagg",
@@ -238,6 +240,82 @@ def bench_wand_vs_flat(copies: int) -> dict:
 
     out["n_docs"] = read_corpus_stats(idx)["n_docs"]
     return out
+
+
+QSCALE_SET = [
+    ("head_term", ["data"], "or", 10),
+    ("and2", ["spark", "join"], "and", 10),
+    ("or3", ["merge", "sort", "batch"], "or", 25),
+    ("prefix", None, "prefix", 25),  # resolved below
+]
+
+
+def bench_query_leg(copies: int) -> dict:
+    """One query-scaling leg at SPARK_GRAFT_CPUS cores against the
+    PREBUILT wand-vs-flat index (run --wand-vs-flat first): the WAND
+    serving set + a prefix query, per-query best-of-3 minima."""
+    import time as _t
+
+    from gopensearch_spark.search import prefix_match, wand_match
+    from gopensearch_spark.session import get_spark
+
+    spark = get_spark("bench-qleg", master=f"local[{CPUS}]")
+    idx = f"/tmp/gopensearch_bench/idx_wvf_x{copies}"
+    wand_match(spark, idx, ["data"], k=5, mode="or").collect()  # warm
+    times: dict[str, float] = {}
+    for name, terms, mode, k in QSCALE_SET:
+        runs = []
+        for _ in range(3):
+            t0 = _t.time()
+            if mode == "prefix":
+                prefix_match(spark, idx, "dat", k=k).collect()
+            else:
+                wand_match(spark, idx, terms, k=k, mode=mode).collect()
+            runs.append(_t.time() - t0)
+        times[name] = round(min(runs), 3)
+    from gopensearch_spark.index.builder import read_corpus_stats
+
+    return {"cpus": CPUS, "queries": times,
+            "n_docs": read_corpus_stats(idx)["n_docs"]}
+
+
+def bench_query_scaling(small: int, big: int, copies: int) -> dict:
+    """Query-latency scaling at two parallelism levels against ONE
+    prebuilt index (build cost excluded by construction). Subprocess
+    per leg so each gets a fresh JVM sized to its core count."""
+    import math as _m
+
+    results = {}
+    for n in (small, big):
+        env = dict(os.environ, SPARK_GRAFT_CPUS=str(n))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--query-leg",
+             "--copies", str(copies)],
+            capture_output=True, text=True, env=env,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        if out.returncode != 0:
+            raise RuntimeError(f"query leg cpus={n} failed:\n{out.stderr[-3000:]}")
+        results[n] = json.loads(out.stdout.strip().splitlines()[-1])
+    qs, qb = results[small]["queries"], results[big]["queries"]
+    per_q = {
+        name: {
+            "small_sec": qs[name], "big_sec": qb[name],
+            "speedup": round(qs[name] / qb[name], 3),
+            "efficiency": round(qs[name] / qb[name] / (big / small), 3),
+        }
+        for name in qs
+    }
+    gm = _m.exp(sum(_m.log(v["speedup"]) for v in per_q.values()) / len(per_q))
+    return {
+        "metric": "query-latency scaling",
+        "value": round(gm / (big / small), 3),
+        "unit": "efficiency(geomean)",
+        "copies": copies,
+        "n_docs": results[small]["n_docs"],
+        "small_cpus": small, "big_cpus": big,
+        "queries": per_q,
+    }
 
 
 def bench_or_decode(copies: int) -> dict:
@@ -440,9 +518,15 @@ if __name__ == "__main__":
     p.add_argument("--big", type=int, default=8)
     p.add_argument("--positions-compare", action="store_true")
     p.add_argument("--or-decode", action="store_true")
+    p.add_argument("--query-scaling", action="store_true")
+    p.add_argument("--query-leg", action="store_true")
     a = p.parse_args()
     if a.scaling:
         print(json.dumps(bench_scaling(a.small, a.big, a.copies, runs=a.runs)))
+    elif a.query_scaling:
+        print(json.dumps(bench_query_scaling(a.small, a.big, a.copies)))
+    elif a.query_leg:
+        print(json.dumps(bench_query_leg(a.copies)))
     elif a.positions_compare:
         print(json.dumps(bench_positions_compare(a.copies, runs=a.runs)))
     elif a.or_decode:

@@ -196,9 +196,17 @@ def test_prefix_scan_prunes_buckets_via_term_dict(spark, index_small):
     StartsWith pushed to parquet."""
     from gopensearch_spark.search import prefix_match
 
-    plan = _plan(prefix_match(spark, index_small, "dat", k=10))
+    # multi-expansion prefix ('s' -> scan/slow/small/sort/spark/stream):
+    # the generic path, bucket-pruned with StartsWith pushed down
+    plan = _plan(prefix_match(spark, index_small, "s", k=10))
     assert "term_bucket#" in plan.split("PartitionFilters:", 1)[1].split("]", 1)[0], plan
-    assert "StringStartsWith(term,dat)" in plan
+    assert "StringStartsWith(term,s)" in plan
+    # SINGLE-expansion prefix ('dat' -> only 'data'): BM25-identical to
+    # a term query, so it serves through the block-max WAND path — the
+    # plan reads the blocks table, not a startswith postings scan
+    plan1 = _plan(prefix_match(spark, index_small, "dat", k=10))
+    assert "StringStartsWith" not in plan1, plan1
+    assert "max_tf" in plan1, plan1  # blocks-table ReadSchema
     # unmatched prefix short-circuits to an empty relation, no scan job
     assert prefix_match(spark, index_small, "zzzzqq", k=5).count() == 0
 
