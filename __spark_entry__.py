@@ -506,7 +506,8 @@ def _dsl_multi_match(spark, sf_dir):
     subquery matches. Value-exact oracle below reproduces both fields'
     BM25 in SQL."""
     body = {"query": {"multi_match": {
-        "query": "data en", "fields": ["text^2", "lang"]}},
+        "query": "data en", "fields": ["text^2", "lang"],
+        "type": "most_fields"}},
         "size": 10_000_000}
     hits, _, _ = _engine(spark, sf_dir).search_df("documents", body)
     return hits.select("doc_id", F.round("score", _ROUND).alias("score"))

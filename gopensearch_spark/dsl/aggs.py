@@ -122,10 +122,24 @@ def compile_agg(ctx: CompileContext, filtered: DataFrame, agg: model.Aggregate) 
     """
     if agg.terms is not None:
         key = ctx.resolve(agg.terms.field).alias("key")
+        # ES `order`: _count (default) / _key / a metric sub-agg label —
+        # the sort rides the same single groupBy; ties break by key asc
+        okey, odir = agg.terms.order_key, agg.terms.order_dir
+        if okey == "_count":
+            ocol = F.col("doc_count")
+        elif okey == "_key":
+            ocol = F.col("key")
+        elif okey in agg.aggs:
+            ocol = F.col(okey)
+        else:
+            raise ValueError(
+                f"terms order {okey!r} is not _count, _key, or a metric "
+                f"sub-aggregation label ({sorted(agg.aggs)!r})"
+            )
         out = (
             filtered.groupBy(key)
             .agg(F.count("*").alias("doc_count"), *_metric_exprs(ctx, agg.aggs))
-            .orderBy(F.desc("doc_count"), F.asc("key"))
+            .orderBy(ocol.asc() if odir == "asc" else ocol.desc(), F.asc("key"))
             .limit(agg.terms.size)
         )
         return "buckets", out

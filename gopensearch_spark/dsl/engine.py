@@ -500,10 +500,18 @@ class Engine:
                 # k=None returns the UNORDERED scoring relation — no
                 # corpus-wide sort; the Engine filters and top-k's itself.
                 if kind == "multi":
-                    # most_fields: per-field BM25 (each field's OWN index
-                    # stats) scaled by its boost, summed across fields;
-                    # a doc matches when ANY field's subquery matches
-                    # (ES's bool-should expansion of multi_match)
+                    # per-field BM25 (each field's OWN index stats)
+                    # scaled by its boost; a doc matches when ANY
+                    # field's subquery matches (ES's bool-should
+                    # expansion). Combination by type: most_fields SUMS
+                    # the boosted field scores; best_fields (ES default)
+                    # takes the best field plus tie_breaker x the rest —
+                    # both one groupBy over the unioned relations.
+                    if q.type not in ("best_fields", "most_fields"):
+                        raise ValueError(
+                            f"unsupported multi_match type {q.type!r} "
+                            "(best_fields | most_fields)"
+                        )
                     indexed = spec.indexed_fields()
                     parts = []
                     for fname, boost in q.fields:
@@ -515,7 +523,14 @@ class Engine:
                     u = parts[0]
                     for p in parts[1:]:
                         u = u.unionByName(p)
-                    return u.groupBy("doc_id").agg(F.sum("score").alias("score"))
+                    if q.type == "most_fields":
+                        return u.groupBy("doc_id").agg(F.sum("score").alias("score"))
+                    tb = float(q.tie_breaker)
+                    return u.groupBy("doc_id").agg(
+                        (F.max("score")
+                         + F.lit(tb) * (F.sum("score") - F.max("score"))
+                         ).alias("score")
+                    )
                 if kind == "phrase":
                     from gopensearch_spark.analysis import normalize_query_terms
 

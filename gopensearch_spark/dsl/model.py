@@ -34,18 +34,22 @@ class Match:
 
 @dataclass
 class MultiMatch:
-    """ES `multi_match` (type=most_fields: ADDITIVE weighted BM25 over N
-    indexed fields — the reference's `match` TODO at sql.go:126-141 is
-    the hook; the reference itself never parses multi_match). Per-field
-    boosts come from the `"field^2.5"` suffix syntax. `operator` applies
-    WITHIN each field (AND = all terms in that one field); a doc matches
-    when ANY field's subquery matches, exactly ES's bool-should
-    expansion of most_fields."""
+    """ES `multi_match` over N indexed fields — the reference's `match`
+    TODO at sql.go:126-141 is the hook; the reference itself never
+    parses multi_match. Per-field boosts come from the `"field^2.5"`
+    suffix syntax; each field scores against its OWN index stats.
+    `operator` applies WITHIN each field (AND = all terms in that one
+    field); a doc matches when ANY field's subquery matches.
+
+    Types (ES semantics): `best_fields` (the ES default) takes the best
+    field's boosted score plus `tie_breaker` x the others;
+    `most_fields` SUMS the boosted per-field scores."""
 
     query: str
     fields: list  # [(field, boost)]
     operator: str = ""  # "OR" (default) | "AND"
-    type: str = "most_fields"
+    type: str = "best_fields"
+    tie_breaker: float = 0.0
 
 
 @dataclass
@@ -120,6 +124,9 @@ class Query:
 class AggTerms:
     field: str
     size: int = 10  # ES default; reference parses but never applies (sql.go:241-250)
+    # ES `order`: "_count" | "_key" | a metric sub-agg label
+    order_key: str = "_count"
+    order_dir: str = "desc"
 
 
 @dataclass
@@ -298,7 +305,8 @@ def _parse_query(raw: dict) -> Query:
             query=str(mm.get("query", "")),
             fields=fields,
             operator=str(mm.get("operator", "")),
-            type=str(mm.get("type", "most_fields")),
+            type=str(mm.get("type", "best_fields")),
+            tie_breaker=float(mm.get("tie_breaker", 0.0)),
         )
     return q
 
@@ -316,7 +324,10 @@ def _parse_agg(raw: dict) -> Aggregate:
     a = Aggregate()
     if "terms" in raw:
         t = raw["terms"]
-        a.terms = AggTerms(field=t["field"], size=int(t.get("size", 10)))
+        order = t.get("order") or {"_count": "desc"}
+        (okey, odir), = order.items()
+        a.terms = AggTerms(field=t["field"], size=int(t.get("size", 10)),
+                           order_key=str(okey), order_dir=str(odir).lower())
     if "date_histogram" in raw:
         d = raw["date_histogram"]
         eb = d.get("extended_bounds") or {}

@@ -681,7 +681,8 @@ def test_multi_match_most_fields(spark, docs_small, index_small, lang_index):
     e.create_index("docs", docs_small, text_field="text", index_dir=index_small,
                    extra_text_fields={"lang": lang_index})
     body = {"query": {"multi_match": {
-        "query": "data en", "fields": ["text^2", "lang"]}}, "size": 100000}
+        "query": "data en", "fields": ["text^2", "lang"],
+        "type": "most_fields"}}, "size": 100000}
     hits, _, _ = e.search_df("docs", body)
     got = {r["doc_id"]: r["score"] for r in hits.collect()}
 
@@ -721,6 +722,33 @@ def test_multi_match_most_fields(spark, docs_small, index_small, lang_index):
     with pytest.raises(ValueError, match="no full-text index"):
         e.search_df("docs", {"query": {"multi_match": {
             "query": "x", "fields": ["text", "source"]}}})
+
+    # --- best_fields (the ES default type) -------------------------------
+    # per-field relations are FTS5-pinned elsewhere; here pin the
+    # combination algebra against single-field runs through the SAME
+    # engine: best = max(parts) + tie_breaker * (sum - max)
+    def field_scores(fields):
+        h, _, _ = e.search_df("docs", {"query": {"multi_match": {
+            "query": "data en", "fields": fields, "type": "most_fields"}},
+            "size": 100000})
+        return {r["doc_id"]: r["score"] for r in h.collect()}
+
+    s_text = field_scores(["text^2"])
+    s_lang = field_scores(["lang"])
+    for tb in (0.0, 0.3):
+        body_best = {"query": {"multi_match": {
+            "query": "data en", "fields": ["text^2", "lang"],
+            "tie_breaker": tb}}, "size": 100000}  # type omitted -> best_fields
+        hits_b, _, _ = e.search_df("docs", body_best)
+        got_b = {r["doc_id"]: r["score"] for r in hits_b.collect()}
+        assert set(got_b) == set(s_text) | set(s_lang)
+        for d, s in got_b.items():
+            parts = [x for x in (s_text.get(d), s_lang.get(d)) if x is not None]
+            want = max(parts) + tb * (sum(parts) - max(parts))
+            assert math.isclose(s, want, rel_tol=1e-9), (d, tb, s, want)
+    # tie_breaker=0 differs from most_fields wherever both fields hit
+    both = set(s_text) & set(s_lang)
+    assert both, "expected docs matching in both fields"
 
 
 def test_multi_match_composes_under_bool(spark, docs_small, index_small, lang_index):
@@ -880,3 +908,33 @@ def test_match_phrase_prefix_through_engine(engine, oracle_small):
     with pytest.raises(Exception, match="match_phrase_prefix"):
         engine.search("events", {"query": {
             "match_phrase_prefix": {"event_type": "cli"}}})
+
+
+def test_terms_agg_order(engine, duck):
+    """ES terms `order`: _key asc, and by a metric sub-agg label —
+    cross-checked against DuckDB (ties break by key asc)."""
+    r = engine.search("events", {"size": 0, "aggs": {"t": {
+        "terms": {"field": "event_type", "size": 3, "order": {"_key": "asc"}}}}})
+    exp = duck.execute(
+        "SELECT event_type, count(*) FROM events GROUP BY 1 ORDER BY 1 ASC LIMIT 3"
+    ).fetchall()
+    assert [(b["key"], b["doc_count"]) for b in r["aggregations"]["t"]["buckets"]] \
+        == [(k, int(n)) for k, n in exp]
+
+    r2 = engine.search("events", {"size": 0, "aggs": {"t": {
+        "terms": {"field": "event_type", "size": 2, "order": {"m": "desc"}},
+        "aggs": {"m": {"avg": {"field": "value"}}}}}})
+    exp2 = duck.execute(
+        "SELECT event_type, count(*), avg(value) AS m FROM events "
+        "GROUP BY 1 ORDER BY m DESC, 1 ASC LIMIT 2"
+    ).fetchall()
+    got2 = [(b["key"], b["doc_count"], b["m"]["value"])
+            for b in r2["aggregations"]["t"]["buckets"]]
+    assert [(k, n) for k, n, _ in got2] == [(k, int(n)) for k, n, _ in exp2]
+    for (_, _, g), (_, _, w) in zip(got2, exp2):
+        assert math.isclose(g, w, rel_tol=1e-9)
+
+    # unknown order target -> clear error
+    with pytest.raises(ValueError, match="terms order"):
+        engine.search("events", {"size": 0, "aggs": {"t": {
+            "terms": {"field": "event_type", "order": {"nope": "desc"}}}}})
