@@ -341,6 +341,72 @@ ORDER BY score DESC, doc_id ASC LIMIT {k}
 """
 
 
+def _fuzzy(value: str, k: int, fuzziness="AUTO", prefix_length=0,
+           max_expansions=50):
+    """ES fuzzy term query: Levenshtein expansion over the term_dict side
+    table (df DESC / term ASC, max_expansions truncation), scored as an
+    OR over the expanded terms through block-max WAND."""
+
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from gopensearch_spark.search.fuzzy import fuzzy_match
+
+        out = fuzzy_match(
+            spark, _index_dir(spark, sf_dir), value, fuzziness=fuzziness,
+            prefix_length=prefix_length, max_expansions=max_expansions, k=k,
+        )
+        return (
+            out.withColumn("score", F.round("score", _ROUND))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .select("doc_id", "score")
+        )
+
+    return q
+
+
+def _fuzzy_oracle(value: str, k: int, fuzziness="AUTO", prefix_length=0,
+                  max_expansions=50) -> str:
+    """DuckDB reproduction of the full fuzzy pipeline: the expansion CTE
+    replaces _bm25_oracle's literal VALUES list; scoring is identical
+    OR-mode BM25 over the expanded set."""
+    from gopensearch_spark.analysis import tokenize
+    from gopensearch_spark.search.fuzzy import auto_fuzziness
+
+    (token,) = tokenize(value)
+    d = auto_fuzziness(token, fuzziness)
+    pfx_pred = (
+        f"AND starts_with(term, '{token[:prefix_length]}') "
+        if prefix_length > 0 else ""
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+q AS (
+  SELECT term FROM dfs
+  WHERE levenshtein(term, '{token}') <= {d} {pfx_pred}
+  ORDER BY df DESC, term ASC LIMIT {max_expansions}
+),
+scored AS (
+  SELECT tf.doc_id,
+    (CASE WHEN ln((s.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)) > 0
+          THEN ln((s.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)) ELSE 1e-6 END)
+    * (tf.tf * {K1 + 1.0}) / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl)) AS contrib
+  FROM tf
+  JOIN q USING (term)
+  JOIN dfs USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+),
+agg AS (SELECT doc_id, sum(contrib) AS score FROM scored GROUP BY 1)
+SELECT doc_id, round(score, {_ROUND}) AS score FROM agg
+ORDER BY round(score, {_ROUND}) DESC, doc_id ASC LIMIT {k}
+"""
+
+
 def _match_expr(expr: str, k: int):
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
         from gopensearch_spark.search import match_expr
@@ -1203,6 +1269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_phrase2": _phrase("spark join", 25),
         "bm25_prefix": _prefix("dat", 25),
         "bm25_phrase_prefix": _phrase_prefix("spark jo", 25),
+        "bm25_fuzzy": _fuzzy("spak", 25),
         "bm25_expr_and_or_not": _match_expr("data AND (scan OR batch) NOT dup", 50),
         # ES-DSL relational surface (compiled to DataFrame ops)
         "dsl_term_filter": _dsl_term_filter,
@@ -1227,7 +1294,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_stats_agg": _dsl_stats_agg,
         "dsl_subagg": _dsl_subagg,
         "dsl_phrase_filter": _dsl_phrase_filter,
-        "dsl_prefix_filter": _dsl_prefix_filter,
         "dsl_must_not_match": _dsl_must_not_match,
         # training-data pipeline operators
         "dedup_exact": _dedup_exact,
@@ -1259,7 +1325,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dsl_date_histogram_bounds (same zero-fill path as
         # dsl_date_histogram, parameter-only variant), qc_fingerprint
         # (same pure-JVM textqc family as in-window qc_quality_score /
-        # qc_lang_id)
+        # qc_lang_id), dsl_prefix_filter (composition of two in-window
+        # paths: bm25_prefix's prefix relation + dsl_phrase_filter's
+        # relation-as-filter marker join — displaced by bm25_fuzzy, a
+        # genuinely NEW expansion code path)
+        "dsl_prefix_filter": _dsl_prefix_filter,
         "qc_fingerprint": _qc_fingerprint,
         "bm25_near2": _near2("spark", "data", 6, 25),
         "dsl_wildcard_query": _dsl_wildcard_query,
@@ -1313,6 +1383,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_phrase2": _phrase_oracle("spark", "join", 25),
         "bm25_prefix": _prefix_oracle("dat", 25),
         "bm25_phrase_prefix": _phrase_prefix_oracle("spark", "jo", 25),
+        "bm25_fuzzy": _fuzzy_oracle("spak", 25),
         "bm25_near2": _near2_oracle("spark", "data", 6, 25),
         "bm25_expr_and_or_not": _match_expr_oracle_and_or_not("data", "scan", "batch", "dup", 50),
         "dsl_term_filter": "SELECT event_id, event_type FROM events WHERE event_type = 'error'",

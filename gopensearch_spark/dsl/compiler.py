@@ -204,7 +204,12 @@ def compile_query(ctx: CompileContext, q: model.Query | None, scoring: bool = Tr
         preds.append(ctx.resolve(field).rlike(glob_to_regex(t.value)))
     for field, m in q.match.items():
         if ctx.fulltext_predicate is not None:
-            ft = ctx.fulltext_predicate(strip_keyword(field), m, "match", scoring)
+            if m.fuzziness:
+                # ES `match` + `fuzziness`: term-level fuzzy expansion
+                fz = model.Fuzzy(value=m.query, fuzziness=m.fuzziness)
+                ft = ctx.fulltext_predicate(strip_keyword(field), fz, "fuzzy", scoring)
+            else:
+                ft = ctx.fulltext_predicate(strip_keyword(field), m, "match", scoring)
             if ft is not None:
                 preds.append(ft)
                 continue
@@ -228,6 +233,15 @@ def compile_query(ctx: CompileContext, q: model.Query | None, scoring: bool = Tr
                 continue
         raise ValueError(
             f"match_phrase_prefix on {field!r} requires a full-text index (positions)"
+        )
+    for field, fz in q.fuzzy.items():
+        if ctx.fulltext_predicate is not None:
+            ft = ctx.fulltext_predicate(strip_keyword(field), fz, "fuzzy", scoring)
+            if ft is not None:
+                preds.append(ft)
+                continue
+        raise ValueError(
+            f"fuzzy on {field!r} requires a full-text index (vocabulary)"
         )
     for field, t in q.prefix.items():
         if ctx.fulltext_predicate is not None:

@@ -392,6 +392,11 @@ class Engine:
                 ft_specs.append(("multi", m, mode, scoring, 0))
                 return F.col(f"__ft_id_{i}").isNotNull()
             if spec.index_dir and field == spec.text_field:
+                if kind == "fuzzy":
+                    # m is a model.Fuzzy; expansion is OR by construction
+                    i = len(ft_specs)
+                    ft_specs.append(("fuzzy", m, "or", scoring, 0))
+                    return F.col(f"__ft_id_{i}").isNotNull()
                 mode = "and" if m.operator.upper() == "AND" else "or"
                 i = len(ft_specs)
                 ft_specs.append((kind, m.query, mode, scoring, m.slop))
@@ -423,12 +428,14 @@ class Engine:
         if (
             len(q.match) == 1
             and not (q.term or q.terms or q.wildcard or q.match_phrase or q.prefix)
+            and not (q.match_phrase_prefix or q.fuzzy)
             and not (q.range or q.query_string or q.bool_ or q.match_all)
             and q.exists is None
             and q.multi_match is None
         ):
             ((field, m),) = q.match.items()
-            if strip_keyword(field) == spec.text_field:
+            # match + fuzziness routes through the expansion path, not WAND
+            if strip_keyword(field) == spec.text_field and not m.fuzziness:
                 return m
         return None
 
@@ -548,6 +555,14 @@ class Engine:
                     return phrase_prefix_match(self.spark, spec.index_dir, q, k=None)
                 if kind == "prefix":
                     return prefix_match(self.spark, spec.index_dir, q, k=None)
+                if kind == "fuzzy":
+                    from gopensearch_spark.search.fuzzy import fuzzy_match
+
+                    return fuzzy_match(
+                        self.spark, spec.index_dir, q.value,
+                        fuzziness=q.fuzziness, prefix_length=q.prefix_length,
+                        max_expansions=q.max_expansions, k=None,
+                    )
                 return bm25_scores(self.spark, spec.index_dir, q, mode=mode)
 
             # Left-join each clause's (doc_id, score) relation as marker

@@ -58,6 +58,18 @@ class Term:
 
 
 @dataclass
+class Fuzzy:
+    """ES `fuzzy` term query (absent from the reference; FTS5 has no
+    edit-distance operator) — see search/fuzzy.py for the pinned
+    expansion + scoring semantics."""
+
+    value: str
+    fuzziness: str = "AUTO"
+    prefix_length: int = 0
+    max_expansions: int = 50
+
+
+@dataclass
 class Range:
     gt: object = None
     gte: object = None
@@ -113,6 +125,9 @@ class Query:
     # (FTS5 `"a b" *`); full expansion, no max_expansions truncation
     match_phrase_prefix: dict[str, Match] = field(default_factory=dict)
     prefix: dict[str, Term] = field(default_factory=dict)
+    # ES `fuzzy` term-level query; `match` with a `fuzziness` option
+    # routes here too (compiler kind "fuzzy")
+    fuzzy: dict[str, Fuzzy] = field(default_factory=dict)
     term: dict[str, Term] = field(default_factory=dict)
     bool_: Bool | None = None
     range: dict[str, Range] = field(default_factory=dict)
@@ -276,6 +291,18 @@ def _parse_query(raw: dict) -> Query:
         q.match_phrase_prefix = _parse_match(raw["match_phrase_prefix"])
     if "prefix" in raw:
         q.prefix = _parse_term(raw["prefix"])
+    if "fuzzy" in raw:
+        q.fuzzy = {}
+        for k, v in raw["fuzzy"].items():
+            if isinstance(v, dict):
+                q.fuzzy[k] = Fuzzy(
+                    value=str(v.get("value", "")),
+                    fuzziness=str(v.get("fuzziness", "AUTO")),
+                    prefix_length=int(v.get("prefix_length", 0)),
+                    max_expansions=int(v.get("max_expansions", 50)),
+                )
+            else:
+                q.fuzzy[k] = Fuzzy(value=str(v))
     if "term" in raw:
         q.term = _parse_term(raw["term"])
     if "range" in raw:
