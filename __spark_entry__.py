@@ -407,6 +407,61 @@ ORDER BY round(score, {_ROUND}) DESC, doc_id ASC LIMIT {k}
 """
 
 
+def _regexp(pattern: str, k: int, max_expansions: int = 1000):
+    """ES regexp term query: whole-term-anchored expansion over the
+    term_dict side table, scored as an OR over the matching vocabulary
+    terms through block-max WAND."""
+
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from gopensearch_spark.search.fuzzy import regexp_match
+
+        out = regexp_match(
+            spark, _index_dir(spark, sf_dir), pattern,
+            max_expansions=max_expansions, k=k,
+        )
+        return (
+            out.withColumn("score", F.round("score", _ROUND))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .select("doc_id", "score")
+        )
+
+    return q
+
+
+def _regexp_oracle(pattern: str, k: int, max_expansions: int = 1000) -> str:
+    """DuckDB reproduction: regexp_full_match expansion CTE (RE2 and
+    Java regex agree on the ES-regexp operator subset used here) + the
+    standard OR-mode BM25."""
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+q AS (
+  SELECT term FROM dfs
+  WHERE regexp_full_match(term, '{pattern}')
+  ORDER BY df DESC, term ASC LIMIT {max_expansions}
+),
+scored AS (
+  SELECT tf.doc_id,
+    (CASE WHEN ln((s.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)) > 0
+          THEN ln((s.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)) ELSE 1e-6 END)
+    * (tf.tf * {K1 + 1.0}) / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl)) AS contrib
+  FROM tf
+  JOIN q USING (term)
+  JOIN dfs USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+),
+agg AS (SELECT doc_id, sum(contrib) AS score FROM scored GROUP BY 1)
+SELECT doc_id, round(score, {_ROUND}) AS score FROM agg
+ORDER BY round(score, {_ROUND}) DESC, doc_id ASC LIMIT {k}
+"""
+
+
 def _match_expr(expr: str, k: int):
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
         from gopensearch_spark.search import match_expr
@@ -487,6 +542,18 @@ def _dsl_bool_should_or(spark, sf_dir):
         {"term": {"event_type": "signup"}},
         {"term": {"event_type": "error"}},
     ]}}, "size": 10_000_000}
+    hits, _, _ = _engine(spark, sf_dir).search_df("events", body)
+    return hits.select("event_id", "event_type")
+
+
+def _dsl_min_should_match(spark, sf_dir):
+    """bool.should + minimum_should_match=2 (at-least-n-of indicator
+    sum — neither plain OR nor AND reproduces it)."""
+    body = {"query": {"bool": {"should": [
+        {"term": {"event_type": "click"}},
+        {"range": {"value": {"gte": 100}}},
+        {"term": {"event_type": "error"}},
+    ], "minimum_should_match": 2}}, "size": 10_000_000}
     hits, _, _ = _engine(spark, sf_dir).search_df("events", body)
     return hits.select("event_id", "event_type")
 
@@ -1270,12 +1337,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_prefix": _prefix("dat", 25),
         "bm25_phrase_prefix": _phrase_prefix("spark jo", 25),
         "bm25_fuzzy": _fuzzy("spak", 25),
+        "bm25_regexp": _regexp("dat[a-z]*", 25),
         "bm25_expr_and_or_not": _match_expr("data AND (scan OR batch) NOT dup", 50),
         # ES-DSL relational surface (compiled to DataFrame ops)
         "dsl_term_filter": _dsl_term_filter,
         "dsl_range_epoch_millis": _dsl_range_epoch_millis,
         "dsl_bool_must_filter": _dsl_bool_must_filter,
-        "dsl_bool_should_or": _dsl_bool_should_or,
+        "dsl_min_should_match": _dsl_min_should_match,
         "dsl_bool_must_not": _dsl_bool_must_not,
         "dsl_terms_query": _dsl_terms_query,
         "dsl_exists_query": _dsl_exists_query,
@@ -1304,7 +1372,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_cosine_lsh_precision": _dedup_embedding_cosine_lsh_precision,
         "dedup_clusters_capped": _dedup_clusters_capped,
         "split_train_val_test": _split_train_val_test,
-        "sample_stratified": _sample_stratified,
         "pack_sequences": _pack_sequences,
         "mm_extract_features": _mm_extract_features,
         "mm_sample_frames": _mm_sample_frames,
@@ -1328,8 +1395,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # qc_lang_id), dsl_prefix_filter (composition of two in-window
         # paths: bm25_prefix's prefix relation + dsl_phrase_filter's
         # relation-as-filter marker join — displaced by bm25_fuzzy, a
-        # genuinely NEW expansion code path)
+        # genuinely NEW expansion code path), dsl_bool_should_or (its
+        # _or_all composition is exercised in-window by dsl_bool_must_not
+        # and its term predicates by dsl_term_filter — displaced by
+        # dsl_min_should_match, the NEW indicator-sum path that
+        # generalizes should-OR), sample_stratified (same md5-bucket
+        # row-pure arithmetic as in-window split_train_val_test;
+        # per-stratum thresholds are a parameter variant)
         "dsl_prefix_filter": _dsl_prefix_filter,
+        "dsl_bool_should_or": _dsl_bool_should_or,
+        "sample_stratified": _sample_stratified,
         "qc_fingerprint": _qc_fingerprint,
         "bm25_near2": _near2("spark", "data", 6, 25),
         "dsl_wildcard_query": _dsl_wildcard_query,
@@ -1384,6 +1459,13 @@ def oracle_sql() -> dict[str, str]:
         "bm25_prefix": _prefix_oracle("dat", 25),
         "bm25_phrase_prefix": _phrase_prefix_oracle("spark", "jo", 25),
         "bm25_fuzzy": _fuzzy_oracle("spak", 25),
+        "bm25_regexp": _regexp_oracle("dat[a-z]*", 25),
+        "dsl_min_should_match": (
+            "SELECT event_id, event_type FROM events WHERE "
+            "(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END"
+            " + CASE WHEN value >= 100 THEN 1 ELSE 0 END"
+            " + CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) >= 2"
+        ),
         "bm25_near2": _near2_oracle("spark", "data", 6, 25),
         "bm25_expr_and_or_not": _match_expr_oracle_and_or_not("data", "scan", "batch", "dup", 50),
         "dsl_term_filter": "SELECT event_id, event_type FROM events WHERE event_type = 'error'",

@@ -181,6 +181,22 @@ def _or_all(preds: list[Column]) -> Column:
     return out if out is not None else F.lit(True)
 
 
+def resolve_min_should(spec: int | str, n_clauses: int) -> int:
+    """ES minimum_should_match arithmetic: int, "N", "-N" (n - N),
+    "P%" (floor of P% of n), "-P%" (n minus floor of P% of n). A result
+    <= 0 means the shoulds are purely score-boosting; a result > n can
+    never be satisfied (Lucene semantics) — callers need no clamping
+    because an n-indicator sum simply never reaches it."""
+    s = str(spec).strip()
+    if s.endswith("%"):
+        pct = int(s[:-1])
+        if pct >= 0:
+            return (pct * n_clauses) // 100
+        return n_clauses - ((-pct) * n_clauses) // 100
+    v = int(s)
+    return v if v >= 0 else n_clauses + v
+
+
 def compile_query(ctx: CompileContext, q: model.Query | None, scoring: bool = True) -> Column:
     """Query tree -> boolean Column (the WHERE side; scoring is separate).
 
@@ -243,6 +259,18 @@ def compile_query(ctx: CompileContext, q: model.Query | None, scoring: bool = Tr
         raise ValueError(
             f"fuzzy on {field!r} requires a full-text index (vocabulary)"
         )
+    for field, rx in q.regexp.items():
+        if ctx.fulltext_predicate is not None:
+            ft = ctx.fulltext_predicate(strip_keyword(field), rx, "regexp", scoring)
+            if ft is not None:
+                preds.append(ft)
+                continue
+        # ES-correct keyword-level regexp: the pattern matches the
+        # ENTIRE value (Lucene anchoring); Java-regex dialect via rlike
+        pat = f"^(?:{rx.value})$"
+        if rx.case_insensitive:
+            pat = "(?i)" + pat
+        preds.append(ctx.resolve(field).rlike(pat))
     for field, t in q.prefix.items():
         if ctx.fulltext_predicate is not None:
             ft = ctx.fulltext_predicate(
@@ -280,7 +308,25 @@ def compile_query(ctx: CompileContext, q: model.Query | None, scoring: bool = Tr
             preds.append(compile_query(ctx, sub, False))
         if b.should:
             should = [compile_query(ctx, s, scoring) for s in b.should]
-            preds.append(_and_all(should) if ctx.quirk_should_is_and else _or_all(should))
+            if b.minimum_should_match is not None and not ctx.quirk_should_is_and:
+                req = resolve_min_should(b.minimum_should_match, len(should))
+                if req <= 0:
+                    # purely score-boosting shoulds (the ES default when
+                    # must/filter are present): no hit-set restriction
+                    preds.append(F.lit(True))
+                elif req == 1:
+                    preds.append(_or_all(should))
+                else:
+                    # at-least-req-of-n: indicator sum, one pass, no
+                    # 2^n predicate expansion (n can't exceed the
+                    # request's clause count; still, keep it linear)
+                    ind = None
+                    for p in should:
+                        i = F.when(p, F.lit(1)).otherwise(F.lit(0))
+                        ind = i if ind is None else ind + i
+                    preds.append(ind >= F.lit(req))
+            else:
+                preds.append(_and_all(should) if ctx.quirk_should_is_and else _or_all(should))
         if b.must_not:
             # must_not is filter context too (excluded docs never score)
             preds.append(~_or_all([compile_query(ctx, s, False) for s in b.must_not]))

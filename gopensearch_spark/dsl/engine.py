@@ -392,10 +392,11 @@ class Engine:
                 ft_specs.append(("multi", m, mode, scoring, 0))
                 return F.col(f"__ft_id_{i}").isNotNull()
             if spec.index_dir and field == spec.text_field:
-                if kind == "fuzzy":
-                    # m is a model.Fuzzy; expansion is OR by construction
+                if kind in ("fuzzy", "regexp"):
+                    # m is a model.Fuzzy / model.Regexp; expansion is OR
+                    # by construction
                     i = len(ft_specs)
-                    ft_specs.append(("fuzzy", m, "or", scoring, 0))
+                    ft_specs.append((kind, m, "or", scoring, 0))
                     return F.col(f"__ft_id_{i}").isNotNull()
                 mode = "and" if m.operator.upper() == "AND" else "or"
                 i = len(ft_specs)
@@ -428,7 +429,7 @@ class Engine:
         if (
             len(q.match) == 1
             and not (q.term or q.terms or q.wildcard or q.match_phrase or q.prefix)
-            and not (q.match_phrase_prefix or q.fuzzy)
+            and not (q.match_phrase_prefix or q.fuzzy or q.regexp)
             and not (q.range or q.query_string or q.bool_ or q.match_all)
             and q.exists is None
             and q.multi_match is None
@@ -561,6 +562,14 @@ class Engine:
                     return fuzzy_match(
                         self.spark, spec.index_dir, q.value,
                         fuzziness=q.fuzziness, prefix_length=q.prefix_length,
+                        max_expansions=q.max_expansions, k=None,
+                    )
+                if kind == "regexp":
+                    from gopensearch_spark.search.fuzzy import regexp_match
+
+                    return regexp_match(
+                        self.spark, spec.index_dir, q.value,
+                        case_insensitive=q.case_insensitive,
                         max_expansions=q.max_expansions, k=None,
                     )
                 return bm25_scores(self.spark, spec.index_dir, q, mode=mode)

@@ -102,11 +102,29 @@ class Bool:
     # (pkg/dsl/dsl.go:41-49 has only Must/Should/Filter) but its ES 7.17
     # surface implies it; we implement the real semantics.
     must_not: list["Query"] = field(default_factory=list)
+    # ES minimum_should_match: int, "N", "-N", "P%", "-P%". None keeps
+    # the engine's reference-compat default (should OR'd, then AND'd
+    # with the other groups — i.e. an effective minimum of 1; ES itself
+    # would default to 0 when must/filter are present, a documented
+    # divergence).
+    minimum_should_match: int | str | None = None
 
 
 @dataclass
 class Terms:
     values: list
+
+
+@dataclass
+class Regexp:
+    """ES `regexp` term-level query (absent from the reference; FTS5 has
+    no regex MATCH). The pattern must match the ENTIRE term (ES/Lucene
+    anchoring); dialect is Java regex via Spark `rlike` — a documented
+    divergence from Lucene's operator set (see search/fuzzy.py)."""
+
+    value: str
+    case_insensitive: bool = False
+    max_expansions: int = 1000  # indexed-text path only (bounded OR)
 
 
 @dataclass
@@ -128,6 +146,9 @@ class Query:
     # ES `fuzzy` term-level query; `match` with a `fuzziness` option
     # routes here too (compiler kind "fuzzy")
     fuzzy: dict[str, Fuzzy] = field(default_factory=dict)
+    # ES `regexp`: whole-term match; expansion on indexed text fields,
+    # anchored rlike on plain columns
+    regexp: dict[str, Regexp] = field(default_factory=dict)
     term: dict[str, Term] = field(default_factory=dict)
     bool_: Bool | None = None
     range: dict[str, Range] = field(default_factory=dict)
@@ -303,6 +324,17 @@ def _parse_query(raw: dict) -> Query:
                 )
             else:
                 q.fuzzy[k] = Fuzzy(value=str(v))
+    if "regexp" in raw:
+        q.regexp = {}
+        for k, v in raw["regexp"].items():
+            if isinstance(v, dict):
+                q.regexp[k] = Regexp(
+                    value=str(v.get("value", "")),
+                    case_insensitive=bool(v.get("case_insensitive", False)),
+                    max_expansions=int(v.get("max_expansions", 1000)),
+                )
+            else:
+                q.regexp[k] = Regexp(value=str(v))
     if "term" in raw:
         q.term = _parse_term(raw["term"])
     if "range" in raw:
@@ -314,6 +346,7 @@ def _parse_query(raw: dict) -> Query:
             should=_as_query_list(b.get("should")),
             filter=_as_query_list(b.get("filter")),
             must_not=_as_query_list(b.get("must_not")),
+            minimum_should_match=b.get("minimum_should_match"),
         )
     if "query_string" in raw:
         s = raw["query_string"]

@@ -66,6 +66,21 @@ def auto_fuzziness(token: str, fuzziness: str | int = "AUTO") -> int:
     return 2
 
 
+def _vocabulary(spark: SparkSession, index_dir: str) -> DataFrame:
+    """(term, df) over the whole index: the sorted ``term_dict`` side
+    table when fresh, else the df-delta ``term_stats`` fold (postings
+    appended without finalize must degrade, never silently miss terms)."""
+    from gopensearch_spark.index.builder import read_term_dict_meta
+    from gopensearch_spark.search.readers import corpus_stats, index_table
+
+    stats = corpus_stats(index_dir)
+    meta = read_term_dict_meta(index_dir)
+    if meta is not None and meta.get("n_docs") == stats["n_docs"]:
+        return index_table(spark, index_dir, "term_dict")
+    tstats = index_table(spark, index_dir, "term_stats")
+    return tstats.groupBy("term").agg(F.sum("df").alias("df"))
+
+
 def fuzzy_expand(
     spark: SparkSession,
     index_dir: str,
@@ -76,18 +91,7 @@ def fuzzy_expand(
 ) -> list[str]:
     """Vocabulary terms within ``distance`` edits of ``token``, ranked
     (df DESC, term ASC), truncated to ``max_expansions``."""
-    from gopensearch_spark.index.builder import read_term_dict_meta
-    from gopensearch_spark.search.readers import corpus_stats, index_table
-
-    stats = corpus_stats(index_dir)
-    meta = read_term_dict_meta(index_dir)
-    if meta is not None and meta.get("n_docs") == stats["n_docs"]:
-        vocab = index_table(spark, index_dir, "term_dict")
-    else:
-        # stale dict (postings appended without finalize): degrade to the
-        # df-delta table — slower, never silently missing terms
-        tstats = index_table(spark, index_dir, "term_stats")
-        vocab = tstats.groupBy("term").agg(F.sum("df").alias("df"))
+    vocab = _vocabulary(spark, index_dir)
     if prefix_length > 0:
         vocab = vocab.where(F.col("term").startswith(token[:prefix_length]))
     # cheap JVM-side pre-filter (|len diff| <= d) before the edit distance;
@@ -130,6 +134,61 @@ def fuzzy_match(
         terms = fuzzy_expand(
             spark, index_dir, token, d, prefix_length, max_expansions
         )
+    if not terms:
+        return spark.createDataFrame([], _EMPTY)
+    if k is None:
+        return bm25_scores(spark, index_dir, terms, mode="or")
+    return wand_match(spark, index_dir, terms, k=k, mode="or")
+
+
+def regexp_expand(
+    spark: SparkSession,
+    index_dir: str,
+    pattern: str,
+    case_insensitive: bool = False,
+    max_expansions: int = 1000,
+) -> list[str]:
+    """Vocabulary terms the pattern matches IN FULL (ES/Lucene regexp
+    anchoring), ranked (df DESC, term ASC), truncated to
+    ``max_expansions``. Dialect is Java regex (Spark ``rlike``) — a
+    documented divergence from Lucene's operator set; the common
+    ES-regexp operators (literals, ``.`` ``*`` ``+`` ``?`` ``|``
+    ``()`` ``[]`` ``{}``) mean the same in both.
+
+    Scale shape: same as fuzzy — the scan is the (term, df) side table,
+    O(distinct terms), never postings; the surviving driver-side list is
+    bounded by ``max_expansions`` before it touches the index."""
+    anchored = f"^(?:{pattern})$"
+    if case_insensitive:
+        anchored = "(?i)" + anchored
+    vocab = _vocabulary(spark, index_dir).where(F.col("term").rlike(anchored))
+    rows = (
+        vocab.orderBy(F.desc("df"), F.asc("term"))
+        .limit(int(max_expansions))
+        .select("term")
+        .collect()
+    )
+    return [r["term"] for r in rows]
+
+
+def regexp_match(
+    spark: SparkSession,
+    index_dir: str,
+    pattern: str,
+    case_insensitive: bool = False,
+    max_expansions: int = 1000,
+    k: int | None = 10,
+) -> DataFrame:
+    """Top-k BM25 for a whole-term regexp (``k=None`` = unordered
+    scoring relation). Scoring = an OR over the expanded terms, the same
+    unit semantics as fuzzy_match (each matched vocabulary term keeps
+    its OWN df/idf; per-doc contributions sum)."""
+    from gopensearch_spark.search.bm25 import bm25_scores
+    from gopensearch_spark.search.wand import wand_match
+
+    terms = regexp_expand(
+        spark, index_dir, pattern, case_insensitive, max_expansions
+    )
     if not terms:
         return spark.createDataFrame([], _EMPTY)
     if k is None:

@@ -938,3 +938,110 @@ def test_terms_agg_order(engine, duck):
     with pytest.raises(ValueError, match="terms order"):
         engine.search("events", {"size": 0, "aggs": {"t": {
             "terms": {"field": "event_type", "order": {"nope": "desc"}}}}})
+
+
+def test_regexp_keyword_field(engine, duck):
+    """ES regexp on a plain column: pattern matches the ENTIRE value."""
+    r = engine.search(
+        "events",
+        {"query": {"regexp": {"event_type": {"value": "s.*up"}}}, "size": 100000},
+    )
+    n = duck.execute(
+        "SELECT count(*) FROM events WHERE regexp_full_match(event_type, 's.*up')"
+    ).fetchone()[0]
+    assert r["hits"]["total"]["value"] == n > 0
+    assert all(h["_source"]["event_type"] == "signup" for h in r["hits"]["hits"])
+    # unanchored fragment must NOT match (whole-value semantics)
+    r2 = engine.search(
+        "events", {"query": {"regexp": {"event_type": {"value": "ign"}}}}
+    )
+    assert r2["hits"]["hits"] == []
+    # case_insensitive flag
+    r3 = engine.search(
+        "events",
+        {"query": {"regexp": {"event_type": {"value": "SIGNUP",
+                                             "case_insensitive": True}}},
+         "size": 100000},
+    )
+    assert r3["hits"]["total"]["value"] == n
+
+
+def test_minimum_should_match(engine, duck):
+    """bool.should + minimum_should_match: at-least-n-of semantics,
+    int / negative / percentage forms, cross-checked against DuckDB."""
+    shoulds = [
+        {"term": {"event_type": "click"}},
+        {"range": {"value": {"gte": 100}}},
+        {"term": {"event_type": "error"}},
+    ]
+    ind = ("(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END"
+           " + CASE WHEN value >= 100 THEN 1 ELSE 0 END"
+           " + CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)")
+    for spec, req in [(2, 2), ("2", 2), (-1, 2), ("67%", 2), ("-34%", 2),
+                      (1, 1), (3, 3)]:
+        r = engine.search(
+            "events",
+            {"query": {"bool": {"should": shoulds,
+                                "minimum_should_match": spec}},
+             "size": 100000},
+        )
+        n = duck.execute(
+            f"SELECT count(*) FROM events WHERE {ind} >= {req}"
+        ).fetchone()[0]
+        assert r["hits"]["total"]["value"] == n, (spec, req)
+        assert n > 0 or req == 3  # non-vacuous for the common cases
+
+
+def test_minimum_should_match_zero_is_unrestrictive(engine, duck):
+    """msm <= 0: shoulds stop restricting (ES score-boost-only mode) —
+    the must clause alone decides membership."""
+    r = engine.search(
+        "events",
+        {"query": {"bool": {
+            "must": [{"term": {"event_type": "click"}}],
+            "should": [{"range": {"value": {"gte": 100000}}}],
+            "minimum_should_match": 0}},
+         "size": 100000},
+    )
+    n = duck.execute(
+        "SELECT count(*) FROM events WHERE event_type = 'click'"
+    ).fetchone()[0]
+    assert r["hits"]["total"]["value"] == n > 0
+
+
+def test_minimum_should_match_unsatisfiable(engine):
+    # more required than clauses exist -> empty (Lucene semantics)
+    r = engine.search(
+        "events",
+        {"query": {"bool": {"should": [{"term": {"event_type": "click"}}],
+                            "minimum_should_match": 2}}},
+    )
+    assert r["hits"]["hits"] == []
+
+
+def test_minimum_should_match_with_fulltext_should(spark, docs_small,
+                                                   index_small, oracle_small):
+    """msm counts full-text should clauses too (marker predicates are
+    real booleans): 2-of-3 single-term matches == docs containing >= 2
+    of the terms; scores stay additive over the MATCHING clauses."""
+    e = Engine(spark)
+    e.create_index("d2", docs_small, text_field="text", index_dir=index_small)
+    terms = ["merge", "sort", "batch"]
+    r = e.search(
+        "d2",
+        {"query": {"bool": {
+            "should": [{"match": {"text": t}} for t in terms],
+            "minimum_should_match": 2}},
+         "size": 10},
+    )
+    per = [dict(oracle_small.match([t], k=100000, mode="or")) for t in terms]
+    want = {}
+    for d in set().union(*per):
+        hits = [p[d] for p in per if d in p]
+        if len(hits) >= 2:
+            want[d] = sum(hits)
+    top = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = [(int(h["_id"]), h["_score"]) for h in r["hits"]["hits"]]
+    assert [d for d, _ in got] == [d for d, _ in top]
+    for (_, s1), (_, s2) in zip(got, top):
+        assert math.isclose(s1, s2, rel_tol=1e-9)

@@ -179,6 +179,73 @@ def test_fuzzy_stale_dict_degrades_to_term_stats(spark, docs_small, tmp_path):
     assert 20_000_001 in got
 
 
+def _py_regexp_expand(docs_rows, pattern, case_insensitive=False,
+                      max_expansions=1000):
+    import re
+
+    df: Counter = Counter()
+    for r in docs_rows:
+        df.update(set(tokenize(r["text"])))
+    flags = re.IGNORECASE if case_insensitive else 0
+    cands = [(t, n) for t, n in df.items() if re.fullmatch(pattern, t, flags)]
+    cands.sort(key=lambda tn: (-tn[1], tn[0]))
+    return [t for t, _ in cands[:max_expansions]]
+
+
+def test_regexp_expansion_matches_python_reference(spark, index_small, docs_rows):
+    from gopensearch_spark.search.fuzzy import regexp_expand
+
+    for pat in ["dat[a-z]*", "sp.rk", "(merge|sort)", "jo.+"]:
+        got = regexp_expand(spark, index_small, pat)
+        want = _py_regexp_expand(docs_rows, pat)
+        assert got == want, pat
+    assert regexp_expand(spark, index_small, "dat[a-z]*")  # non-vacuous
+
+
+def test_regexp_case_insensitive_and_truncation(spark, index_small, docs_rows):
+    from gopensearch_spark.search.fuzzy import regexp_expand
+
+    got = regexp_expand(spark, index_small, "DAT[A-Z]*", case_insensitive=True,
+                        max_expansions=2)
+    want = _py_regexp_expand(docs_rows, "DAT[A-Z]*", case_insensitive=True,
+                             max_expansions=2)
+    assert got == want and len(got) <= 2
+
+
+def test_regexp_match_scores_are_or_over_expansion(spark, index_small,
+                                                   docs_rows, oracle_small):
+    from gopensearch_spark.search.fuzzy import regexp_match
+
+    pat = "(merge|sort|batch)"
+    terms = _py_regexp_expand(docs_rows, pat)
+    ref = oracle_small.match(terms, k=15, mode="or")
+    got = [
+        (r["doc_id"], r["score"])
+        for r in regexp_match(spark, index_small, pat, k=15).collect()
+    ]
+    assert [x[0] for x in got] == [x[0] for x in ref]
+    for (_, s1), (_, s2) in zip(got, ref):
+        assert math.isclose(s1, s2, rel_tol=1e-9)
+
+
+def test_regexp_through_engine_dsl(engine_fuzzy, docs_rows, oracle_small):
+    body = {"query": {"regexp": {"text": {"value": "dat[a-z]*"}}}, "size": 10}
+    r = engine_fuzzy.search("docs", body)
+    terms = _py_regexp_expand(docs_rows, "dat[a-z]*")
+    ref = oracle_small.match(terms, k=10, mode="or")
+    got = [(int(h["_id"]), h["_score"]) for h in r["hits"]["hits"]]
+    assert [x[0] for x in got] == [x[0] for x in ref]
+    for (_, s1), (_, s2) in zip(got, ref):
+        assert math.isclose(s1, s2, rel_tol=1e-9)
+
+
+def test_regexp_no_match_returns_empty(engine_fuzzy):
+    r = engine_fuzzy.search(
+        "docs", {"query": {"regexp": {"text": {"value": "zzznope[0-9]+"}}}}
+    )
+    assert r["hits"]["hits"] == []
+
+
 @pytest.fixture(scope="module")
 def engine_fuzzy(spark, docs_small, index_small):
     from gopensearch_spark.dsl import Engine
