@@ -782,6 +782,41 @@ def _dsl_subagg(spark, sf_dir):
     return df.select("key", "doc_count", F.round("avg_val", 6).alias("avg_val"))
 
 
+def _dsl_search_after(spark, sf_dir):
+    """Cursor pagination: strictly-after predicate on the sort tuple
+    (value DESC, event_id ASC) — page 2 after a fixed cursor, never an
+    offset skip-scan."""
+    body = {
+        "sort": [{"value": "desc"}, {"event_id": "asc"}],
+        "search_after": [150.0, 500],
+        "size": 10,
+    }
+    hits, _, _ = _engine(spark, sf_dir).search_df("events", body)
+    return hits.select("event_id", F.round("value", 6).alias("value"))
+
+
+def _dsl_composite_agg(spark, sf_dir):
+    """composite bucket pagination: two terms sources + a metric
+    sub-agg, one page AFTER a fixed cursor (the scalable bucket walk)."""
+    body = {"size": 0, "aggs": {"c": {
+        "composite": {
+            "size": 20,
+            "sources": [
+                {"t": {"terms": {"field": "event_type"}}},
+                {"u": {"terms": {"field": "user_id", "order": "asc"}}},
+            ],
+            "after": {"t": "error", "u": 5},
+        },
+        "aggs": {"m": {"avg": {"field": "value"}}},
+    }}}
+    _, aggs, _ = _engine(spark, sf_dir).search_df("events", body)
+    _, df = aggs["c"]
+    return df.select(
+        F.col("key.t").alias("t"), F.col("key.u").alias("u"),
+        "doc_count", F.round("m", 6).alias("m"),
+    )
+
+
 def _dsl_phrase_filter(spark, sf_dir):
     """match_phrase in scoring context + scoring-exempt filter: routes
     through the UNORDERED phrase relation (k=None) — the plan has no
@@ -1348,16 +1383,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_terms_query": _dsl_terms_query,
         "dsl_exists_query": _dsl_exists_query,
         "dsl_sort_limit": _dsl_sort_limit,
+        "dsl_search_after": _dsl_search_after,
         "dsl_query_string_glob": _dsl_query_string_glob,
         "dsl_multi_match": _dsl_multi_match,
         "dsl_terms_agg": _dsl_terms_agg,
+        "dsl_composite_agg": _dsl_composite_agg,
         "dsl_date_histogram": _dsl_date_histogram,
         "dsl_histogram": _dsl_histogram,
         "dsl_metrics": _dsl_metrics,
         "dsl_match_phrase_slop": _dsl_match_phrase_slop,
-        "dsl_cardinality": _dsl_cardinality,
         "dsl_percentiles": _dsl_percentiles,
-        "dsl_range_agg": _dsl_range_agg,
         "dsl_filters_agg": _dsl_filters_agg,
         "dsl_stats_agg": _dsl_stats_agg,
         "dsl_subagg": _dsl_subagg,
@@ -1401,10 +1436,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dsl_min_should_match, the NEW indicator-sum path that
         # generalizes should-OR), sample_stratified (same md5-bucket
         # row-pure arithmetic as in-window split_train_val_test;
-        # per-stratum thresholds are a parameter variant)
+        # per-stratum thresholds are a parameter variant),
+        # dsl_range_agg (same single-pass conditional-count +
+        # posexplode-unpivot core as in-window dsl_filters_agg, with
+        # simpler numeric-literal conditions — displaced by
+        # dsl_composite_agg, the NEW cursor-paginated bucket walk),
+        # dsl_cardinality (a fifth arm of the same _metric_expr
+        # one-groupBy dispatch whose four siblings are value-checked
+        # in-window via dsl_metrics — displaced by dsl_search_after,
+        # the NEW sort-tuple cursor path)
         "dsl_prefix_filter": _dsl_prefix_filter,
         "dsl_bool_should_or": _dsl_bool_should_or,
         "sample_stratified": _sample_stratified,
+        "dsl_range_agg": _dsl_range_agg,
+        "dsl_cardinality": _dsl_cardinality,
         "qc_fingerprint": _qc_fingerprint,
         "bm25_near2": _near2("spark", "data", 6, 25),
         "dsl_wildcard_query": _dsl_wildcard_query,
@@ -1465,6 +1510,19 @@ def oracle_sql() -> dict[str, str]:
             "(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END"
             " + CASE WHEN value >= 100 THEN 1 ELSE 0 END"
             " + CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) >= 2"
+        ),
+        "dsl_search_after": (
+            "SELECT event_id, round(value, 6) AS value FROM events "
+            "WHERE value < 150.0 OR (value = 150.0 AND event_id > 500) "
+            "ORDER BY value DESC, event_id ASC LIMIT 10"
+        ),
+        "dsl_composite_agg": (
+            "SELECT event_type AS t, user_id AS u, count(*) AS doc_count, "
+            "round(avg(value), 6) AS m FROM events "
+            "WHERE event_type IS NOT NULL AND user_id IS NOT NULL "
+            "GROUP BY 1, 2 "
+            "HAVING t > 'error' OR (t = 'error' AND u > 5) "
+            "ORDER BY t ASC, u ASC LIMIT 20"
         ),
         "bm25_near2": _near2_oracle("spark", "data", 6, 25),
         "bm25_expr_and_or_not": _match_expr_oracle_and_or_not("data", "scan", "batch", "dup", 50),

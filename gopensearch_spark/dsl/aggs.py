@@ -143,6 +143,47 @@ def compile_agg(ctx: CompileContext, filtered: DataFrame, agg: model.Aggregate) 
             .limit(agg.terms.size)
         )
         return "buckets", out
+    if agg.composite is not None:
+        from gopensearch_spark.dsl.compiler import tuple_after_predicate
+
+        c = agg.composite
+        if not c.sources:
+            raise ValueError("composite aggregation requires sources")
+        # The SCALABLE bucket walk: unlike `terms` (one global top-N
+        # truncation), composite streams buckets in KEY order with an
+        # `after` cursor, so 10^9 distinct keys page through in
+        # size-bounded requests. The cursor filter applies to the
+        # grouped relation — with AQE the post-shuffle partitions that
+        # sort entirely before the cursor never feed the final top-k,
+        # and the per-page cost stays O(matching groups), not O(pages
+        # seen so far) like from/size.
+        key_cols = [ctx.resolve(s.field) for s in c.sources]
+        # missing_bucket=false (ES default): NULL source values drop
+        grouped = filtered
+        for kc in key_cols:
+            grouped = grouped.where(kc.isNotNull())
+        out = grouped.groupBy(
+            *[kc.alias(s.name) for kc, s in zip(key_cols, c.sources)]
+        ).agg(F.count("*").alias("doc_count"), *_metric_exprs(ctx, agg.aggs))
+        if c.after is not None:
+            missing = [s.name for s in c.sources if s.name not in c.after]
+            if missing:
+                raise ValueError(f"composite after cursor missing keys {missing!r}")
+            out = out.where(tuple_after_predicate(
+                [(F.col(s.name), s.order, c.after[s.name]) for s in c.sources]
+            ))
+        out = out.orderBy(*[
+            F.col(s.name).asc() if s.order != "desc" else F.col(s.name).desc()
+            for s in c.sources
+        ]).limit(c.size)
+        names = [s.name for s in c.sources]
+        metrics = [cname for cname in out.columns
+                   if cname not in names and cname != "doc_count"]
+        out = out.select(
+            F.struct(*[F.col(n) for n in names]).alias("key"),
+            "doc_count", *metrics,
+        )
+        return "composite", out
     if agg.date_histogram is not None:
         dh = agg.date_histogram
         key = date_bucket_expr(ctx, dh).alias("key")

@@ -82,6 +82,8 @@ class CompileContext:
     date_fields: dict[str, str] = dc_field(default_factory=dict)  # field -> format (template analogue)
     quirk_should_is_and: bool = False
     quirk_first_range_only: bool = False
+    # the index's document-id column (`_id` analogue), for `ids` queries
+    id_col: str | None = None
     # callback(field, clause, kind, scoring) -> Column predicate,
     # installed by the Engine to route full-text `match`/`match_phrase`/
     # `prefix` on indexed fields to the BM25/phrase engines. kind in
@@ -181,6 +183,27 @@ def _or_all(preds: list[Column]) -> Column:
     return out if out is not None else F.lit(True)
 
 
+def tuple_after_predicate(items: list[tuple[Column, str, object]]) -> Column:
+    """Strictly-after predicate for a lexicographic sort tuple with
+    per-key directions: OR over i of (keys<i equal) AND (key_i past its
+    cursor value in its direction). Linear in the number of keys — this
+    is the cursor filter behind `search_after` and `composite.after`,
+    and it PUSHES DOWN (on the first key it is a plain range predicate,
+    so parquet min/max skipping prunes pages the cursor has passed)."""
+    pred: Column | None = None
+    eq_prefix: Column | None = None
+    for col, order, val in items:
+        lit = F.lit(val)
+        cmp = (col > lit) if str(order).lower() != "desc" else (col < lit)
+        clause = cmp if eq_prefix is None else (eq_prefix & cmp)
+        pred = clause if pred is None else (pred | clause)
+        eq = col == lit
+        eq_prefix = eq if eq_prefix is None else (eq_prefix & eq)
+    if pred is None:
+        raise ValueError("after-cursor requires at least one sort key")
+    return pred
+
+
 def resolve_min_should(spec: int | str, n_clauses: int) -> int:
     """ES minimum_should_match arithmetic: int, "N", "-N" (n - N),
     "P%" (floor of P% of n), "-P%" (n minus floor of P% of n). A result
@@ -216,6 +239,15 @@ def compile_query(ctx: CompileContext, q: model.Query | None, scoring: bool = Tr
         preds.append(ctx.resolve(field).isin([_literal(str(v)) for v in ts.values]))
     if q.exists is not None:
         preds.append(ctx.resolve(q.exists).isNotNull())
+    if q.ids is not None:
+        if ctx.id_col is None:
+            raise ValueError("ids query requires an index with an id column")
+        # ES sends _id values as strings; coerce each to the column's
+        # natural literal (int-vs-string inference) so the IN list
+        # pushes down without casting the scanned column
+        preds.append(
+            F.col(ctx.id_col).isin([_literal(str(v)) for v in q.ids])
+        )
     for field, t in q.wildcard.items():
         preds.append(ctx.resolve(field).rlike(glob_to_regex(t.value)))
     for field, m in q.match.items():

@@ -415,6 +415,7 @@ class Engine:
             date_fields=self._date_fields_for(index),
             quirk_should_is_and=self.compat_quirks,
             quirk_first_range_only=self.compat_quirks,
+            id_col=spec.id_col,
             fulltext_predicate=fulltext,
         )
         return spec, ctx, ft_specs
@@ -426,12 +427,15 @@ class Engine:
         q = d.query
         if q is None or d.aggs or d.sort or not spec.index_dir:
             return None
+        if d.search_after is not None:  # needs the general path's checks
+            return None
         if (
             len(q.match) == 1
             and not (q.term or q.terms or q.wildcard or q.match_phrase or q.prefix)
             and not (q.match_phrase_prefix or q.fuzzy or q.regexp)
             and not (q.range or q.query_string or q.bool_ or q.match_all)
             and q.exists is None
+            and q.ids is None
             and q.multi_match is None
         ):
             ((field, m),) = q.match.items()
@@ -624,6 +628,27 @@ class Engine:
 
         self._last_prelimit = filtered  # pre-sort/offset/limit relation
         hits = filtered
+        if d.search_after is not None:
+            # cursor pagination: a strictly-after predicate on the sort
+            # tuple — the rows of every previous page are FILTERED OUT
+            # before the top-k (from/size re-sorts and discards
+            # offset+size rows per page; at page depth 10^6 that is the
+            # difference between a pushdown range scan and a full sort)
+            from gopensearch_spark.dsl.compiler import tuple_after_predicate
+
+            if not d.sort:
+                raise ValueError("search_after requires an explicit sort")
+            if d.from_:
+                raise ValueError("search_after cannot be combined with from")
+            if len(d.search_after) != len(d.sort):
+                raise ValueError(
+                    f"search_after has {len(d.search_after)} values for "
+                    f"{len(d.sort)} sort keys"
+                )
+            hits = hits.where(tuple_after_predicate([
+                (ctx.resolve(s.field), s.order, v)
+                for s, v in zip(d.sort, d.search_after)
+            ]))
         if d.sort:
             hits = hits.orderBy(
                 *[

@@ -149,6 +149,8 @@ class Query:
     # ES `regexp`: whole-term match; expansion on indexed text fields,
     # anchored rlike on plain columns
     regexp: dict[str, Regexp] = field(default_factory=dict)
+    # ES `ids` query: {"ids": {"values": [...]}} on the index's id column
+    ids: list | None = None
     term: dict[str, Term] = field(default_factory=dict)
     bool_: Bool | None = None
     range: dict[str, Range] = field(default_factory=dict)
@@ -217,8 +219,32 @@ class FiltersAgg:
 
 
 @dataclass
+class CompositeSource:
+    """One `composite` source (terms only; ES also allows histogram /
+    date_histogram sources — clear error for now)."""
+
+    name: str
+    field: str
+    order: str = "asc"  # asc | desc
+
+
+@dataclass
+class CompositeAgg:
+    """ES `composite` bucket agg: the SCALABLE bucket pagination — keys
+    stream in key order with an `after` cursor, so a consumer can walk
+    10^9 distinct buckets in bounded pages instead of one top-N
+    truncation. Buckets with any NULL source value are skipped
+    (missing_bucket=false, the ES default)."""
+
+    sources: list[CompositeSource] = field(default_factory=list)
+    size: int = 10
+    after: dict | None = None
+
+
+@dataclass
 class Aggregate:
     terms: AggTerms | None = None
+    composite: CompositeAgg | None = None
     date_histogram: DateHistogram | None = None
     histogram: Histogram | None = None
     avg: AggField | None = None
@@ -249,6 +275,12 @@ class Dsl:
     # pre-limit count of the filtered relation; False -> the compat
     # post-limit count (reference server.go:222-230).
     track_total_hits: bool | None = None
+    # ES `search_after`: sort-tuple cursor for deep pagination — a
+    # strictly-after predicate on the sort keys instead of an
+    # offset-sized skip scan (`from` at depth 10^6 re-sorts and drops
+    # a million rows per page; search_after filters them out before
+    # the top-k). Requires `sort`; incompatible with `from`.
+    search_after: list | None = None
 
 
 def _parse_match(raw: dict) -> dict[str, Match]:
@@ -335,6 +367,8 @@ def _parse_query(raw: dict) -> Query:
                 )
             else:
                 q.regexp[k] = Regexp(value=str(v))
+    if "ids" in raw:
+        q.ids = list(raw["ids"].get("values", []))
     if "term" in raw:
         q.term = _parse_term(raw["term"])
     if "range" in raw:
@@ -388,6 +422,26 @@ def _parse_agg(raw: dict) -> Aggregate:
         (okey, odir), = order.items()
         a.terms = AggTerms(field=t["field"], size=int(t.get("size", 10)),
                            order_key=str(okey), order_dir=str(odir).lower())
+    if "composite" in raw:
+        c = raw["composite"]
+        sources = []
+        for src in c.get("sources", []):
+            (name, body), = src.items()
+            if "terms" not in body:
+                raise ValueError(
+                    f"composite source {name!r}: only `terms` sources are "
+                    "supported (histogram/date_histogram sources are not)"
+                )
+            t = body["terms"]
+            sources.append(CompositeSource(
+                name=str(name), field=str(t["field"]),
+                order=str(t.get("order", "asc")).lower(),
+            ))
+        a.composite = CompositeAgg(
+            sources=sources,
+            size=int(c.get("size", 10)),
+            after=c.get("after"),
+        )
     if "date_histogram" in raw:
         d = raw["date_histogram"]
         eb = d.get("extended_bounds") or {}
@@ -448,6 +502,8 @@ def parse_dsl(body: str | dict) -> Dsl:
         d.highlight = raw["highlight"]
     if raw.get("track_total_hits") is not None:
         d.track_total_hits = bool(raw["track_total_hits"])
+    if raw.get("search_after") is not None:
+        d.search_after = list(raw["search_after"])
     # `aggregations` wins over `aggs` (reference json.go:81-85)
     aggs = raw.get("aggregations") or raw.get("aggs") or {}
     d.aggs = {k: _parse_agg(v) for k, v in aggs.items()}

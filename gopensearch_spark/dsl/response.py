@@ -81,6 +81,24 @@ def shape_response(index: str, rows, agg_rows: dict, id_col: str, took_ms: int) 
                 aggs[label] = {"buckets": {
                     r["key"]: {"doc_count": int(r["doc_count"])} for r in rws
                 }}
+            elif kind == "composite":
+                # multi-key buckets: {"key": {src: val, ...}, "doc_count"}
+                # + after_key (the LAST page's key — the client's cursor
+                # for the next page), exactly the ES pagination contract
+                buckets = []
+                for r in rws:
+                    d = r.asDict()
+                    b = {
+                        "key": {k: _json_safe(v)
+                                for k, v in d.pop("key").asDict().items()},
+                        "doc_count": int(d.pop("doc_count")),
+                    }
+                    for sublabel, v in d.items():
+                        b[sublabel] = {"value": _json_safe(v)}
+                    buckets.append(b)
+                aggs[label] = {"buckets": buckets}
+                if buckets:
+                    aggs[label]["after_key"] = buckets[-1]["key"]
             elif kind == "percentiles":
                 if rws:
                     r0 = rws[0]

@@ -1045,3 +1045,114 @@ def test_minimum_should_match_with_fulltext_should(spark, docs_small,
     assert [d for d, _ in got] == [d for d, _ in top]
     for (_, s1), (_, s2) in zip(got, top):
         assert math.isclose(s1, s2, rel_tol=1e-9)
+
+
+def test_ids_query(engine, duck):
+    r = engine.search(
+        "events", {"query": {"ids": {"values": ["3", "7", "11"]}}, "size": 100}
+    )
+    got = sorted(int(h["_id"]) for h in r["hits"]["hits"])
+    assert got == [3, 7, 11]
+    # under bool, composes like any predicate
+    r2 = engine.search(
+        "events",
+        {"query": {"bool": {
+            "must": [{"ids": {"values": [str(i) for i in range(100)]}}],
+            "filter": [{"term": {"event_type": "click"}}]}},
+         "size": 1000},
+    )
+    n = duck.execute(
+        "SELECT count(*) FROM events WHERE event_id < 100 AND event_type = 'click'"
+    ).fetchone()[0]
+    assert r2["hits"]["total"]["value"] == n
+
+
+def test_search_after_pagination(engine, duck):
+    """Three cursor pages == the oracle's first 30 rows; pages disjoint."""
+    exp = duck.execute(
+        "SELECT event_id FROM events ORDER BY value DESC, event_id ASC LIMIT 30"
+    ).fetchall()
+    body = {"sort": [{"value": "desc"}, {"event_id": "asc"}], "size": 10}
+    got, after = [], None
+    for _ in range(3):
+        b = dict(body)
+        if after is not None:
+            b["search_after"] = after
+        r = engine.search("events", b)
+        page = r["hits"]["hits"]
+        assert len(page) == 10
+        got.extend(int(h["_id"]) for h in page)
+        last = page[-1]["_source"]
+        after = [last["value"], int(last["event_id"])]
+    assert got == [e[0] for e in exp]
+    assert len(set(got)) == 30  # no overlap between pages
+
+
+def test_search_after_validation(engine):
+    with pytest.raises(ValueError, match="requires an explicit sort"):
+        engine.search("events", {"search_after": [1.0], "size": 5})
+    with pytest.raises(ValueError, match="cannot be combined with from"):
+        engine.search("events", {"sort": [{"value": "desc"}],
+                                 "search_after": [5.0], "from": 3})
+    with pytest.raises(ValueError, match="values for"):
+        engine.search("events", {"sort": [{"value": "desc"}],
+                                 "search_after": [5.0, 7]})
+
+
+def test_composite_agg_pagination(engine, duck):
+    """composite walks ALL buckets in key order via after_key — the
+    scalable alternative to a terms top-N; full walk == the oracle's
+    complete GROUP BY."""
+    exp = duck.execute(
+        "SELECT event_type, user_id, count(*), avg(value) FROM events "
+        "GROUP BY 1, 2 ORDER BY 1 ASC, 2 ASC"
+    ).fetchall()
+    walked, after = [], None
+    while True:
+        comp = {"size": 7, "sources": [
+            {"t": {"terms": {"field": "event_type"}}},
+            {"u": {"terms": {"field": "user_id", "order": "asc"}}},
+        ]}
+        if after is not None:
+            comp["after"] = after
+        r = engine.search("events", {"size": 0, "aggs": {"c": {
+            "composite": comp,
+            "aggs": {"m": {"avg": {"field": "value"}}}}}})
+        buckets = r["aggregations"]["c"]["buckets"]
+        if not buckets:
+            break
+        for b in buckets:
+            walked.append((b["key"]["t"], b["key"]["u"], b["doc_count"],
+                           b["m"]["value"]))
+        after = r["aggregations"]["c"].get("after_key")
+        assert after == buckets[-1]["key"]
+    assert [(t, u, n) for t, u, n, _ in walked] == \
+        [(t, u, int(n)) for t, u, n, _ in exp]
+    for (_, _, _, g), (_, _, _, w) in zip(walked, exp):
+        assert math.isclose(g, w, rel_tol=1e-9)
+
+
+def test_composite_desc_and_null_skip(spark, duck):
+    """desc source order + missing_bucket=false NULL skip."""
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None), (4, "a")], "id long, g string"
+    )
+    e = Engine(spark)
+    e.create_index("t", df, id_col="id")
+    r = e.search("t", {"size": 0, "aggs": {"c": {"composite": {
+        "size": 10, "sources": [{"g": {"terms": {"field": "g",
+                                                 "order": "desc"}}}]}}}})
+    got = [(b["key"]["g"], b["doc_count"])
+           for b in r["aggregations"]["c"]["buckets"]]
+    assert got == [("b", 1), ("a", 2)]  # desc order, NULL group dropped
+
+
+def test_composite_source_validation(engine):
+    with pytest.raises(ValueError, match="only `terms` sources"):
+        engine.search("events", {"size": 0, "aggs": {"c": {"composite": {
+            "sources": [{"d": {"date_histogram": {"field": "ts",
+                                                  "fixed_interval": "1d"}}}]}}}})
+    with pytest.raises(ValueError, match="missing keys"):
+        engine.search("events", {"size": 0, "aggs": {"c": {"composite": {
+            "sources": [{"t": {"terms": {"field": "event_type"}}}],
+            "after": {"wrong": 1}}}}})
