@@ -817,6 +817,114 @@ def _dsl_composite_agg(spark, sf_dir):
     )
 
 
+def _dsl_top_hits(spark, sf_dir):
+    """top_hits under terms: per-bucket top-3 by value desc (id tie-
+    break), exploded to rows. The window row_number caps each bucket to
+    N rows BEFORE any collect — per-group state is O(N) structs after
+    the key shuffle, never a bucket's membership."""
+    body = {"size": 0, "aggs": {"types": {
+        "terms": {"field": "event_type", "size": 10},
+        "aggs": {"best": {"top_hits": {
+            "size": 3,
+            "sort": [{"value": {"order": "desc"}}],
+            "_source": ["event_id", "value"],
+        }}},
+    }}}
+    _, aggs, _ = _engine(spark, sf_dir).search_df("events", body)
+    _, df = aggs["types"]
+    return (
+        df.select("key", "doc_count", F.posexplode("best").alias("pos", "hit"))
+        .select(
+            "key", "doc_count",
+            (F.col("pos") + 1).cast("long").alias("rn"),
+            F.col("hit.event_id").alias("event_id"),
+            F.round(F.col("hit.value"), 6).alias("value"),
+        )
+        .orderBy("key", "rn")
+    )
+
+
+def _dsl_significant_terms(spark, sf_dir):
+    """significant_terms: JLH contrast of the query's foreground
+    (value >= 150) against the whole-index background — two hash aggs
+    joined on the term key, set-size totals broadcast."""
+    body = {
+        "query": {"range": {"value": {"gte": 150}}},
+        "size": 0,
+        "aggs": {"sig": {"significant_terms": {
+            "field": "event_type", "size": 10, "min_doc_count": 1}}},
+    }
+    _, aggs, _ = _engine(spark, sf_dir).search_df("events", body)
+    _, df = aggs["sig"]
+    return df.select(
+        "key", "doc_count", "bg_count", F.round("score", 9).alias("score")
+    )
+
+
+def _dsl_constant_score(spark, sf_dir):
+    """constant_score: filter-context membership, fixed boost score for
+    every hit (no BM25 join — the score is a gated literal)."""
+    body = {
+        "query": {"constant_score": {
+            "filter": {"term": {"event_type": "error"}}, "boost": 2.5}},
+        "sort": [{"event_id": "asc"}],
+        "size": 50,
+    }
+    hits, _, _ = _engine(spark, sf_dir).search_df("events", body)
+    return hits.select("event_id", "score")
+
+
+def _dsl_dis_max(spark, sf_dir):
+    """dis_max over two match branches: per-doc score = best branch +
+    tie_breaker x the other matched branch, rank order on the exact
+    fold. Value-exact vs a DuckDB full-join of the two per-term BM25
+    relations."""
+    body = {
+        "query": {"dis_max": {"tie_breaker": 0.4, "queries": [
+            {"match": {"text": "spark"}}, {"match": {"text": "data"}},
+        ]}},
+        "size": 50,
+    }
+    hits, _, _ = _engine(spark, sf_dir).search_df("documents", body)
+    return hits.select("doc_id", F.round("score", _ROUND).alias("score"))
+
+
+def _dis_max_oracle(t1: str, t2: str, tb: float, k: int) -> str:
+    idf = ("(CASE WHEN ln((s.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)) > 0 "
+           "THEN ln((s.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)) ELSE 1e-6 END)")
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+sc AS (
+  SELECT tf.doc_id, tf.term,
+    {idf} * (tf.tf * {K1 + 1.0}) /
+    (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl)) AS contrib
+  FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  WHERE tf.term IN ('{t1}', '{t2}')
+),
+b1 AS (SELECT doc_id, contrib AS s FROM sc WHERE term = '{t1}'),
+b2 AS (SELECT doc_id, contrib AS s FROM sc WHERE term = '{t2}'),
+j AS (
+  SELECT coalesce(b1.doc_id, b2.doc_id) AS doc_id, b1.s AS s1, b2.s AS s2
+  FROM b1 FULL JOIN b2 ON b1.doc_id = b2.doc_id
+)
+SELECT doc_id,
+  round(greatest(coalesce(s1, 0), coalesce(s2, 0))
+        + {tb} * (coalesce(s1, 0) + coalesce(s2, 0)
+                  - greatest(coalesce(s1, 0), coalesce(s2, 0))), {_ROUND}) AS score
+FROM j
+ORDER BY greatest(coalesce(s1, 0), coalesce(s2, 0))
+         + {tb} * (coalesce(s1, 0) + coalesce(s2, 0)
+                   - greatest(coalesce(s1, 0), coalesce(s2, 0))) DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
 def _dsl_phrase_filter(spark, sf_dir):
     """match_phrase in scoring context + scoring-exempt filter: routes
     through the UNORDERED phrase relation (k=None) — the plan has no
@@ -1365,7 +1473,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # full-text BM25 (the FTS5-equivalent core; wand = serving path)
         "bm25_head_term": _bm25(["data"], "or", 10),
-        "bm25_head_term_flat": _bm25_flat(["data"], "or", 10),
         "bm25_and2": _bm25(["spark", "join"], "and", 10),
         "bm25_or3": _bm25(["merge", "sort", "batch"], "or", 25),
         "bm25_phrase2": _phrase("spark join", 25),
@@ -1382,20 +1489,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_bool_must_not": _dsl_bool_must_not,
         "dsl_terms_query": _dsl_terms_query,
         "dsl_exists_query": _dsl_exists_query,
-        "dsl_sort_limit": _dsl_sort_limit,
         "dsl_search_after": _dsl_search_after,
         "dsl_query_string_glob": _dsl_query_string_glob,
         "dsl_multi_match": _dsl_multi_match,
+        "dsl_dis_max": _dsl_dis_max,
+        "dsl_constant_score": _dsl_constant_score,
         "dsl_terms_agg": _dsl_terms_agg,
         "dsl_composite_agg": _dsl_composite_agg,
         "dsl_date_histogram": _dsl_date_histogram,
         "dsl_histogram": _dsl_histogram,
         "dsl_metrics": _dsl_metrics,
         "dsl_match_phrase_slop": _dsl_match_phrase_slop,
-        "dsl_percentiles": _dsl_percentiles,
         "dsl_filters_agg": _dsl_filters_agg,
         "dsl_stats_agg": _dsl_stats_agg,
         "dsl_subagg": _dsl_subagg,
+        "dsl_top_hits": _dsl_top_hits,
+        "dsl_significant_terms": _dsl_significant_terms,
         "dsl_phrase_filter": _dsl_phrase_filter,
         "dsl_must_not_match": _dsl_must_not_match,
         # training-data pipeline operators
@@ -1414,7 +1523,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk_valid": _ann_topk_valid("lsh"),
         "ann_ivf_topk_valid": _ann_topk_valid("ivf"),
         "qc_quality_score": _qc_quality_score,
-        "qc_lang_id": _qc_lang_id,
         # plain SQL surface
         "sql_q1": _sql_q1,
         # --- entries 51+: outside the driver's 50-entry value window ---
@@ -1445,6 +1553,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # one-groupBy dispatch whose four siblings are value-checked
         # in-window via dsl_metrics — displaced by dsl_search_after,
         # the NEW sort-tuple cursor path)
+        # round-4d displacements (for dsl_top_hits / dsl_significant_terms
+        # / dsl_dis_max / dsl_constant_score, four NEW code paths):
+        # bm25_head_term_flat (IDENTICAL output to in-window
+        # bm25_head_term by construction — same query, same k; the flat
+        # path's agreement with WAND is fuzz-pinned in
+        # tests/test_fuzz_rank_identity.py and its oracle stays live for
+        # replica runs), dsl_sort_limit (dsl_search_after composes the
+        # same ctx-resolved multi-key orderBy + limit plus the cursor
+        # predicate — a strict superset of the displaced path),
+        # dsl_percentiles (same single-aggregate metric dispatch as
+        # in-window dsl_metrics/dsl_stats_agg; the exact-percentile
+        # expression is one built-in F.percentile call), qc_lang_id
+        # (same pure-JVM textqc expression family as in-window
+        # qc_quality_score)
+        "dsl_sort_limit": _dsl_sort_limit,
+        "dsl_percentiles": _dsl_percentiles,
+        "qc_lang_id": _qc_lang_id,
+        "bm25_head_term_flat": _bm25_flat(["data"], "or", 10),
         "dsl_prefix_filter": _dsl_prefix_filter,
         "dsl_bool_should_or": _dsl_bool_should_or,
         "sample_stratified": _sample_stratified,
@@ -1516,6 +1642,36 @@ def oracle_sql() -> dict[str, str]:
             "WHERE value < 150.0 OR (value = 150.0 AND event_id > 500) "
             "ORDER BY value DESC, event_id ASC LIMIT 10"
         ),
+        "dsl_top_hits": (
+            "WITH ranked AS ("
+            " SELECT event_type AS key, event_id, value,"
+            "  row_number() OVER (PARTITION BY event_type"
+            "   ORDER BY value DESC, event_id ASC) AS rn,"
+            "  count(*) OVER (PARTITION BY event_type) AS doc_count"
+            " FROM events) "
+            "SELECT key, doc_count, rn, event_id, round(value, 6) AS value "
+            "FROM ranked WHERE rn <= 3 ORDER BY key, rn"
+        ),
+        "dsl_significant_terms": (
+            "WITH fg AS (SELECT event_type AS k, count(*) AS c FROM events"
+            "  WHERE value >= 150 GROUP BY 1),"
+            " bg AS (SELECT event_type AS k, count(*) AS c FROM events GROUP BY 1),"
+            " tot AS (SELECT"
+            "  (SELECT count(*) FROM events WHERE value >= 150) AS ft,"
+            "  (SELECT count(*) FROM events) AS bt) "
+            "SELECT fg.k AS key, fg.c AS doc_count, bg.c AS bg_count,"
+            " round((fg.c*1.0/ft - bg.c*1.0/bt)"
+            "  * ((fg.c*1.0/ft)/(bg.c*1.0/bt)), 9) AS score "
+            "FROM fg JOIN bg USING (k), tot "
+            "WHERE fg.c*1.0/ft > bg.c*1.0/bt "
+            "ORDER BY (fg.c*1.0/ft - bg.c*1.0/bt)"
+            "  * ((fg.c*1.0/ft)/(bg.c*1.0/bt)) DESC, fg.k ASC LIMIT 10"
+        ),
+        "dsl_constant_score": (
+            "SELECT event_id, CAST(2.5 AS DOUBLE) AS score FROM events "
+            "WHERE event_type = 'error' ORDER BY event_id ASC LIMIT 50"
+        ),
+        "dsl_dis_max": _dis_max_oracle("spark", "data", 0.4, 50),
         "dsl_composite_agg": (
             "SELECT event_type AS t, user_id AS u, count(*) AS doc_count, "
             "round(avg(value), 6) AS m FROM events "

@@ -114,35 +114,148 @@ def _metric_exprs(ctx: CompileContext, aggs: dict[str, model.Aggregate]) -> list
     return exprs
 
 
-def compile_agg(ctx: CompileContext, filtered: DataFrame, agg: model.Aggregate) -> tuple[str, DataFrame]:
+def _top_hits_arrays(
+    ctx: CompileContext, filtered: DataFrame, key_field: str,
+    th_subs: dict[str, model.TopHits],
+) -> DataFrame:
+    """Per-bucket top-N hits as one bounded array column per label:
+    row_number() over (partition by bucket key) caps each bucket to N
+    rows BEFORE any collect, so the per-group state after the key
+    shuffle is O(N) structs — never a bucket's full membership. Sort
+    must be total for determinism; the index id column is appended as a
+    tie-break when the request's sort doesn't already end with it."""
+    from pyspark.sql import Window
+
+    keyc = ctx.resolve(key_field)
+    out = None
+    for label, th in th_subs.items():
+        if not th.sort:
+            if "score" not in filtered.columns:
+                raise ValueError(
+                    f"top_hits {label!r} requires an explicit `sort` "
+                    "(no _score: the query is not full-text scored)"
+                )
+            ordcols = [F.desc("score")]
+            sorted_fields = ["score"]
+        else:
+            ordcols = [
+                ctx.resolve(s.field).desc() if s.order.lower() == "desc"
+                else ctx.resolve(s.field).asc()
+                for s in th.sort
+            ]
+            sorted_fields = [s.field for s in th.sort]
+        if ctx.id_col and ctx.id_col not in sorted_fields:
+            ordcols.append(F.asc(ctx.id_col))  # deterministic total order
+        w = Window.partitionBy(keyc).orderBy(*ordcols)
+        src = th.source or [
+            c for c in filtered.columns if not c.startswith("__")
+        ]
+        ranked = (
+            filtered.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= th.size)
+        )
+        arr = ranked.groupBy(keyc.alias("key")).agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct(
+                    F.col("__rn").alias("rn"),
+                    F.struct(*[F.col(c) for c in src]).alias("hit"),
+                ))),
+                lambda x: x["hit"],
+            ).alias(label)
+        )
+        out = arr if out is None else out.join(arr, "key", "full")
+    return out
+
+
+def compile_agg(
+    ctx: CompileContext, filtered: DataFrame, agg: model.Aggregate,
+    background: DataFrame | None = None,
+) -> tuple[str, DataFrame]:
     """Compile one labeled aggregation; returns (kind, result DF).
 
     kinds: 'buckets' -> (key, doc_count, *metric labels);
            'metric'  -> single row (value).
+    ``background`` is the index's UNFILTERED relation (significant_terms
+    contrasts the query's foreground against it).
     """
     if agg.terms is not None:
         key = ctx.resolve(agg.terms.field).alias("key")
         # ES `order`: _count (default) / _key / a metric sub-agg label —
         # the sort rides the same single groupBy; ties break by key asc
         okey, odir = agg.terms.order_key, agg.terms.order_dir
+        th_subs = {k: s.top_hits for k, s in agg.aggs.items()
+                   if s.top_hits is not None}
+        metric_subs = {k: s for k, s in agg.aggs.items()
+                       if s.top_hits is None}
         if okey == "_count":
             ocol = F.col("doc_count")
         elif okey == "_key":
             ocol = F.col("key")
-        elif okey in agg.aggs:
+        elif okey in metric_subs:
             ocol = F.col(okey)
         else:
             raise ValueError(
                 f"terms order {okey!r} is not _count, _key, or a metric "
                 f"sub-aggregation label ({sorted(agg.aggs)!r})"
             )
+        order = [ocol.asc() if odir == "asc" else ocol.desc(), F.asc("key")]
         out = (
             filtered.groupBy(key)
-            .agg(F.count("*").alias("doc_count"), *_metric_exprs(ctx, agg.aggs))
-            .orderBy(ocol.asc() if odir == "asc" else ocol.desc(), F.asc("key"))
+            .agg(F.count("*").alias("doc_count"), *_metric_exprs(ctx, metric_subs))
+            .orderBy(*order)
             .limit(agg.terms.size)
         )
+        if th_subs:
+            # join the bounded per-bucket hit arrays onto the surviving
+            # top-size buckets only (left join keeps the truncation),
+            # then restore the bucket order the join discarded
+            arrays = _top_hits_arrays(ctx, filtered, agg.terms.field, th_subs)
+            out = out.join(arrays, "key", "left").orderBy(*order)
+            return "tophits", out
         return "buckets", out
+    if agg.significant_terms is not None:
+        import dataclasses
+
+        s = agg.significant_terms
+        if background is None:
+            raise ValueError(
+                "significant_terms needs the index's background relation"
+            )
+        # foreground (query-filtered) vs background (whole index) term
+        # frequencies: two partial+final hash aggs + a key join; the
+        # two set-size totals are single-row aggregates broadcast into
+        # the score expression. JLH score (the ES default heuristic):
+        # (fg% - bg%) * (fg% / bg%) when over-represented, else 0.
+        bctx = dataclasses.replace(ctx, df=background, fulltext_predicate=None)
+        fkey, bkey = ctx.resolve(s.field), bctx.resolve(s.field)
+        fg = (
+            filtered.where(fkey.isNotNull())
+            .groupBy(fkey.alias("key")).agg(F.count("*").alias("doc_count"))
+        )
+        bg = (
+            background.where(bkey.isNotNull())
+            .groupBy(bkey.alias("key")).agg(F.count("*").alias("bg_count"))
+        )
+        fg_tot = filtered.agg(F.count("*").alias("fg_total"))
+        bg_tot = background.agg(F.count("*").alias("bg_total"))
+        j = (
+            fg.join(bg, "key")
+            .crossJoin(F.broadcast(fg_tot))
+            .crossJoin(F.broadcast(bg_tot))
+        )
+        fg_pct = F.col("doc_count") / F.col("fg_total")
+        bg_pct = F.col("bg_count") / F.col("bg_total")
+        score = F.when(
+            fg_pct > bg_pct, (fg_pct - bg_pct) * (fg_pct / bg_pct)
+        ).otherwise(F.lit(0.0))
+        out = (
+            j.where(F.col("doc_count") >= F.lit(s.min_doc_count))
+            .select("key", "doc_count", "bg_count", score.alias("score"))
+            .where(F.col("score") > 0)
+            .orderBy(F.desc("score"), F.asc("key"))
+            .limit(s.size)
+        )
+        return "sig_buckets", out
     if agg.composite is not None:
         from gopensearch_spark.dsl.compiler import tuple_after_predicate
 
@@ -319,6 +432,8 @@ def compile_agg(ctx: CompileContext, filtered: DataFrame, agg: model.Aggregate) 
         return "percentiles", out.select(
             F.lit([float(x) for x in p.percents]).alias("percents"), "values"
         )
+    if agg.top_hits is not None:
+        raise ValueError("top_hits is supported as a sub-aggregation of `terms`")
     raise ValueError("empty aggregation")
 
 
@@ -343,5 +458,9 @@ def _zero_fill_buckets(out: DataFrame, dh: model.DateHistogram) -> DataFrame:
     return axis.join(out, "key", "left").na.fill({"doc_count": 0})
 
 
-def compile_aggs(ctx: CompileContext, filtered: DataFrame, aggs: dict[str, model.Aggregate]) -> dict[str, tuple[str, DataFrame]]:
-    return {label: compile_agg(ctx, filtered, a) for label, a in aggs.items()}
+def compile_aggs(
+    ctx: CompileContext, filtered: DataFrame, aggs: dict[str, model.Aggregate],
+    background: DataFrame | None = None,
+) -> dict[str, tuple[str, DataFrame]]:
+    return {label: compile_agg(ctx, filtered, a, background=background)
+            for label, a in aggs.items()}

@@ -332,6 +332,28 @@ def compile_query(ctx: CompileContext, q: model.Query | None, scoring: bool = Tr
                 f"(got {[f for f, _ in q.multi_match.fields]!r})"
             )
         preds.append(ft)
+    if q.constant_score is not None:
+        # ES constant_score: the inner query is FILTER context (score-
+        # exempt BM25-wise); every matching doc scores exactly `boost`.
+        # Membership is just the compiled inner predicate — the fixed
+        # score rides a "const" scoring entry (no posting-list join).
+        inner = compile_query(ctx, q.constant_score.filter, False)
+        if ctx.fulltext_predicate is not None and scoring:
+            ctx.fulltext_predicate(
+                None, (inner, q.constant_score.boost), "const", scoring
+            )
+        preds.append(inner)
+    if q.dis_max is not None:
+        if ctx.fulltext_predicate is not None:
+            # the Engine compiles each branch itself so it can group the
+            # branch's scoring clauses for the max + tie_breaker fold
+            preds.append(ctx.fulltext_predicate(None, q.dis_max, "dismax", scoring))
+        else:
+            # plain relational context (e.g. inside a filters agg):
+            # membership only, no scores to maximize over
+            preds.append(_or_all(
+                [compile_query(ctx, b, False) for b in q.dis_max.queries]
+            ))
     if q.bool_ is not None:
         b = q.bool_
         for sub in b.must:

@@ -25,7 +25,7 @@ import time
 from dataclasses import dataclass, field as dc_field
 from datetime import datetime, timezone
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from gopensearch_spark.dsl import model
@@ -376,6 +376,36 @@ class Engine:
         ft_specs: list[tuple[str, str, str, bool, int]] = []
 
         def fulltext(field: str, m, kind: str = "match", scoring: bool = True):
+            if kind == "const":
+                # constant_score: no posting-list relation — score is a
+                # literal gated on the (already compiled) inner predicate
+                if scoring:
+                    pred, boost = m
+                    ft_specs.append(("const", (pred, float(boost)), "", True, 0))
+                return None  # compiler already has the predicate
+            if kind == "dismax":
+                # compile each branch here so its scoring clauses can be
+                # grouped: branch score = sum of the branch's clause
+                # scores; dis_max = best branch + tie_breaker x rest.
+                # Branch entries flip to scoring=False so the global
+                # additive fold skips them (they still join; their
+                # marker scores feed the dismax entry below).
+                from gopensearch_spark.dsl.compiler import _or_all, compile_query
+
+                branches = []
+                for bq in m.queries:
+                    start = len(ft_specs)
+                    bpred = compile_query(ctx, bq, scoring)
+                    idxs = list(range(start, len(ft_specs)))
+                    for i in idxs:
+                        k, qq, mo, _sc, sl = ft_specs[i]
+                        ft_specs[i] = (k, qq, mo, False, sl)
+                    branches.append((bpred, idxs))
+                if scoring:
+                    ft_specs.append(
+                        ("dismax", (branches, float(m.tie_breaker)), "", True, 0)
+                    )
+                return _or_all([p for p, _ in branches])
             if kind == "multi":
                 # multi_match: every requested field must be indexed
                 indexed = spec.indexed_fields()
@@ -437,6 +467,8 @@ class Engine:
             and q.exists is None
             and q.ids is None
             and q.multi_match is None
+            and q.constant_score is None
+            and q.dis_max is None
         ):
             ((field, m),) = q.match.items()
             # match + fuzziness routes through the expansion path, not WAND
@@ -591,6 +623,8 @@ class Engine:
 
             with query_scope():
                 for i, (kind, q, mode, _scoring, slop) in enumerate(ft_specs):
+                    if kind in ("const", "dismax"):
+                        continue  # no posting relation — score-only entries
                     rel = relation(kind, q, mode, slop).select(
                         F.col("doc_id").alias(f"__ft_id_{i}"),
                         F.col("score").alias(f"__ft_score_{i}"),
@@ -601,11 +635,38 @@ class Engine:
             # FTS5/ES-style additive score over SCORING-context clauses
             # only: unmatched should branches contribute 0; filter/
             # must_not clauses are score-exempt (ES filter context).
+            def spec_score(i: int, sp) -> Column:
+                kind = sp[0]
+                if kind == "const":
+                    cpred, boost = sp[1]
+                    return F.when(cpred, F.lit(boost)).otherwise(F.lit(0.0))
+                if kind == "dismax":
+                    branches, tb = sp[1]
+                    # branch score only where the branch MATCHED (else
+                    # null, so greatest() skips it); dis_max = best
+                    # branch + tie_breaker x the other matched branches
+                    bexprs = []
+                    for bpred, idxs in branches:
+                        s = F.lit(0.0)
+                        for j in idxs:
+                            s = s + spec_score(j, ft_specs[j])
+                        bexprs.append(
+                            F.when(bpred, s).otherwise(F.lit(None).cast("double"))
+                        )
+                    mx = F.greatest(*bexprs) if len(bexprs) > 1 else bexprs[0]
+                    total = None
+                    for be in bexprs:
+                        c = F.coalesce(be, F.lit(0.0))
+                        total = c if total is None else total + c
+                    mx0 = F.coalesce(mx, F.lit(0.0))
+                    return mx0 + F.lit(tb) * (total - mx0)
+                return F.coalesce(F.col(f"__ft_score_{i}"), F.lit(0.0))
+
             score_expr = None
-            for i, (_k, _q, _m, scoring, _slop) in enumerate(ft_specs):
-                if not scoring:
+            for i, sp in enumerate(ft_specs):
+                if not sp[3]:  # scoring flag
                     continue
-                c = F.coalesce(F.col(f"__ft_score_{i}"), F.lit(0.0))
+                c = spec_score(i, sp)
                 score_expr = c if score_expr is None else score_expr + c
             if score_expr is None:
                 score_expr = F.lit(0.0)  # filter-only full-text query
@@ -622,9 +683,10 @@ class Engine:
             filtered = filtered.cache()
             self._last_cached = filtered
             agg_ctx = ctx if not scored else CompileContext(
-                df=filtered, json_col=ctx.json_col, date_fields=ctx.date_fields
+                df=filtered, json_col=ctx.json_col, date_fields=ctx.date_fields,
+                id_col=ctx.id_col,
             )
-            aggs_out = compile_aggs(agg_ctx, filtered, d.aggs)
+            aggs_out = compile_aggs(agg_ctx, filtered, d.aggs, background=spec.df)
 
         self._last_prelimit = filtered  # pre-sort/offset/limit relation
         hits = filtered
@@ -741,6 +803,56 @@ class Engine:
                             spec.text_field: [rendered]
                         }
         return resp
+
+    def count(self, index: str, body: str | dict | None = None) -> dict:
+        """`POST /{index}/_count`: exact hit count of the query, no
+        fetch phase — a count-only aggregate over the filtered relation
+        (never a sort, never a limit)."""
+        d = model.parse_dsl(body or {})
+        req: dict = {"track_total_hits": True, "size": 0}
+        if d.query is not None:
+            raw = body if isinstance(body, dict) else json.loads(body or "{}")
+            req["query"] = raw["query"]
+        self.search_df(index, req)
+        n = int(self._last_prelimit.count())
+        if self._last_cached is not None:
+            self._last_cached.unpersist()
+            self._last_cached = None
+        return {
+            "count": n,
+            "_shards": {"total": 1, "successful": 1, "skipped": 0, "failed": 0},
+        }
+
+    def mget(self, body: dict, index: str | None = None) -> dict:
+        """`POST /_mget` / `POST /{index}/_mget`: batch doc fetch. One
+        `ids` query PER DISTINCT INDEX (not per id) — n requested ids
+        cost one pushdown IN-list scan each index, results re-ordered
+        to the request order with ES `found` flags."""
+        reqs: list[tuple[str | None, str]] = []
+        if "docs" in body:
+            reqs = [(d.get("_index", index), str(d["_id"])) for d in body["docs"]]
+        elif "ids" in body:
+            reqs = [(index, str(i)) for i in body["ids"]]
+        by_index: dict[str, list[str]] = {}
+        for idx, i in reqs:
+            if idx is None:
+                raise ValueError("mget doc without _index and no default index")
+            by_index.setdefault(idx, []).append(i)
+        found: dict[tuple[str, str], dict] = {}
+        for idx, ids in by_index.items():
+            r = self.search(
+                idx, {"query": {"ids": {"values": ids}}, "size": len(ids)}
+            )
+            for h in r["hits"]["hits"]:
+                found[(idx, h["_id"])] = h["_source"]
+        docs = []
+        for idx, i in reqs:
+            src = found.get((idx, i))
+            d = {"_index": idx, "_id": i, "found": src is not None}
+            if src is not None:
+                d["_source"] = src
+            docs.append(d)
+        return {"docs": docs}
 
     def fts_search(self, index: str, expr: str, size: int = 10) -> dict:
         """Full FTS5 MATCH-expression search (`a AND (b OR c) NOT d`,

@@ -128,6 +128,25 @@ class Regexp:
 
 
 @dataclass
+class ConstantScore:
+    """ES `constant_score`: filter-context membership, fixed score
+    `boost` for every matching doc (no BM25 term weighting)."""
+
+    filter: "Query" = None  # type: ignore[assignment]
+    boost: float = 1.0
+
+
+@dataclass
+class DisMax:
+    """ES `dis_max`: docs matching ANY branch; score = best branch +
+    tie_breaker x the other matching branches (the generalization of
+    multi_match best_fields to arbitrary sub-queries)."""
+
+    queries: list["Query"] = field(default_factory=list)
+    tie_breaker: float = 0.0
+
+
+@dataclass
 class Query:
     match: dict[str, Match] = field(default_factory=dict)
     # further ES-correct query forms absent from the reference's DSL
@@ -156,6 +175,8 @@ class Query:
     range: dict[str, Range] = field(default_factory=dict)
     query_string: QueryString | None = None
     multi_match: MultiMatch | None = None
+    constant_score: ConstantScore | None = None
+    dis_max: DisMax | None = None
 
 
 @dataclass
@@ -193,6 +214,28 @@ class Histogram:
 class AggField:
     field: str
     missing: str = ""
+
+
+@dataclass
+class TopHits:
+    """ES `top_hits` sub-aggregation (under `terms`): the N best docs
+    PER BUCKET. Requires an explicit `sort` (our relational buckets have
+    no _score to default to unless the query is full-text scored)."""
+
+    size: int = 3
+    sort: list[Sort] = field(default_factory=list)
+    source: list[str] | None = None  # `_source` include list
+
+
+@dataclass
+class SignificantTerms:
+    """ES `significant_terms`: terms over-represented in the query's
+    foreground docs relative to the whole index (background), JLH
+    scored. min_doc_count follows the ES default of 3."""
+
+    field: str
+    size: int = 10
+    min_doc_count: int = 3
 
 
 @dataclass
@@ -259,6 +302,8 @@ class Aggregate:
     percentiles: Percentiles | None = None
     range: RangeAgg | None = None
     filters: FiltersAgg | None = None
+    top_hits: TopHits | None = None
+    significant_terms: SignificantTerms | None = None
     aggs: dict[str, "Aggregate"] = field(default_factory=dict)
 
 
@@ -369,6 +414,22 @@ def _parse_query(raw: dict) -> Query:
                 q.regexp[k] = Regexp(value=str(v))
     if "ids" in raw:
         q.ids = list(raw["ids"].get("values", []))
+    if "constant_score" in raw:
+        cs = raw["constant_score"]
+        if "filter" not in cs:
+            raise ValueError("constant_score requires a `filter` sub-query")
+        q.constant_score = ConstantScore(
+            filter=_parse_query(cs["filter"]),
+            boost=float(cs.get("boost", 1.0)),
+        )
+    if "dis_max" in raw:
+        dm = raw["dis_max"]
+        q.dis_max = DisMax(
+            queries=[_parse_query(b) for b in dm.get("queries", [])],
+            tie_breaker=float(dm.get("tie_breaker", 0.0)),
+        )
+        if not q.dis_max.queries:
+            raise ValueError("dis_max requires at least one sub-query")
     if "term" in raw:
         q.term = _parse_term(raw["term"])
     if "range" in raw:
@@ -476,6 +537,25 @@ def _parse_agg(raw: dict) -> Aggregate:
         a.filters = FiltersAgg(
             filters={k: _parse_query(v) for k, v in raw["filters"]["filters"].items()}
         )
+    if "top_hits" in raw:
+        t = raw["top_hits"]
+        src = t.get("_source")
+        if isinstance(src, dict):
+            src = src.get("includes")
+        if isinstance(src, str):
+            src = [src]
+        a.top_hits = TopHits(
+            size=int(t.get("size", 3)),
+            sort=_parse_sort(t.get("sort")),
+            source=(list(src) if src is not None else None),
+        )
+    if "significant_terms" in raw:
+        s = raw["significant_terms"]
+        a.significant_terms = SignificantTerms(
+            field=str(s["field"]),
+            size=int(s.get("size", 10)),
+            min_doc_count=int(s.get("min_doc_count", 3)),
+        )
     if "percentiles" in raw:
         p = raw["percentiles"]
         a.percentiles = Percentiles(
@@ -507,8 +587,14 @@ def parse_dsl(body: str | dict) -> Dsl:
     # `aggregations` wins over `aggs` (reference json.go:81-85)
     aggs = raw.get("aggregations") or raw.get("aggs") or {}
     d.aggs = {k: _parse_agg(v) for k, v in aggs.items()}
-    for s in raw.get("sort", []) or []:
+    d.sort = _parse_sort(raw.get("sort"))
+    return d
+
+
+def _parse_sort(raw_sort) -> list[Sort]:
+    out: list[Sort] = []
+    for s in raw_sort or []:
         for f, spec in s.items():
             order = spec.get("order", "asc") if isinstance(spec, dict) else str(spec)
-            d.sort.append(Sort(field=f, order=order))
-    return d
+            out.append(Sort(field=f, order=order))
+    return out

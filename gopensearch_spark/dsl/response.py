@@ -99,6 +99,36 @@ def shape_response(index: str, rows, agg_rows: dict, id_col: str, took_ms: int) 
                 aggs[label] = {"buckets": buckets}
                 if buckets:
                     aggs[label]["after_key"] = buckets[-1]["key"]
+            elif kind == "sig_buckets":
+                aggs[label] = {"buckets": [
+                    {
+                        "key": _bucket_key(r["key"]),
+                        "doc_count": int(r["doc_count"]),
+                        "bg_count": int(r["bg_count"]),
+                        "score": float(r["score"]),
+                    }
+                    for r in rws
+                ]}
+            elif kind == "tophits":
+                # terms buckets whose array-valued sub-labels are the
+                # per-bucket top_hits (ES hits envelope); scalar
+                # sub-labels stay metric-shaped
+                buckets = []
+                for r in rws:
+                    d = r.asDict()
+                    b = {"key": _bucket_key(d.pop("key")),
+                         "doc_count": int(d.pop("doc_count"))}
+                    for sublabel, v in d.items():
+                        if isinstance(v, list):
+                            b[sublabel] = {"hits": {"hits": [
+                                {"_source": {k: _json_safe(x)
+                                             for k, x in h.asDict().items()}}
+                                for h in (v or [])
+                            ]}}
+                        else:
+                            b[sublabel] = {"value": _json_safe(v)}
+                    buckets.append(b)
+                aggs[label] = {"buckets": buckets}
             elif kind == "percentiles":
                 if rws:
                     r0 = rws[0]

@@ -1156,3 +1156,194 @@ def test_composite_source_validation(engine):
         engine.search("events", {"size": 0, "aggs": {"c": {"composite": {
             "sources": [{"t": {"terms": {"field": "event_type"}}}],
             "after": {"wrong": 1}}}}})
+
+
+def test_count_api(engine, duck):
+    n = duck.execute(
+        "SELECT count(*) FROM events WHERE event_type = 'click'"
+    ).fetchone()[0]
+    r = engine.count("events", {"query": {"term": {"event_type": "click"}}})
+    assert r["count"] == n
+    r_all = engine.count("events")
+    assert r_all["count"] == duck.execute(
+        "SELECT count(*) FROM events"
+    ).fetchone()[0]
+
+
+def test_count_fulltext(engine):
+    """_count with a match query: exact match-relation count, no top-k."""
+    r = engine.count("docs", {"query": {"match": {"text": "spark"}}})
+    full = engine.search(
+        "docs", {"query": {"match": {"text": "spark"}},
+                 "track_total_hits": True}
+    )
+    assert r["count"] == full["hits"]["total"]["value"] > 0
+
+
+def test_mget(engine, duck):
+    r = engine.mget({"ids": ["5", "3", "999999", "12"]}, index="events")
+    docs = r["docs"]
+    assert [d["_id"] for d in docs] == ["5", "3", "999999", "12"]
+    assert [d["found"] for d in docs] == [True, True, False, True]
+    v = duck.execute("SELECT value FROM events WHERE event_id = 3").fetchone()[0]
+    assert math.isclose(docs[1]["_source"]["value"], v, rel_tol=1e-9)
+    # docs-form with explicit _index
+    r2 = engine.mget({"docs": [{"_index": "events", "_id": "7"}]})
+    assert r2["docs"][0]["found"] and r2["docs"][0]["_source"]["event_id"] == 7
+
+
+def test_constant_score(engine, duck):
+    """Every hit scores exactly `boost`; membership = the filter."""
+    r = engine.search("events", {
+        "query": {"constant_score": {
+            "filter": {"term": {"event_type": "error"}}, "boost": 2.5}},
+        "size": 10000, "track_total_hits": True,
+    })
+    n = duck.execute(
+        "SELECT count(*) FROM events WHERE event_type = 'error'"
+    ).fetchone()[0]
+    assert r["hits"]["total"]["value"] == n
+    assert all(h["_score"] == 2.5 for h in r["hits"]["hits"])
+
+
+def test_constant_score_fulltext_filter(engine):
+    """constant_score over a full-text match: membership via the match
+    relation, score pinned to boost (no BM25 contribution)."""
+    base = engine.search("docs", {"query": {"match": {"text": "spark"}},
+                                  "size": 1000, "track_total_hits": True})
+    r = engine.search("docs", {
+        "query": {"constant_score": {
+            "filter": {"match": {"text": "spark"}}, "boost": 1.5}},
+        "size": 1000, "track_total_hits": True,
+    })
+    assert r["hits"]["total"]["value"] == base["hits"]["total"]["value"] > 0
+    assert all(h["_score"] == 1.5 for h in r["hits"]["hits"])
+
+
+def test_dis_max_scores(engine):
+    """dis_max = best branch + tie_breaker x other matched branches,
+    verified doc-by-doc against the single-branch searches."""
+    t1, t2, tb = "spark", "data", 0.4
+
+    def scores(term):
+        r = engine.search("docs", {"query": {"match": {"text": term}},
+                                   "size": 10000})
+        return {h["_id"]: h["_score"] for h in r["hits"]["hits"]}
+
+    s1, s2 = scores(t1), scores(t2)
+    exp = {}
+    for i in set(s1) | set(s2):
+        a, b = s1.get(i), s2.get(i)
+        vals = [v for v in (a, b) if v is not None]
+        exp[i] = max(vals) + tb * (sum(vals) - max(vals))
+    r = engine.search("docs", {
+        "query": {"dis_max": {"tie_breaker": tb, "queries": [
+            {"match": {"text": t1}}, {"match": {"text": t2}}]}},
+        "size": 10000, "track_total_hits": True,
+    })
+    assert r["hits"]["total"]["value"] == len(exp)
+    got = {h["_id"]: h["_score"] for h in r["hits"]["hits"]}
+    assert set(got) == set(exp)
+    for i, s in got.items():
+        assert math.isclose(s, exp[i], rel_tol=1e-9), i
+    # ranking follows the folded score
+    ranked = sorted(exp.items(), key=lambda kv: (-kv[1], int(kv[0])))
+    assert [h["_id"] for h in r["hits"]["hits"]] == [i for i, _ in ranked]
+
+
+def test_dis_max_filter_context(engine, duck):
+    """dis_max under bool.filter: membership OR, score-exempt."""
+    r = engine.search("events", {
+        "query": {"bool": {"filter": [{"dis_max": {"queries": [
+            {"term": {"event_type": "error"}},
+            {"term": {"event_type": "signup"}}]}}]}},
+        "size": 10000, "track_total_hits": True,
+    })
+    n = duck.execute(
+        "SELECT count(*) FROM events WHERE event_type IN ('error','signup')"
+    ).fetchone()[0]
+    assert r["hits"]["total"]["value"] == n
+
+
+def test_top_hits_under_terms(engine, duck):
+    """terms buckets each carry their top-3 docs by value desc."""
+    r = engine.search("events", {"size": 0, "aggs": {"types": {
+        "terms": {"field": "event_type", "size": 10},
+        "aggs": {
+            "best": {"top_hits": {"size": 3,
+                                  "sort": [{"value": {"order": "desc"}}],
+                                  "_source": ["event_id", "value"]}},
+            "m": {"avg": {"field": "value"}},
+        }}}})
+    exp = duck.execute(
+        "SELECT event_type, event_id, value FROM ("
+        " SELECT event_type, event_id, value, row_number() OVER ("
+        "  PARTITION BY event_type ORDER BY value DESC, event_id ASC) rn"
+        " FROM events) WHERE rn <= 3"
+    ).fetchall()
+    by_type = {}
+    for t, i, v in exp:
+        by_type.setdefault(t, []).append((i, v))
+    buckets = r["aggregations"]["types"]["buckets"]
+    assert len(buckets) == 5
+    for b in buckets:
+        hits = b["best"]["hits"]["hits"]
+        got = [(h["_source"]["event_id"], h["_source"]["value"]) for h in hits]
+        assert got == by_type[b["key"]], b["key"]
+        assert set(hits[0]["_source"]) == {"event_id", "value"}  # _source cut
+        assert "value" in b["m"]  # metric sibling still shaped
+
+
+def test_top_hits_requires_sort_when_unscored(engine):
+    with pytest.raises(ValueError, match="requires an explicit `sort`"):
+        engine.search("events", {"size": 0, "aggs": {"t": {
+            "terms": {"field": "event_type"},
+            "aggs": {"h": {"top_hits": {"size": 2}}}}}})
+
+
+def test_top_hits_score_sort_when_scored(engine):
+    """Full-text scored query: top_hits defaults to _score desc."""
+    r = engine.search("docs", {
+        "query": {"match": {"text": "spark"}},
+        "size": 0,
+        "aggs": {"all": {"terms": {"field": "lang", "size": 10},
+                         "aggs": {"h": {"top_hits": {"size": 2}}}}},
+    })
+    for b in r["aggregations"]["all"]["buckets"]:
+        hits = b["h"]["hits"]["hits"]
+        scores = [h["_source"]["score"] for h in hits]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_significant_terms_jlh(engine, duck):
+    """JLH arithmetic vs a hand-computed oracle: foreground = high-value
+    events, background = all events, terms = event_type."""
+    r = engine.search("events", {
+        "query": {"range": {"value": {"gte": 150}}},
+        "size": 0,
+        "aggs": {"sig": {"significant_terms": {
+            "field": "event_type", "size": 10, "min_doc_count": 1}}},
+    })
+    rows = duck.execute("""
+        WITH fg AS (SELECT event_type k, count(*) c FROM events
+                    WHERE value >= 150 GROUP BY 1),
+             bg AS (SELECT event_type k, count(*) c FROM events GROUP BY 1),
+             tot AS (SELECT (SELECT count(*) FROM events WHERE value >= 150) ft,
+                            (SELECT count(*) FROM events) bt)
+        SELECT fg.k, fg.c, bg.c,
+               (fg.c*1.0/ft - bg.c*1.0/bt) * ((fg.c*1.0/ft)/(bg.c*1.0/bt)) s
+        FROM fg JOIN bg USING (k), tot
+        WHERE fg.c*1.0/ft > bg.c*1.0/bt
+        ORDER BY s DESC, fg.k ASC
+    """).fetchall()
+    buckets = r["aggregations"]["sig"]["buckets"]
+    assert [(b["key"], b["doc_count"], b["bg_count"]) for b in buckets] == \
+        [(k, fc, bc) for k, fc, bc, _ in rows]
+    for b, (_, _, _, s) in zip(buckets, rows):
+        assert math.isclose(b["score"], s, rel_tol=1e-9)
+
+
+def test_top_hits_top_level_rejected(engine):
+    with pytest.raises(ValueError, match="sub-aggregation of `terms`"):
+        engine.search("events", {"size": 0, "aggs": {
+            "h": {"top_hits": {"size": 2, "sort": [{"value": "desc"}]}}}})
