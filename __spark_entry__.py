@@ -1399,6 +1399,22 @@ def _qc_token_stats(spark, sf_dir):
     )
 
 
+def _qc_repetition(spark, sf_dir):
+    """Gopher-style repetition filters: top/dup bigram fractions and
+    repeated-token fraction — row-local array expressions (no shuffle,
+    no explode; the bigram mode count is a max-run aggregate over the
+    sorted bigram array)."""
+    from gopensearch_spark.datapipe import repetition_stats
+
+    out = repetition_stats(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id", "n_bigrams",
+        F.round("top_bigram_frac", 9).alias("top_bigram_frac"),
+        F.round("dup_bigram_frac", 9).alias("dup_bigram_frac"),
+        F.round("repeated_token_frac", 9).alias("repeated_token_frac"),
+    )
+
+
 def _qc_quality_score(spark, sf_dir):
     from gopensearch_spark.datapipe import quality_score
 
@@ -1512,7 +1528,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard_capped": _dedup_ngram_jaccard_capped,
         "dedup_minhash_lsh_recall": _dedup_minhash_lsh_recall,
         "dedup_simhash_recall": _dedup_simhash_recall,
-        "dedup_embedding_cosine": _dedup_embedding_cosine,
         "dedup_embedding_cosine_lsh_precision": _dedup_embedding_cosine_lsh_precision,
         "dedup_clusters_capped": _dedup_clusters_capped,
         "split_train_val_test": _split_train_val_test,
@@ -1523,6 +1538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk_valid": _ann_topk_valid("lsh"),
         "ann_ivf_topk_valid": _ann_topk_valid("ivf"),
         "qc_quality_score": _qc_quality_score,
+        "qc_repetition": _qc_repetition,
         # plain SQL surface
         "sql_q1": _sql_q1,
         # --- entries 51+: outside the driver's 50-entry value window ---
@@ -1566,7 +1582,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in-window dsl_metrics/dsl_stats_agg; the exact-percentile
         # expression is one built-in F.percentile call), qc_lang_id
         # (same pure-JVM textqc expression family as in-window
-        # qc_quality_score)
+        # qc_quality_score), dedup_embedding_cosine (same zip_with
+        # dot-product kernel as in-window ann_cosine_topk, and the
+        # in-window dedup_embedding_cosine_lsh_precision anti-join
+        # recomputes the exact cosine pair join on candidate pairs —
+        # displaced by qc_repetition, the NEW sorted-array max-run
+        # aggregate path)
+        "dedup_embedding_cosine": _dedup_embedding_cosine,
         "dsl_sort_limit": _dsl_sort_limit,
         "dsl_percentiles": _dsl_percentiles,
         "qc_lang_id": _qc_lang_id,
@@ -1877,6 +1899,28 @@ SELECT doc_id, n_tokens, round(ttr, 6) AS type_token_ratio, stopword_hits,
         + CASE WHEN ttr >= 0.1 THEN 0.25 ELSE 0 END
         + CASE WHEN stopword_hits >= 1 THEN 0.25 ELSE 0 END), 2) AS quality
 FROM s
+""",
+        "qc_repetition": """
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS ts,
+         len(string_split(text, ' ')) AS n,
+         len(list_distinct(string_split(text, ' '))) AS ntypes
+  FROM documents),
+bg AS (SELECT doc_id, ts[i] || ' ' || ts[i + 1] AS bgram
+               FROM (SELECT doc_id, ts,
+                            unnest(generate_series(1, n - 1)) AS i
+                     FROM base)),
+cnt AS (SELECT doc_id, bgram, count(*) AS c FROM bg GROUP BY 1, 2),
+per AS (SELECT doc_id, max(c) AS maxc, CAST(sum(c) AS BIGINT) AS nb,
+               count(*) AS nd
+        FROM cnt GROUP BY 1)
+SELECT b.doc_id,
+  coalesce(per.nb, 0) AS n_bigrams,
+  round(coalesce(per.maxc * 1.0 / per.nb, 0.0), 9) AS top_bigram_frac,
+  round(coalesce((per.nb - per.nd) * 1.0 / per.nb, 0.0), 9) AS dup_bigram_frac,
+  round(CASE WHEN b.n > 0 THEN (b.n - b.ntypes) * 1.0 / b.n ELSE 0.0 END, 9)
+    AS repeated_token_frac
+FROM base b LEFT JOIN per USING (doc_id)
 """,
         "qc_lang_id": f"""
 WITH s AS (SELECT doc_id, {score_cols} FROM documents)

@@ -24,5 +24,6 @@ from gopensearch_spark.datapipe.textqc import (  # noqa: F401
     fingerprint,
     lang_id,
     quality_score,
+    repetition_stats,
     token_stats,
 )

@@ -87,6 +87,59 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     return df.select(F.col(id_col), best.alias("pred_lang"))
 
 
+def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al. 2021
+    use duplicate-line / top-n-gram fractions as quality filters):
+
+    - ``top_bigram_frac``: occurrences of the most frequent bigram /
+      total bigrams (the "top n-gram fraction" filter),
+    - ``dup_bigram_frac``: fraction of bigram OCCURRENCES beyond each
+      bigram's first (1 - distinct/total),
+    - ``repeated_token_frac``: 1 - types/tokens.
+
+    All built-in array expressions, fully row-local (no shuffle, no
+    explode — a 10^12-doc scan stays one narrow codegen stage): bigrams
+    via transform over an index sequence, and the per-doc mode count as
+    a max-run-length aggregate over the SORTED bigram array, which is
+    O(n log n) per doc with O(1) state — never a per-doc hash map in
+    Python."""
+    toks = _TOKENS(F.col(text_col))
+    n = F.size(toks)
+    bigrams = F.when(n >= 2, F.transform(
+        F.sequence(F.lit(0), n - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+        ),
+    )).otherwise(F.array().cast("array<string>"))
+    sb = F.sort_array(bigrams)
+    zero = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
+
+    def step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+            F.lit(1).cast("long")
+        )
+        return F.struct(
+            x.alias("prev"), run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    max_count = F.aggregate(sb, zero, step, lambda acc: acc["best"])
+    nb = F.size(bigrams)
+    nd = F.size(F.array_distinct(bigrams))
+    ntypes = F.size(F.array_distinct(toks))
+    return df.select(
+        F.col(id_col),
+        nb.cast("long").alias("n_bigrams"),
+        F.when(nb > 0, max_count / nb).otherwise(F.lit(0.0)).alias("top_bigram_frac"),
+        F.when(nb > 0, (nb - nd) / nb).otherwise(F.lit(0.0)).alias("dup_bigram_frac"),
+        F.when(n > 0, (n - ntypes) / n).otherwise(F.lit(0.0)).alias("repeated_token_frac"),
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Deterministic document fingerprint: md5 over the normalized
     (lowercased, single-space) token stream — identical in DuckDB

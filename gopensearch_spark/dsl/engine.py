@@ -100,6 +100,8 @@ class Engine:
         # web-scale ingest goes through the DataFrame / Structured
         # Streaming builders instead.
         self._doc_rows: dict[str, list[tuple[int, str]]] = {}
+        # live scroll cursors: scroll_id -> {index, body, after}
+        self._scrolls: dict[str, dict] = {}
 
     # --- catalog ---------------------------------------------------------
     def create_index(self, name: str, df: DataFrame | None = None, **kw) -> None:
@@ -803,6 +805,70 @@ class Engine:
                             spec.text_field: [rendered]
                         }
         return resp
+
+    def scroll_search(self, index: str, body: str | dict | None = None,
+                      scroll: str = "1m") -> dict:
+        """`POST /{index}/_search?scroll=...`: open a scroll cursor.
+
+        Served through search_after internally — every page is a
+        strictly-after pushdown predicate on the sort tuple, never an
+        offset skip-scan, so page 10^6 costs the same as page 1.
+        Without an explicit `sort` the cursor walks the id column
+        ascending (ES scrolls in _doc order; id order is this engine's
+        stable analogue). Sort fields must be materialized `_source`
+        columns (the cursor re-reads its values from the last hit).
+        The `scroll` keep-alive is accepted for API parity; cursors
+        live for the Engine's lifetime until `clear_scroll`."""
+        import uuid
+
+        raw = dict(json.loads(body) if isinstance(body, str) else (body or {}))
+        spec = self.indices[index]
+        if not raw.get("sort"):
+            raw["sort"] = [{spec.id_col: "asc"}]
+        raw.pop("search_after", None)
+        resp = self.search(index, raw)
+        sid = uuid.uuid4().hex
+        self._scrolls[sid] = {"index": index, "body": raw}
+        self._advance_scroll(sid, resp)
+        resp["_scroll_id"] = sid
+        return resp
+
+    def _advance_scroll(self, sid: str, resp: dict) -> None:
+        st = self._scrolls[sid]
+        hits = resp["hits"]["hits"]
+        size = st["body"].get("size") or 10  # engine default LIMIT 10
+        if not hits or len(hits) < size:
+            st["after"] = "__done__"  # short page: nothing follows
+            return
+        last = hits[-1]["_source"]
+        fields = [next(iter(s)) for s in st["body"]["sort"]]
+        missing = [f for f in fields if f not in last]
+        if missing:
+            raise ValueError(
+                f"scroll sort fields {missing!r} are not _source columns"
+            )
+        st["after"] = [last[f] for f in fields]
+
+    def scroll(self, scroll_id: str) -> dict:
+        """`POST /_search/scroll`: next page of an open cursor."""
+        st = self._scrolls.get(scroll_id)
+        if st is None:
+            raise ValueError(f"unknown or cleared scroll_id {scroll_id!r}")
+        if st.get("after") == "__done__":
+            resp = {"hits": {"total": {"value": 0, "relation": "eq"},
+                             "hits": []}, "_scroll_id": scroll_id}
+            return resp
+        body = dict(st["body"])
+        body["search_after"] = st["after"]
+        resp = self.search(st["index"], body)
+        self._advance_scroll(scroll_id, resp)
+        resp["_scroll_id"] = scroll_id
+        return resp
+
+    def clear_scroll(self, scroll_id: str) -> dict:
+        """`DELETE /_search/scroll`."""
+        found = self._scrolls.pop(scroll_id, None) is not None
+        return {"succeeded": found, "num_freed": int(found)}
 
     def count(self, index: str, body: str | dict | None = None) -> dict:
         """`POST /{index}/_count`: exact hit count of the query, no

@@ -493,3 +493,62 @@ def test_connected_components_long_path_converges_in_log_rounds(spark):
     assert all(got[x] == min(left) for x in left)
     assert all(got[x] == min(right) for x in right)
     assert cc_fn.last_rounds <= bound, cc_fn.last_rounds
+
+
+def test_repetition_stats_matches_duckdb(docs_small, duck):
+    """Gopher repetition signals vs a DuckDB group-by reformulation of
+    the same metrics (Spark computes the bigram mode as a max-run
+    aggregate over the sorted array; DuckDB as max(count))."""
+    from gopensearch_spark.datapipe import repetition_stats
+
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["top_bigram_frac"],
+                      r["dup_bigram_frac"], r["repeated_token_frac"])
+        for r in repetition_stats(docs_small).collect()
+    }
+    exp = duck.execute("""
+        WITH base AS (
+          SELECT doc_id, string_split(text, ' ') AS ts,
+                 len(string_split(text, ' ')) AS n,
+                 len(list_distinct(string_split(text, ' '))) AS ntypes
+          FROM documents),
+        bg AS (SELECT doc_id, ts[i] || ' ' || ts[i + 1] AS bgram
+               FROM (SELECT doc_id, ts,
+                            unnest(generate_series(1, n - 1)) AS i
+                     FROM base)),
+        cnt AS (SELECT doc_id, bgram, count(*) AS c FROM bg GROUP BY 1, 2),
+        per AS (SELECT doc_id, max(c) maxc, CAST(sum(c) AS BIGINT) nb,
+                       count(*) nd FROM cnt GROUP BY 1)
+        SELECT b.doc_id, coalesce(per.nb, 0),
+               coalesce(per.maxc * 1.0 / per.nb, 0.0),
+               coalesce((per.nb - per.nd) * 1.0 / per.nb, 0.0),
+               CASE WHEN b.n > 0 THEN (b.n - b.ntypes) * 1.0 / b.n
+                    ELSE 0.0 END
+        FROM base b LEFT JOIN per USING (doc_id)
+    """).fetchall()
+    assert len(exp) == len(got)
+    for did, nb, top, dup, rep in exp:
+        g = got[did]
+        assert g[0] == nb
+        assert math.isclose(g[1], top, rel_tol=1e-9)
+        assert math.isclose(g[2], dup, rel_tol=1e-9)
+        assert math.isclose(g[3], rep, rel_tol=1e-9)
+
+
+def test_repetition_stats_degenerate(spark):
+    """<2 tokens -> zero bigrams; a pure repeat -> fractions pin to 1."""
+    from gopensearch_spark.datapipe import repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, "solo"), (2, "a a a a a a"), (3, "w x y z")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert rows[1]["n_bigrams"] == 0 and rows[1]["top_bigram_frac"] == 0.0
+    assert rows[2]["n_bigrams"] == 5
+    assert rows[2]["top_bigram_frac"] == 1.0  # "a a" x5
+    assert rows[2]["dup_bigram_frac"] == 0.8  # 1 - 1/5
+    assert math.isclose(rows[2]["repeated_token_frac"], 5 / 6)
+    assert rows[3]["top_bigram_frac"] == 1 / 3
+    assert rows[3]["dup_bigram_frac"] == 0.0
+    assert rows[3]["repeated_token_frac"] == 0.0

@@ -1347,3 +1347,43 @@ def test_top_hits_top_level_rejected(engine):
     with pytest.raises(ValueError, match="sub-aggregation of `terms`"):
         engine.search("events", {"size": 0, "aggs": {
             "h": {"top_hits": {"size": 2, "sort": [{"value": "desc"}]}}}})
+
+
+def test_scroll_full_walk(engine, duck):
+    """Scroll walks the whole filtered set exactly once, in id order,
+    every page a cursor (search_after) — no offset scans."""
+    exp = [r[0] for r in duck.execute(
+        "SELECT event_id FROM events WHERE event_type = 'click' "
+        "ORDER BY event_id"
+    ).fetchall()]
+    r = engine.scroll_search(
+        "events", {"query": {"term": {"event_type": "click"}}, "size": 60}
+    )
+    sid = r["_scroll_id"]
+    got = [int(h["_id"]) for h in r["hits"]["hits"]]
+    while True:
+        r = engine.scroll(sid)
+        page = r["hits"]["hits"]
+        if not page:
+            break
+        got.extend(int(h["_id"]) for h in page)
+    assert got == exp
+    assert engine.clear_scroll(sid) == {"succeeded": True, "num_freed": 1}
+    with pytest.raises(ValueError, match="unknown or cleared"):
+        engine.scroll(sid)
+
+
+def test_scroll_custom_sort(engine, duck):
+    exp = [r[0] for r in duck.execute(
+        "SELECT event_id FROM events ORDER BY value DESC, event_id ASC "
+        "LIMIT 40"
+    ).fetchall()]
+    r = engine.scroll_search(
+        "events", {"sort": [{"value": "desc"}, {"event_id": "asc"}],
+                   "size": 10})
+    sid = r["_scroll_id"]
+    got = [int(h["_id"]) for h in r["hits"]["hits"]]
+    for _ in range(3):
+        got.extend(int(h["_id"]) for h in engine.scroll(sid)["hits"]["hits"])
+    assert got == exp
+    engine.clear_scroll(sid)
