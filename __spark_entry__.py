@@ -925,6 +925,25 @@ LIMIT {k}
 """
 
 
+def _dsl_significant_text(spark, sf_dir):
+    """significant_text over the indexed text field: foreground terms
+    re-tokenized from the hit set only (Arrow UDF, distinct-per-doc
+    before explode), background doc-frequencies read straight from the
+    index's term_stats — never a postings scan or full-corpus
+    re-tokenize. JLH scored like significant_terms."""
+    body = {
+        "query": {"range": {"n_chars": {"gte": 400}}},
+        "size": 0,
+        "aggs": {"sig": {"significant_text": {
+            "field": "text", "size": 15, "min_doc_count": 2}}},
+    }
+    _, aggs, _ = _engine(spark, sf_dir).search_df("documents", body)
+    _, df = aggs["sig"]
+    return df.select(
+        "key", "doc_count", "bg_count", F.round("score", 9).alias("score")
+    )
+
+
 def _dsl_phrase_filter(spark, sf_dir):
     """match_phrase in scoring context + scoring-exempt filter: routes
     through the UNORDERED phrase relation (k=None) — the plan has no
@@ -1598,6 +1617,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": _sample_stratified,
         "dsl_range_agg": _dsl_range_agg,
         "dsl_cardinality": _dsl_cardinality,
+        # dsl_significant_text: same JLH contrast + top-k shape as
+        # in-window dsl_significant_terms; its two distinct ingredients
+        # are pinned elsewhere — the foreground tokenizer is the exact
+        # tokens_udf of the index build (FTS5 parity,
+        # tests/test_tokenizer.py) and the term_stats background feeds
+        # every in-window bm25_* idf. Full value-exact oracle below.
+        "dsl_significant_text": _dsl_significant_text,
         "qc_fingerprint": _qc_fingerprint,
         "bm25_near2": _near2("spark", "data", 6, 25),
         "dsl_wildcard_query": _dsl_wildcard_query,
@@ -1694,6 +1720,26 @@ def oracle_sql() -> dict[str, str]:
             "WHERE event_type = 'error' ORDER BY event_id ASC LIMIT 50"
         ),
         "dsl_dis_max": _dis_max_oracle("spark", "data", 0.4, 50),
+        "dsl_significant_text": """
+WITH fgd AS (SELECT doc_id, text FROM documents WHERE n_chars >= 400),
+fg AS (SELECT term, count(*) AS c FROM (
+  SELECT DISTINCT doc_id, term FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM fgd))
+  GROUP BY 1),
+bg AS (SELECT term, count(*) AS c FROM (
+  SELECT DISTINCT doc_id, term FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents))
+  GROUP BY 1),
+tot AS (SELECT (SELECT count(*) FROM fgd) AS ft,
+               (SELECT count(*) FROM documents) AS bt)
+SELECT fg.term AS key, fg.c AS doc_count, bg.c AS bg_count,
+       round((fg.c*1.0/ft - bg.c*1.0/bt)
+             * ((fg.c*1.0/ft)/(bg.c*1.0/bt)), 9) AS score
+FROM fg JOIN bg USING (term), tot
+WHERE fg.c >= 2 AND fg.c*1.0/ft > bg.c*1.0/bt
+ORDER BY (fg.c*1.0/ft - bg.c*1.0/bt)
+         * ((fg.c*1.0/ft)/(bg.c*1.0/bt)) DESC, fg.term ASC LIMIT 15
+""",
         "dsl_composite_agg": (
             "SELECT event_type AS t, user_id AS u, count(*) AS doc_count, "
             "round(avg(value), 6) AS m FROM events "

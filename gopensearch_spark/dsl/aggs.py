@@ -170,13 +170,15 @@ def _top_hits_arrays(
 def compile_agg(
     ctx: CompileContext, filtered: DataFrame, agg: model.Aggregate,
     background: DataFrame | None = None,
+    index_spec=None,
 ) -> tuple[str, DataFrame]:
     """Compile one labeled aggregation; returns (kind, result DF).
 
     kinds: 'buckets' -> (key, doc_count, *metric labels);
            'metric'  -> single row (value).
     ``background`` is the index's UNFILTERED relation (significant_terms
-    contrasts the query's foreground against it).
+    contrasts the query's foreground against it); ``index_spec`` the
+    Engine IndexSpec (significant_text reads its term_stats).
     """
     if agg.terms is not None:
         key = ctx.resolve(agg.terms.field).alias("key")
@@ -213,6 +215,59 @@ def compile_agg(
             out = out.join(arrays, "key", "left").orderBy(*order)
             return "tophits", out
         return "buckets", out
+    if agg.significant_text is not None:
+        st = agg.significant_text
+        from gopensearch_spark.dsl.compiler import strip_keyword
+
+        if index_spec is None or not getattr(index_spec, "index_dir", None):
+            raise ValueError(
+                "significant_text requires a full-text-indexed index"
+            )
+        if strip_keyword(st.field) != index_spec.text_field:
+            raise ValueError(
+                f"significant_text field {st.field!r} is not the indexed "
+                f"text field {index_spec.text_field!r}"
+            )
+        from gopensearch_spark.analysis import tokens_udf
+        from gopensearch_spark.search.readers import corpus_stats, index_table
+
+        spark = filtered.sparkSession
+        stats = corpus_stats(index_spec.index_dir)
+        # foreground term doc-counts: re-tokenize ONLY the hit set with
+        # the index's own tokenizer (Arrow-batched; array_distinct
+        # before explode so the shuffle carries one row per (doc, term),
+        # never per occurrence). Background df comes straight from the
+        # index's term_stats — no postings scan, no full-corpus
+        # re-tokenize. JLH exactly as significant_terms.
+        fg = (
+            filtered.select(F.explode(F.array_distinct(
+                tokens_udf(F.col(index_spec.text_field))
+            )).alias("key"))
+            .groupBy("key").agg(F.count("*").alias("doc_count"))
+        )
+        ts = index_table(spark, index_spec.index_dir, "term_stats")
+        if "batch_id" in ts.columns:  # streaming: fold per-batch deltas
+            bg = ts.groupBy(F.col("term").alias("key")).agg(
+                F.sum("df").alias("bg_count")
+            )
+        else:
+            bg = ts.select(F.col("term").alias("key"), F.col("df").alias("bg_count"))
+        fg_tot = filtered.agg(F.count("*").alias("fg_total"))
+        j = bg.join(fg, "key").crossJoin(F.broadcast(fg_tot))
+        fg_pct = F.col("doc_count") / F.col("fg_total")
+        bg_pct = F.col("bg_count") / F.lit(float(stats["n_docs"]))
+        score = F.when(
+            fg_pct > bg_pct, (fg_pct - bg_pct) * (fg_pct / bg_pct)
+        ).otherwise(F.lit(0.0))
+        out = (
+            j.where(F.col("doc_count") >= F.lit(st.min_doc_count))
+            .select("key", "doc_count", F.col("bg_count").cast("long").alias("bg_count"),
+                    score.alias("score"))
+            .where(F.col("score") > 0)
+            .orderBy(F.desc("score"), F.asc("key"))
+            .limit(st.size)
+        )
+        return "sig_buckets", out
     if agg.significant_terms is not None:
         import dataclasses
 
@@ -461,6 +516,8 @@ def _zero_fill_buckets(out: DataFrame, dh: model.DateHistogram) -> DataFrame:
 def compile_aggs(
     ctx: CompileContext, filtered: DataFrame, aggs: dict[str, model.Aggregate],
     background: DataFrame | None = None,
+    index_spec=None,
 ) -> dict[str, tuple[str, DataFrame]]:
-    return {label: compile_agg(ctx, filtered, a, background=background)
+    return {label: compile_agg(ctx, filtered, a, background=background,
+                               index_spec=index_spec)
             for label, a in aggs.items()}

@@ -688,7 +688,8 @@ class Engine:
                 df=filtered, json_col=ctx.json_col, date_fields=ctx.date_fields,
                 id_col=ctx.id_col,
             )
-            aggs_out = compile_aggs(agg_ctx, filtered, d.aggs, background=spec.df)
+            aggs_out = compile_aggs(agg_ctx, filtered, d.aggs,
+                                    background=spec.df, index_spec=spec)
 
         self._last_prelimit = filtered  # pre-sort/offset/limit relation
         hits = filtered

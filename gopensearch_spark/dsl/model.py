@@ -228,6 +228,18 @@ class TopHits:
 
 
 @dataclass
+class SignificantText:
+    """ES `significant_text`: significant_terms over the INDEXED text
+    field — foreground terms re-tokenized from matching docs (bounded
+    by the hit set), background doc-frequencies read straight from the
+    index's term_stats (no postings scan)."""
+
+    field: str
+    size: int = 10
+    min_doc_count: int = 3
+
+
+@dataclass
 class SignificantTerms:
     """ES `significant_terms`: terms over-represented in the query's
     foreground docs relative to the whole index (background), JLH
@@ -304,6 +316,7 @@ class Aggregate:
     filters: FiltersAgg | None = None
     top_hits: TopHits | None = None
     significant_terms: SignificantTerms | None = None
+    significant_text: SignificantText | None = None
     aggs: dict[str, "Aggregate"] = field(default_factory=dict)
 
 
@@ -552,6 +565,13 @@ def _parse_agg(raw: dict) -> Aggregate:
     if "significant_terms" in raw:
         s = raw["significant_terms"]
         a.significant_terms = SignificantTerms(
+            field=str(s["field"]),
+            size=int(s.get("size", 10)),
+            min_doc_count=int(s.get("min_doc_count", 3)),
+        )
+    if "significant_text" in raw:
+        s = raw["significant_text"]
+        a.significant_text = SignificantText(
             field=str(s["field"]),
             size=int(s.get("size", 10)),
             min_doc_count=int(s.get("min_doc_count", 3)),

@@ -1387,3 +1387,48 @@ def test_scroll_custom_sort(engine, duck):
         got.extend(int(h["_id"]) for h in engine.scroll(sid)["hits"]["hits"])
     assert got == exp
     engine.clear_scroll(sid)
+
+
+def test_significant_text_vs_duckdb(engine, duck):
+    """significant_text: foreground re-tokenized from hits, background
+    df straight from the index's term_stats — JLH arithmetic vs a
+    DuckDB reformulation over the same corpus."""
+    r = engine.search("docs", {
+        "query": {"range": {"n_chars": {"gte": 400}}},
+        "size": 0,
+        "aggs": {"sig": {"significant_text": {
+            "field": "text", "size": 15, "min_doc_count": 2}}},
+    })
+    rows = duck.execute("""
+        WITH fgd AS (SELECT doc_id, text FROM documents WHERE n_chars >= 400),
+        fg AS (SELECT term, count(*) AS c FROM (
+          SELECT DISTINCT doc_id, term FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM fgd))
+          GROUP BY 1),
+        bg AS (SELECT term, count(*) AS c FROM (
+          SELECT DISTINCT doc_id, term FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents)) GROUP BY 1),
+        tot AS (SELECT (SELECT count(*) FROM fgd) AS ft,
+                       (SELECT count(*) FROM documents) AS bt)
+        SELECT fg.term, fg.c, bg.c,
+               (fg.c*1.0/ft - bg.c*1.0/bt) * ((fg.c*1.0/ft)/(bg.c*1.0/bt)) AS s
+        FROM fg JOIN bg USING (term), tot
+        WHERE fg.c >= 2 AND fg.c*1.0/ft > bg.c*1.0/bt
+        ORDER BY s DESC, fg.term ASC LIMIT 15
+    """).fetchall()
+    buckets = r["aggregations"]["sig"]["buckets"]
+    assert [(b["key"], b["doc_count"], b["bg_count"]) for b in buckets] == \
+        [(t, fc, bc) for t, fc, bc, _ in rows]
+    for b, (_, _, _, s) in zip(buckets, rows):
+        assert math.isclose(b["score"], s, rel_tol=1e-9)
+    assert len(buckets) > 0
+
+
+def test_significant_text_validation(engine):
+    with pytest.raises(ValueError, match="not the indexed text field"):
+        engine.search("docs", {"size": 0, "aggs": {"s": {
+            "significant_text": {"field": "lang"}}}})
+    with pytest.raises(ValueError, match="full-text-indexed"):
+        engine.search("events", {"size": 0, "aggs": {"s": {
+            "significant_text": {"field": "text"}}}})
