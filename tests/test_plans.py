@@ -306,3 +306,58 @@ def test_wand_prefilter_or_multi_term_rank_identity(spark, tmp_path):
                for r in wand_match(spark, idx, ["alpha", "beta", "gamma"], k=k, mode="or",
                                    prefilter_min_postings=0).collect()]
         assert got == flat, (k, got[:3], flat[:3])
+
+
+def test_significant_text_plan_never_scans_postings(spark, docs_small, index_small):
+    """significant_text's background must come from term_stats alone:
+    the physical plan reads the term_stats table and NEVER the postings
+    (or blocks) files — at 10^12 docs that is the difference between a
+    vocabulary-sized scan and an index-sized one."""
+    from gopensearch_spark.dsl import Engine
+
+    e = Engine(spark)
+    e.create_index("d", docs_small, text_field="text", index_dir=index_small)
+    _, aggs, _ = e.search_df("d", {
+        "query": {"range": {"n_chars": {"gte": 400}}},
+        "size": 0,
+        "aggs": {"s": {"significant_text": {"field": "text",
+                                            "min_doc_count": 2}}},
+    })
+    _, df = aggs["s"]
+    plan = _plan(df)
+    assert "term_stats" in plan
+    assert "/postings" not in plan and "/blocks" not in plan
+
+
+def test_top_hits_bounds_rows_before_collect(spark):
+    """The top_hits plan filters on row_number BEFORE the collect_list
+    aggregate: the per-bucket array is built from at most N rows per
+    key, never a bucket's full membership. Pinned by plan order —
+    the Filter on the rn column sits below the ObjectHashAggregate."""
+    from pyspark.sql import functions as F
+
+    from gopensearch_spark.dsl import Engine
+
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 7).alias("g"),
+        (F.col("id") * 13 % 101).alias("v"),
+    )
+    e = Engine(spark)
+    e.create_index("t", df, id_col="doc_id")
+    _, aggs, _ = e.search_df("t", {"size": 0, "aggs": {"b": {
+        "terms": {"field": "g", "size": 10},
+        "aggs": {"h": {"top_hits": {"size": 3,
+                                    "sort": [{"v": {"order": "desc"}}]}}},
+    }}})
+    _, out = aggs["b"]
+    plan = _plan(out)
+    # the window's row_number filter must appear in the plan (bounding
+    # happens in the window stage, pre-aggregate)
+    assert "row_number" in plan
+    assert "__rn" in plan
+    agg_pos = plan.find("ObjectHashAggregate")
+    if agg_pos == -1:
+        agg_pos = plan.find("SortAggregate")
+    filt_pos = plan.rfind("__rn")
+    assert agg_pos != -1 and filt_pos > agg_pos  # filter below the agg
