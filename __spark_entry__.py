@@ -925,6 +925,25 @@ LIMIT {k}
 """
 
 
+def _dsl_term_suggest(spark, sf_dir):
+    """ES term suggester: per misspelled token, vocabulary candidates
+    within 2 edits ranked (distance ASC, doc-freq DESC, term ASC) —
+    the scan is the sorted prefix-pruned term_dict side table, never
+    postings; only `size` rows per token reach the driver."""
+    from gopensearch_spark.search.fuzzy import term_suggest
+
+    rows = []
+    for tok in ["spak", "dta"]:
+        for rank, (term, dist, df) in enumerate(
+            term_suggest(spark, _index_dir(spark, sf_dir), tok,
+                         size=5, max_edits=2, prefix_length=1), 1,
+        ):
+            rows.append((tok, rank, term, dist, df))
+    return spark.createDataFrame(
+        rows, "token string, rank long, option string, dist long, freq long"
+    )
+
+
 def _dsl_significant_text(spark, sf_dir):
     """significant_text over the indexed text field: foreground terms
     re-tokenized from the hit set only (Arrow UDF, distinct-per-doc
@@ -1624,6 +1643,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tests/test_tokenizer.py) and the term_stats background feeds
         # every in-window bm25_* idf. Full value-exact oracle below.
         "dsl_significant_text": _dsl_significant_text,
+        # dsl_term_suggest: same prefix-pruned term_dict expansion scan
+        # as in-window bm25_fuzzy (fuzzy_expand's machinery with a
+        # dist-first ranking); full value-exact levenshtein oracle below
+        "dsl_term_suggest": _dsl_term_suggest,
         "qc_fingerprint": _qc_fingerprint,
         "bm25_near2": _near2("spark", "data", 6, 25),
         "dsl_wildcard_query": _dsl_wildcard_query,
@@ -1720,6 +1743,26 @@ def oracle_sql() -> dict[str, str]:
             "WHERE event_type = 'error' ORDER BY event_id ASC LIMIT 50"
         ),
         "dsl_dis_max": _dis_max_oracle("spark", "data", 0.4, 50),
+        "dsl_term_suggest": """
+WITH vocab AS (SELECT term, count(*) AS df FROM (
+  SELECT DISTINCT doc_id, term FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents))
+  GROUP BY 1),
+c AS (
+  SELECT q.token, vocab.term AS option,
+         levenshtein(vocab.term, q.token) AS dist, vocab.df,
+         row_number() OVER (PARTITION BY q.token
+           ORDER BY levenshtein(vocab.term, q.token) ASC, vocab.df DESC,
+                    vocab.term ASC) AS rank
+  FROM vocab, (VALUES ('spak'), ('dta')) q(token)
+  WHERE substr(vocab.term, 1, 1) = substr(q.token, 1, 1)
+    AND vocab.term != q.token
+    AND abs(length(vocab.term) - length(q.token)) <= 2
+    AND levenshtein(vocab.term, q.token) <= 2)
+SELECT token, CAST(rank AS BIGINT) AS rank, option,
+       CAST(dist AS BIGINT) AS dist, CAST(df AS BIGINT) AS freq
+FROM c WHERE rank <= 5
+""",
         "dsl_significant_text": """
 WITH fgd AS (SELECT doc_id, text FROM documents WHERE n_chars >= 400),
 fg AS (SELECT term, count(*) AS c FROM (

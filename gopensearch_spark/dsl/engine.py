@@ -790,6 +790,8 @@ class Engine:
             resp["hits"]["total"] = {"value": total, "relation": "eq"}
         if spec.doc_backed:
             self._unmarshal_source(index, spec, resp)
+        if d.suggest:
+            resp["suggest"] = self._run_suggest(index, d.suggest)
         if d.highlight and spec.text_field and spec.text_field in d.highlight.get("fields", {}):
             from gopensearch_spark.search.highlight import highlight_text
 
@@ -806,6 +808,115 @@ class Engine:
                             spec.text_field: [rendered]
                         }
         return resp
+
+    def analyze(self, body: str | dict) -> dict:
+        """`POST /_analyze`: run the index analyzer (FTS5 unicode61
+        parity — the only analyzer this engine has) over a text and
+        return the ES tokens shape. Pure driver-side, no Spark job."""
+        from gopensearch_spark.analysis import tokenize_with_offsets
+
+        raw = json.loads(body) if isinstance(body, str) else body
+        text = raw.get("text", "")
+        texts = text if isinstance(text, list) else [text]
+        tokens, pos = [], 0
+        for chunk in texts:
+            for tok, start, end in tokenize_with_offsets(str(chunk)):
+                tokens.append({
+                    "token": tok,
+                    "start_offset": start,
+                    "end_offset": end,
+                    "type": "<ALPHANUM>",
+                    "position": pos,
+                })
+                pos += 1
+        return {"tokens": tokens}
+
+    def index_stats(self, index: str | None = None) -> dict:
+        """`GET /{index}/_stats` (or all indices): doc counts + on-disk
+        index bytes. Doc count is a count-only aggregate; store size
+        walks the index directory (0 for purely DataFrame-backed
+        indices with no built full-text index)."""
+        names = [index] if index else self.list_indices()
+        indices = {}
+        tot_docs, tot_bytes = 0, 0
+        for name in names:
+            spec = self.indices[name]
+            n = int(spec.df.count())
+            nbytes = 0
+            for idx_dir in spec.indexed_fields().values():
+                for root, _dirs, files in os.walk(idx_dir):
+                    nbytes += sum(
+                        os.path.getsize(os.path.join(root, f)) for f in files
+                    )
+            tot_docs += n
+            tot_bytes += nbytes
+            indices[name] = {"primaries": {
+                "docs": {"count": n, "deleted": 0},
+                "store": {"size_in_bytes": nbytes},
+            }}
+        return {
+            "_all": {"primaries": {
+                "docs": {"count": tot_docs, "deleted": 0},
+                "store": {"size_in_bytes": tot_bytes},
+            }},
+            "indices": indices,
+        }
+
+    def _run_suggest(self, index: str, suggest_spec: dict) -> dict:
+        """ES `term` suggester: per analyzed input token, vocabulary
+        terms within max_edits ranked (distance ASC, doc freq DESC,
+        term ASC). Candidates come from the sorted term_dict side table
+        (prefix-pruned, O(distinct terms)) — never postings. score =
+        1 - distance/len(token), the normalized-similarity shape ES
+        reports. suggest_mode=missing (the ES default) emits no options
+        for tokens already in the vocabulary."""
+        from gopensearch_spark.analysis import tokenize_with_offsets
+        from gopensearch_spark.search.fuzzy import term_exists, term_suggest
+
+        spec = self.indices[index]
+        out: dict = {}
+        for label, s in suggest_spec.items():
+            if "term" not in s:
+                raise ValueError(
+                    f"suggester {label!r}: only the `term` suggester is supported"
+                )
+            t = s["term"]
+            field = strip_keyword(str(t.get("field", "")))
+            if not spec.index_dir or field != spec.text_field:
+                raise ValueError(
+                    f"term suggester field {t.get('field')!r} is not the "
+                    f"indexed text field {spec.text_field!r}"
+                )
+            text = str(s.get("text", ""))
+            size = int(t.get("size", 5))
+            max_edits = int(t.get("max_edits", 2))
+            prefix_length = int(t.get("prefix_length", 1))
+            mode = str(t.get("suggest_mode", "missing"))
+            entries = []
+            for tok, start, end in tokenize_with_offsets(text):
+                if mode == "missing" and term_exists(
+                    self.spark, spec.index_dir, tok
+                ):
+                    opts: list = []
+                else:
+                    opts = [
+                        {
+                            "text": term,
+                            "score": round(1.0 - dist / max(len(tok), 1), 6),
+                            "freq": df,
+                        }
+                        for term, dist, df in term_suggest(
+                            self.spark, spec.index_dir, tok,
+                            size=size, max_edits=max_edits,
+                            prefix_length=prefix_length,
+                        )
+                    ]
+                entries.append({
+                    "text": tok, "offset": start, "length": end - start,
+                    "options": opts,
+                })
+            out[label] = entries
+        return out
 
     def scroll_search(self, index: str, body: str | dict | None = None,
                       scroll: str = "1m") -> dict:

@@ -339,6 +339,9 @@ class Dsl:
     # a million rows per page; search_after filters them out before
     # the top-k). Requires `sort`; incompatible with `from`.
     search_after: list | None = None
+    # ES `suggest` block (term suggester only; raw spec, evaluated by
+    # the Engine against the index vocabulary at fetch time)
+    suggest: dict | None = None
 
 
 def _parse_match(raw: dict) -> dict[str, Match]:
@@ -604,6 +607,8 @@ def parse_dsl(body: str | dict) -> Dsl:
         d.track_total_hits = bool(raw["track_total_hits"])
     if raw.get("search_after") is not None:
         d.search_after = list(raw["search_after"])
+    if raw.get("suggest") is not None:
+        d.suggest = dict(raw["suggest"])
     # `aggregations` wins over `aggs` (reference json.go:81-85)
     aggs = raw.get("aggregations") or raw.get("aggs") or {}
     d.aggs = {k: _parse_agg(v) for k, v in aggs.items()}

@@ -194,3 +194,49 @@ def regexp_match(
     if k is None:
         return bm25_scores(spark, index_dir, terms, mode="or")
     return wand_match(spark, index_dir, terms, k=k, mode="or")
+
+
+def term_suggest(
+    spark: SparkSession,
+    index_dir: str,
+    token: str,
+    size: int = 5,
+    max_edits: int = 2,
+    prefix_length: int = 1,
+) -> list[tuple[str, int, int]]:
+    """ES term-suggester candidates for one analyzed token:
+    vocabulary terms within ``max_edits`` (sharing the first
+    ``prefix_length`` chars), EXCLUDING the token itself, ranked
+    (edit distance ASC, doc freq DESC, term ASC), ``size``-truncated.
+    Returns [(term, distance, df)].
+
+    Same scale shape as fuzzy_expand: the scan is the sorted (term, df)
+    side table — O(distinct terms) with parquet min/max pruning on the
+    prefix — never postings; only ``size`` rows reach the driver."""
+    vocab = _vocabulary(spark, index_dir)
+    if prefix_length > 0:
+        vocab = vocab.where(F.col("term").startswith(token[:prefix_length]))
+    vocab = (
+        vocab.where(F.col("term") != F.lit(token))
+        .where(F.abs(F.length("term") - F.lit(len(token))) <= F.lit(max_edits))
+        .withColumn("dist", F.levenshtein(F.col("term"), F.lit(token), max_edits))
+        .where(F.col("dist") >= 0)
+    )
+    rows = (
+        vocab.orderBy(F.asc("dist"), F.desc("df"), F.asc("term"))
+        .limit(int(size))
+        .select("term", "dist", "df")
+        .collect()
+    )
+    return [(r["term"], int(r["dist"]), int(r["df"])) for r in rows]
+
+
+def term_exists(spark: SparkSession, index_dir: str, token: str) -> bool:
+    """Is ``token`` in the index vocabulary? (suggest_mode=missing
+    gate; a single pruned term_dict lookup)."""
+    return bool(
+        _vocabulary(spark, index_dir)
+        .where(F.col("term") == F.lit(token))
+        .limit(1)
+        .collect()
+    )

@@ -1432,3 +1432,64 @@ def test_significant_text_validation(engine):
     with pytest.raises(ValueError, match="full-text-indexed"):
         engine.search("events", {"size": 0, "aggs": {"s": {
             "significant_text": {"field": "text"}}}})
+
+
+def test_term_suggest_vs_duckdb(engine, duck):
+    """Suggester candidates == DuckDB levenshtein over the corpus
+    vocabulary with the same (dist, freq desc, term) ranking."""
+    r = engine.search("docs", {"size": 0, "suggest": {"fix": {
+        "text": "spak",
+        "term": {"field": "text", "size": 5, "max_edits": 2,
+                 "prefix_length": 1, "suggest_mode": "always"}}}})
+    entries = r["suggest"]["fix"]
+    assert len(entries) == 1 and entries[0]["text"] == "spak"
+    got = [(o["text"], o["freq"]) for o in entries[0]["options"]]
+    exp = duck.execute("""
+        WITH vocab AS (SELECT term, count(*) AS df FROM (
+          SELECT DISTINCT doc_id, term FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents)) GROUP BY 1)
+        SELECT term, df FROM vocab
+        WHERE term LIKE 's%' AND term != 'spak'
+          AND abs(length(term) - 4) <= 2
+          AND levenshtein(term, 'spak') <= 2
+        ORDER BY levenshtein(term, 'spak') ASC, df DESC, term ASC LIMIT 5
+    """).fetchall()
+    assert got == [(t, int(f)) for t, f in exp]
+    assert len(got) > 0
+    # scores are normalized similarity in (0, 1]
+    for o in entries[0]["options"]:
+        assert 0 < o["score"] <= 1
+
+
+def test_term_suggest_missing_mode(engine):
+    """suggest_mode=missing (default): in-vocabulary tokens get no
+    options, misspelled ones do."""
+    r = engine.search("docs", {"size": 0, "suggest": {"s": {
+        "text": "spark spak",
+        "term": {"field": "text"}}}})
+    entries = r["suggest"]["s"]
+    assert [e["text"] for e in entries] == ["spark", "spak"]
+    assert entries[0]["options"] == []          # 'spark' exists
+    assert len(entries[1]["options"]) > 0        # 'spak' does not
+    assert entries[1]["offset"] == 6 and entries[1]["length"] == 4
+
+
+def test_analyze_api(engine):
+    r = engine.analyze({"text": "Café du MONDE, 42!"})
+    toks = [t["token"] for t in r["tokens"]]
+    assert toks == ["cafe", "du", "monde", "42"]
+    assert [t["position"] for t in r["tokens"]] == [0, 1, 2, 3]
+    assert r["tokens"][0]["start_offset"] == 0
+    assert r["tokens"][0]["end_offset"] == 4
+
+
+def test_index_stats(engine, duck):
+    r = engine.index_stats("events")
+    n = duck.execute("SELECT count(*) FROM events").fetchone()[0]
+    assert r["indices"]["events"]["primaries"]["docs"]["count"] == n
+    # docs index has a built full-text index on disk
+    r2 = engine.index_stats("docs")
+    assert r2["indices"]["docs"]["primaries"]["store"]["size_in_bytes"] > 0
+    r_all = engine.index_stats()
+    assert r_all["_all"]["primaries"]["docs"]["count"] >= n
