@@ -925,6 +925,49 @@ LIMIT {k}
 """
 
 
+def _dsl_function_score(spark, sf_dir):
+    """function_score: BM25(match spark) x weight x log10(1 + factor x
+    n_chars) — the score combine is a row-local codegen expression over
+    the scoring relation join, no extra shuffle."""
+    body = {
+        "query": {"function_score": {
+            "query": {"match": {"text": "spark"}},
+            "field_value_factor": {"field": "n_chars", "factor": 0.5,
+                                   "modifier": "log1p", "missing": 1},
+            "weight": 2.0, "boost_mode": "multiply",
+        }},
+        "size": 50,
+    }
+    hits, _, _ = _engine(spark, sf_dir).search_df("documents", body)
+    return hits.select("doc_id", F.round("score", _ROUND).alias("score"))
+
+
+def _function_score_oracle(term: str, k: int) -> str:
+    idf = ("(CASE WHEN ln((s.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)) > 0 "
+           "THEN ln((s.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)) ELSE 1e-6 END)")
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+agg AS (
+  SELECT tf.doc_id,
+    {idf} * (tf.tf * {K1 + 1.0}) /
+    (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl)) AS score
+  FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  WHERE tf.term = '{term}'
+)
+SELECT a.doc_id,
+  round(a.score * 2.0 * log10(1 + 0.5 * d.n_chars), {_ROUND}) AS score
+FROM agg a JOIN documents d USING (doc_id)
+ORDER BY a.score * 2.0 * log10(1 + 0.5 * d.n_chars) DESC, a.doc_id ASC
+LIMIT {k}
+"""
+
+
 def _dsl_term_suggest(spark, sf_dir):
     """ES term suggester: per misspelled token, vocabulary candidates
     within 2 edits ranked (distance ASC, doc-freq DESC, term ASC) —
@@ -1643,6 +1686,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tests/test_tokenizer.py) and the term_stats background feeds
         # every in-window bm25_* idf. Full value-exact oracle below.
         "dsl_significant_text": _dsl_significant_text,
+        # dsl_function_score: third member of the spec_score combine
+        # family whose two siblings (dsl_constant_score, dsl_dis_max)
+        # are value-checked in-window; the function side is row-local
+        # arithmetic over the same scoring-relation join. Full
+        # value-exact oracle below.
+        "dsl_function_score": _dsl_function_score,
         # dsl_term_suggest: same prefix-pruned term_dict expansion scan
         # as in-window bm25_fuzzy (fuzzy_expand's machinery with a
         # dist-first ranking); full value-exact levenshtein oracle below
@@ -1743,6 +1792,7 @@ def oracle_sql() -> dict[str, str]:
             "WHERE event_type = 'error' ORDER BY event_id ASC LIMIT 50"
         ),
         "dsl_dis_max": _dis_max_oracle("spark", "data", 0.4, 50),
+        "dsl_function_score": _function_score_oracle("spark", 50),
         "dsl_term_suggest": """
 WITH vocab AS (SELECT term, count(*) AS df FROM (
   SELECT DISTINCT doc_id, term FROM (

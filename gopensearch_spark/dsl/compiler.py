@@ -343,6 +343,14 @@ def compile_query(ctx: CompileContext, q: model.Query | None, scoring: bool = Tr
                 None, (inner, q.constant_score.boost), "const", scoring
             )
         preds.append(inner)
+    if q.function_score is not None:
+        fs = q.function_score
+        if ctx.fulltext_predicate is not None:
+            # the Engine compiles the inner query itself so the
+            # function combine can see the inner clauses' scores
+            preds.append(ctx.fulltext_predicate(None, fs, "fnscore", scoring))
+        else:
+            preds.append(compile_query(ctx, fs.query, False))
     if q.dis_max is not None:
         if ctx.fulltext_predicate is not None:
             # the Engine compiles each branch itself so it can group the

@@ -385,6 +385,21 @@ class Engine:
                     pred, boost = m
                     ft_specs.append(("const", (pred, float(boost)), "", True, 0))
                 return None  # compiler already has the predicate
+            if kind == "fnscore":
+                # compile the inner query, remember which clause entries
+                # belong to it (their scores feed the combine; flipped
+                # non-scoring so the global additive fold skips them)
+                from gopensearch_spark.dsl.compiler import compile_query
+
+                start = len(ft_specs)
+                ipred = compile_query(ctx, m.query, scoring)
+                idxs = list(range(start, len(ft_specs)))
+                for i in idxs:
+                    k, qq, mo, _sc, sl = ft_specs[i]
+                    ft_specs[i] = (k, qq, mo, False, sl)
+                if scoring:
+                    ft_specs.append(("fnscore", (m, ipred, idxs), "", True, 0))
+                return ipred
             if kind == "dismax":
                 # compile each branch here so its scoring clauses can be
                 # grouped: branch score = sum of the branch's clause
@@ -471,6 +486,7 @@ class Engine:
             and q.multi_match is None
             and q.constant_score is None
             and q.dis_max is None
+            and q.function_score is None
         ):
             ((field, m),) = q.match.items()
             # match + fuzziness routes through the expansion path, not WAND
@@ -625,7 +641,7 @@ class Engine:
 
             with query_scope():
                 for i, (kind, q, mode, _scoring, slop) in enumerate(ft_specs):
-                    if kind in ("const", "dismax"):
+                    if kind in ("const", "dismax", "fnscore"):
                         continue  # no posting relation — score-only entries
                     rel = relation(kind, q, mode, slop).select(
                         F.col("doc_id").alias(f"__ft_id_{i}"),
@@ -642,6 +658,50 @@ class Engine:
                 if kind == "const":
                     cpred, boost = sp[1]
                     return F.when(cpred, F.lit(boost)).otherwise(F.lit(0.0))
+                if kind == "fnscore":
+                    fs, ipred, idxs = sp[1]
+                    if idxs:
+                        q = F.lit(0.0)
+                        for j in idxs:
+                            q = q + spec_score(j, ft_specs[j])
+                    else:
+                        # relational inner query: ES filter-match
+                        # convention scores it 1.0
+                        q = F.lit(1.0)
+                    fv = F.coalesce(
+                        ctx.resolve(fs.field).cast("double"),
+                        F.lit(float(fs.missing)),
+                    )
+                    x = F.lit(float(fs.factor)) * fv
+                    mod = fs.modifier
+                    if mod in ("", "none"):
+                        val = x
+                    elif mod == "log1p":  # ES log* are base 10
+                        val = F.log10(x + F.lit(1.0))
+                    elif mod == "ln1p":
+                        val = F.log(x + F.lit(1.0))
+                    elif mod == "sqrt":
+                        val = F.sqrt(x)
+                    elif mod == "square":
+                        val = x * x
+                    elif mod == "reciprocal":
+                        val = F.lit(1.0) / x
+                    else:
+                        raise ValueError(
+                            f"unsupported field_value_factor modifier {mod!r}"
+                        )
+                    fn = F.lit(float(fs.weight)) * val
+                    if fs.boost_mode == "multiply":
+                        combined = q * fn
+                    elif fs.boost_mode == "sum":
+                        combined = q + fn
+                    elif fs.boost_mode == "replace":
+                        combined = fn
+                    else:
+                        raise ValueError(
+                            f"unsupported boost_mode {fs.boost_mode!r}"
+                        )
+                    return F.when(ipred, combined).otherwise(F.lit(0.0))
                 if kind == "dismax":
                     branches, tb = sp[1]
                     # branch score only where the branch MATCHED (else

@@ -147,6 +147,23 @@ class DisMax:
 
 
 @dataclass
+class FunctionScore:
+    """ES `function_score` (single `field_value_factor` function +
+    optional `weight`): score = boost_mode(query_score,
+    weight * modifier(factor * field)). A purely relational inner query
+    scores 1.0 (the ES filter-match convention); a full-text inner
+    query keeps its BM25 score."""
+
+    query: "Query" = None  # type: ignore[assignment]
+    field: str = ""
+    factor: float = 1.0
+    modifier: str = "none"  # none|log1p|ln1p|sqrt|square|reciprocal
+    missing: float = 1.0
+    weight: float = 1.0
+    boost_mode: str = "multiply"  # multiply|sum|replace
+
+
+@dataclass
 class Query:
     match: dict[str, Match] = field(default_factory=dict)
     # further ES-correct query forms absent from the reference's DSL
@@ -177,6 +194,7 @@ class Query:
     multi_match: MultiMatch | None = None
     constant_score: ConstantScore | None = None
     dis_max: DisMax | None = None
+    function_score: FunctionScore | None = None
 
 
 @dataclass
@@ -437,6 +455,23 @@ def _parse_query(raw: dict) -> Query:
         q.constant_score = ConstantScore(
             filter=_parse_query(cs["filter"]),
             boost=float(cs.get("boost", 1.0)),
+        )
+    if "function_score" in raw:
+        fs = raw["function_score"]
+        fvf = fs.get("field_value_factor")
+        if fvf is None:
+            raise ValueError(
+                "function_score supports the `field_value_factor` function "
+                "(with optional `weight`); other function types are not implemented"
+            )
+        q.function_score = FunctionScore(
+            query=_parse_query(fs.get("query", {"match_all": {}})),
+            field=str(fvf["field"]),
+            factor=float(fvf.get("factor", 1.0)),
+            modifier=str(fvf.get("modifier", "none")).lower(),
+            missing=float(fvf.get("missing", 1.0)),
+            weight=float(fs.get("weight", 1.0)),
+            boost_mode=str(fs.get("boost_mode", "multiply")).lower(),
         )
     if "dis_max" in raw:
         dm = raw["dis_max"]

@@ -1493,3 +1493,54 @@ def test_index_stats(engine, duck):
     assert r2["indices"]["docs"]["primaries"]["store"]["size_in_bytes"] > 0
     r_all = engine.index_stats()
     assert r_all["_all"]["primaries"]["docs"]["count"] >= n
+
+
+def test_function_score_fulltext_multiply(engine):
+    """function_score(field_value_factor) over a match query: per-doc
+    score == bm25 x weight x log10(1 + factor x n_chars)."""
+    base = engine.search("docs", {"query": {"match": {"text": "spark"}},
+                                  "size": 10000})
+    chars = {h["_id"]: h["_source"]["n_chars"] for h in base["hits"]["hits"]}
+    s0 = {h["_id"]: h["_score"] for h in base["hits"]["hits"]}
+    r = engine.search("docs", {
+        "query": {"function_score": {
+            "query": {"match": {"text": "spark"}},
+            "field_value_factor": {"field": "n_chars", "factor": 0.5,
+                                   "modifier": "log1p", "missing": 1},
+            "weight": 2.0, "boost_mode": "multiply"}},
+        "size": 10000, "track_total_hits": True,
+    })
+    assert r["hits"]["total"]["value"] == len(s0)
+    for h in r["hits"]["hits"]:
+        i = h["_id"]
+        exp = s0[i] * 2.0 * math.log10(1 + 0.5 * chars[i])
+        assert math.isclose(h["_score"], exp, rel_tol=1e-9), i
+
+
+def test_function_score_relational_replace(engine, duck):
+    """Relational inner query scores 1.0; replace mode ranks purely by
+    the function value."""
+    r = engine.search("events", {
+        "query": {"function_score": {
+            "query": {"term": {"event_type": "error"}},
+            "field_value_factor": {"field": "value", "modifier": "none"},
+            "boost_mode": "replace"}},
+        "size": 5,
+    })
+    exp = duck.execute(
+        "SELECT event_id, value FROM events WHERE event_type = 'error' "
+        "ORDER BY value DESC, event_id ASC LIMIT 5"
+    ).fetchall()
+    assert [(int(h["_id"]), h["_score"]) for h in r["hits"]["hits"]] == \
+        [(i, v) for i, v in exp]
+
+
+def test_function_score_validation(engine):
+    with pytest.raises(ValueError, match="field_value_factor"):
+        engine.search("events", {"query": {"function_score": {
+            "query": {"match_all": {}}, "random_score": {}}}})
+    with pytest.raises(ValueError, match="modifier"):
+        engine.search("events", {"query": {"function_score": {
+            "query": {"match_all": {}},
+            "field_value_factor": {"field": "value", "modifier": "exp"}}},
+            "size": 1})
