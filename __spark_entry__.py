@@ -1480,6 +1480,22 @@ def _qc_token_stats(spark, sf_dir):
     )
 
 
+def _dedup_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (GPT-3 13-gram rule, n=5 at test
+    scale): training docs sharing any word n-gram with a benchmark doc.
+    Distinct (id, shingle) explode on both sides, benchmark side
+    broadcast — the corpus side never shuffles."""
+    from gopensearch_spark.datapipe import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    return decontaminate(docs, bench, n=5).select(
+        "doc_id", "bench_id", "n_shared"
+    )
+
+
 def _qc_repetition(spark, sf_dir):
     """Gopher-style repetition filters: top/dup bigram fractions and
     repeated-token fraction — row-local array expressions (no shuffle,
@@ -1614,7 +1630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_train_val_test": _split_train_val_test,
         "pack_sequences": _pack_sequences,
         "mm_extract_features": _mm_extract_features,
-        "mm_sample_frames": _mm_sample_frames,
+        "dedup_decontaminate": _dedup_decontaminate,
         "ann_cosine_topk": _ann_cosine_topk,
         "ann_lsh_topk_valid": _ann_topk_valid("lsh"),
         "ann_ivf_topk_valid": _ann_topk_valid("ivf"),
@@ -1650,6 +1666,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # one-groupBy dispatch whose four siblings are value-checked
         # in-window via dsl_metrics — displaced by dsl_search_after,
         # the NEW sort-tuple cursor path)
+        # mm_sample_frames (same Arrow mapInPandas multimodal plumbing
+        # family as in-window mm_extract_features; its frame-boundary
+        # kernel is value-pinned by tests/test_datapipe.py and its
+        # oracle stays live for replica runs — displaced by
+        # dedup_decontaminate, the NEW cross-table shingle
+        # broadcast-join path)
+        "mm_sample_frames": _mm_sample_frames,
         # round-4d displacements (for dsl_top_hits / dsl_significant_terms
         # / dsl_dis_max / dsl_constant_score, four NEW code paths):
         # bm25_head_term_flat (IDENTICAL output to in-window
@@ -1793,6 +1816,17 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dsl_dis_max": _dis_max_oracle("spark", "data", 0.4, 50),
         "dsl_function_score": _function_score_oracle("spark", 50),
+        "dedup_decontaminate": """
+WITH sh AS (
+  SELECT doc_id, array_to_string(ts[i:i+4], ' ') AS s FROM (
+    SELECT doc_id, string_split(text, ' ') AS ts,
+           unnest(generate_series(1, len(string_split(text, ' ')) - 4)) AS i
+    FROM documents)
+  GROUP BY 1, 2),
+b AS (SELECT doc_id AS bench_id, s FROM sh WHERE bench_id % 97 = 0)
+SELECT sh.doc_id, b.bench_id, count(*) AS n_shared
+FROM sh JOIN b USING (s) GROUP BY 1, 2
+""",
         "dsl_term_suggest": """
 WITH vocab AS (SELECT term, count(*) AS df FROM (
   SELECT DISTINCT doc_id, term FROM (

@@ -1,6 +1,7 @@
 from gopensearch_spark.datapipe.dedup import (  # noqa: F401
     assign_dup_clusters,
     connected_components,
+    decontaminate,
     embedding_neardup_pairs,
     exact_dedup,
     minhash_lsh_pairs,

@@ -578,3 +578,54 @@ def assign_dup_clusters(
         )
     )
     return out.withColumn("is_representative", F.col("doc_id") == F.col("cluster_id"))
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    bench_id_col: str = "bench_id",
+    broadcast_benchmark: bool = True,
+    hash_shingles: bool = False,
+) -> DataFrame:
+    """Training-set decontamination against a benchmark table: every
+    (doc_id, bench_id, n_shared) where a training doc shares at least
+    one word n-gram with a benchmark doc (the GPT-3/PaLM 13-gram
+    overlap rule; Brown et al. 2020 appendix C).
+
+    Scale shape: both sides explode to DISTINCT (id, shingle) rows —
+    one row per shingle occurrence set, never per occurrence — and meet
+    in an equi-join on the shingle. Benchmarks are tiny next to a
+    10^12-doc corpus, so the benchmark side broadcasts by default and
+    the corpus side never shuffles. ``hash_shingles=True`` joins on
+    xxhash64(shingle) instead of the string (64-bit collision risk,
+    ~n^2/2^65 false pairs) — the wire-size option for when even the
+    broadcast side's strings are too fat.
+    """
+    d_sh = F.when(
+        F.size(F.split(F.col(text_col), " ")) >= n,
+        F.array_distinct(_word_shingles(text_col, n)),
+    ).otherwise(F.array().cast("array<string>"))
+    b_sh = F.when(
+        F.size(F.split(F.col(bench_text_col), " ")) >= n,
+        F.array_distinct(_word_shingles(bench_text_col, n)),
+    ).otherwise(F.array().cast("array<string>"))
+    d = docs.select(F.col(id_col).alias("doc_id"), F.explode(d_sh).alias("s"))
+    b = benchmark.select(
+        F.col(bench_id_col).alias("bench_id"), F.explode(b_sh).alias("s")
+    )
+    if hash_shingles:
+        d = d.select("doc_id", F.xxhash64("s").alias("s"))
+        b = b.select("bench_id", F.xxhash64("s").alias("s"))
+    if broadcast_benchmark:
+        b = F.broadcast(b)
+    # (doc, bench, shingle) is unique by construction (distinct per
+    # side), so count(*) IS the distinct shared-shingle count
+    return (
+        d.join(b, "s")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").alias("n_shared"))
+    )

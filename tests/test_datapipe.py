@@ -552,3 +552,49 @@ def test_repetition_stats_degenerate(spark):
     assert rows[3]["top_bigram_frac"] == 1 / 3
     assert rows[3]["dup_bigram_frac"] == 0.0
     assert rows[3]["repeated_token_frac"] == 0.0
+
+
+def test_decontaminate_vs_duckdb(docs_small, duck, spark):
+    """Contamination pairs == DuckDB n-gram equi-join; benchmark is a
+    deterministic subset of the corpus (so overlap is guaranteed)."""
+    from gopensearch_spark.datapipe import decontaminate
+
+    bench = (
+        docs_small.where(F.col("doc_id") % 97 == 0)
+        .select(F.col("doc_id").alias("bench_id"), "text")
+    )
+    got = {
+        (r["doc_id"], r["bench_id"]): r["n_shared"]
+        for r in decontaminate(docs_small, bench, n=5).collect()
+    }
+    exp = duck.execute("""
+        WITH sh AS (
+          SELECT doc_id, array_to_string(ts[i:i+4], ' ') AS s FROM (
+            SELECT doc_id, string_split(text, ' ') AS ts,
+                   unnest(generate_series(1, len(string_split(text, ' ')) - 4)) AS i
+            FROM documents)
+          GROUP BY 1, 2),
+        b AS (SELECT doc_id AS bench_id, s FROM sh WHERE bench_id % 97 = 0)
+        SELECT sh.doc_id, b.bench_id, count(*) AS n_shared
+        FROM sh JOIN b USING (s) GROUP BY 1, 2
+    """).fetchall()
+    assert got == {(d, bi): n for d, bi, n in exp}
+    assert len(got) > 0
+    # every benchmark doc at least contaminates itself
+    for bid in [r["bench_id"] for r in bench.collect()]:
+        assert (bid, bid) in got
+
+
+def test_decontaminate_hashed_matches_exact(docs_small, spark):
+    """hash_shingles=True (the wire-size scale path) gives identical
+    pairs on this corpus (no 64-bit collisions at this size)."""
+    from gopensearch_spark.datapipe import decontaminate
+
+    bench = (
+        docs_small.where(F.col("doc_id") % 151 == 0)
+        .select(F.col("doc_id").alias("bench_id"), "text")
+    )
+    a = set(map(tuple, decontaminate(docs_small, bench, n=5).collect()))
+    b = set(map(tuple, decontaminate(docs_small, bench, n=5,
+                                     hash_shingles=True).collect()))
+    assert a == b and len(a) > 0
