@@ -361,3 +361,19 @@ def test_top_hits_bounds_rows_before_collect(spark):
         agg_pos = plan.find("SortAggregate")
     filt_pos = plan.rfind("__rn")
     assert agg_pos != -1 and filt_pos > agg_pos  # filter below the agg
+
+
+def test_decontaminate_broadcasts_benchmark(spark, docs_small):
+    """The benchmark side must broadcast — the corpus side of the
+    shingle join never shuffles."""
+    from pyspark.sql import functions as F
+
+    from gopensearch_spark.datapipe import decontaminate
+
+    bench = docs_small.limit(5).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    plan = _plan(decontaminate(docs_small, bench, n=5))
+    assert "BroadcastHashJoin" in plan
+    # the only hash exchange is the final (doc_id, bench_id) aggregate
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
