@@ -57,8 +57,12 @@ BENCH_QUERIES = [
     "dsl_subagg",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_decontaminate",
     "ann_cosine_topk",
     "qc_quality_score",
+    "qc_repetition",
+    "dsl_top_hits",
+    "dsl_significant_text",
     "sql_q1",
 ]
 
