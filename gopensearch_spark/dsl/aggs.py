@@ -83,22 +83,32 @@ def date_bucket_expr(ctx: CompileContext, dh: model.DateHistogram) -> Column:
     return (F.floor(millis / iv) * iv).cast("long")
 
 
+def _metric_col(ctx: CompileContext, af: model.AggField) -> Column:
+    """Resolve a metric field honoring the ES `missing` parameter:
+    docs without the field take the substitute value instead of being
+    dropped from the aggregate."""
+    col = ctx.resolve(af.field)
+    if af.missing != "":
+        col = F.coalesce(col.cast("double"), F.lit(float(af.missing)))
+    return col
+
+
 def _metric_expr(ctx: CompileContext, sub: model.Aggregate) -> Column | None:
     if sub.avg is not None:
-        return F.avg(ctx.resolve(sub.avg.field).cast("double"))
+        return F.avg(_metric_col(ctx, sub.avg).cast("double"))
     if sub.max is not None:
-        return F.max(ctx.resolve(sub.max.field))
+        return F.max(_metric_col(ctx, sub.max))
     if sub.min is not None:
-        return F.min(ctx.resolve(sub.min.field))
+        return F.min(_metric_col(ctx, sub.min))
     if sub.sum is not None:
-        return F.sum(ctx.resolve(sub.sum.field).cast("double"))
+        return F.sum(_metric_col(ctx, sub.sum).cast("double"))
     if sub.cardinality is not None:
         # exact distinct; ES uses HLL — we prefer exactness (Spark's
         # approx_count_distinct is one call away if scale demands)
-        return F.countDistinct(ctx.resolve(sub.cardinality.field))
+        return F.countDistinct(_metric_col(ctx, sub.cardinality))
     if sub.value_count is not None:
         # ES value_count: number of non-null values of the field
-        return F.count(ctx.resolve(sub.value_count.field))
+        return F.count(_metric_col(ctx, sub.value_count))
     return None
 
 
@@ -115,7 +125,7 @@ def _metric_exprs(ctx: CompileContext, aggs: dict[str, model.Aggregate]) -> list
 
 
 def _top_hits_arrays(
-    ctx: CompileContext, filtered: DataFrame, key_field: str,
+    ctx: CompileContext, filtered: DataFrame, keyc: Column,
     th_subs: dict[str, model.TopHits],
 ) -> DataFrame:
     """Per-bucket top-N hits as one bounded array column per label:
@@ -126,7 +136,6 @@ def _top_hits_arrays(
     tie-break when the request's sort doesn't already end with it."""
     from pyspark.sql import Window
 
-    keyc = ctx.resolve(key_field)
     out = None
     for label, th in th_subs.items():
         if not th.sort:
@@ -181,7 +190,14 @@ def compile_agg(
     Engine IndexSpec (significant_text reads its term_stats).
     """
     if agg.terms is not None:
-        key = ctx.resolve(agg.terms.field).alias("key")
+        kc = ctx.resolve(agg.terms.field)
+        if agg.terms.missing is not None:
+            # ES `missing`: null-field docs bucket under the substitute
+            kc = F.coalesce(kc, F.lit(agg.terms.missing))
+        else:
+            # ES default: docs without the field produce NO bucket
+            filtered = filtered.where(kc.isNotNull())
+        key = kc.alias("key")
         # ES `order`: _count (default) / _key / a metric sub-agg label —
         # the sort rides the same single groupBy; ties break by key asc
         okey, odir = agg.terms.order_key, agg.terms.order_dir
@@ -211,7 +227,7 @@ def compile_agg(
             # join the bounded per-bucket hit arrays onto the surviving
             # top-size buckets only (left join keeps the truncation),
             # then restore the bucket order the join discarded
-            arrays = _top_hits_arrays(ctx, filtered, agg.terms.field, th_subs)
+            arrays = _top_hits_arrays(ctx, filtered, kc, th_subs)
             out = out.join(arrays, "key", "left").orderBy(*order)
             return "tophits", out
         return "buckets", out
@@ -463,7 +479,7 @@ def compile_agg(
         )
         return "filters", out
     if agg.stats is not None:
-        col = ctx.resolve(agg.stats.field).cast("double")
+        col = _metric_col(ctx, agg.stats).cast("double")
         out = filtered.agg(
             F.count(col).alias("count"),
             F.min(col).alias("min"),

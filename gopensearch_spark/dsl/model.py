@@ -204,6 +204,9 @@ class AggTerms:
     # ES `order`: "_count" | "_key" | a metric sub-agg label
     order_key: str = "_count"
     order_dir: str = "desc"
+    # ES `missing`: bucket docs lacking the field under this key
+    # (None = ES default, null keys drop from the buckets)
+    missing: object = None
 
 
 @dataclass
@@ -533,7 +536,8 @@ def _parse_agg(raw: dict) -> Aggregate:
         order = t.get("order") or {"_count": "desc"}
         (okey, odir), = order.items()
         a.terms = AggTerms(field=t["field"], size=int(t.get("size", 10)),
-                           order_key=str(okey), order_dir=str(odir).lower())
+                           order_key=str(okey), order_dir=str(odir).lower(),
+                           missing=t.get("missing"))
     if "composite" in raw:
         c = raw["composite"]
         sources = []

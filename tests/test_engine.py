@@ -1544,3 +1544,32 @@ def test_function_score_validation(engine):
             "query": {"match_all": {}},
             "field_value_factor": {"field": "value", "modifier": "exp"}}},
             "size": 1})
+
+
+def test_terms_agg_missing_and_metric_missing(spark, duck):
+    """ES `missing`: terms buckets null keys under the substitute, and
+    metric aggs substitute instead of dropping null values."""
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, None, 20.0), (3, "a", None), (4, "b", 40.0)],
+        "id long, g string, v double",
+    )
+    from gopensearch_spark.dsl import Engine
+
+    e = Engine(spark)
+    e.create_index("t", df, id_col="id")
+    r = e.search("t", {"size": 0, "aggs": {
+        "by": {"terms": {"field": "g", "missing": "N/A", "size": 10},
+               "aggs": {"m": {"avg": {"field": "v", "missing": 0}}}},
+        "tot": {"sum": {"field": "v", "missing": 0}},
+    }})
+    got = {b["key"]: (b["doc_count"], b["m"]["value"])
+           for b in r["aggregations"]["by"]["buckets"]}
+    assert got == {"a": (2, 5.0), "N/A": (1, 20.0), "b": (1, 40.0)}
+    assert r["aggregations"]["tot"]["value"] == 70.0
+    # without missing: null key drops, null values excluded from avg
+    r2 = e.search("t", {"size": 0, "aggs": {
+        "by": {"terms": {"field": "g", "size": 10},
+               "aggs": {"m": {"avg": {"field": "v"}}}}}})
+    got2 = {b["key"]: (b["doc_count"], b["m"]["value"])
+            for b in r2["aggregations"]["by"]["buckets"]}
+    assert got2 == {"a": (2, 10.0), "b": (1, 40.0)}
