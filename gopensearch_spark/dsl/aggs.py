@@ -231,6 +231,19 @@ def compile_agg(
             out = out.join(arrays, "key", "left").orderBy(*order)
             return "tophits", out
         return "buckets", out
+    if agg.global_:
+        import dataclasses
+
+        if background is None:
+            raise ValueError("global aggregation needs the index relation")
+        # sub-aggs over the UNFILTERED index — one hash-agg pass over
+        # the background relation; metric sub-aggs only (bucket aggs
+        # under `global` raise the clear error below via _metric_exprs)
+        bctx = dataclasses.replace(ctx, df=background, fulltext_predicate=None)
+        out = background.agg(
+            F.count("*").alias("doc_count"), *_metric_exprs(bctx, agg.aggs)
+        )
+        return "global", out
     if agg.significant_text is not None:
         st = agg.significant_text
         from gopensearch_spark.dsl.compiler import strip_keyword

@@ -338,6 +338,9 @@ class Aggregate:
     top_hits: TopHits | None = None
     significant_terms: SignificantTerms | None = None
     significant_text: SignificantText | None = None
+    # ES `global`: sub-aggs computed over the WHOLE index, ignoring the
+    # request's query (the classic faceted-search "totals" bucket)
+    global_: bool = False
     aggs: dict[str, "Aggregate"] = field(default_factory=dict)
 
 
@@ -592,6 +595,8 @@ def _parse_agg(raw: dict) -> Aggregate:
         a.filters = FiltersAgg(
             filters={k: _parse_query(v) for k, v in raw["filters"]["filters"].items()}
         )
+    if "global" in raw:
+        a.global_ = True
     if "top_hits" in raw:
         t = raw["top_hits"]
         src = t.get("_source")

@@ -99,6 +99,15 @@ def shape_response(index: str, rows, agg_rows: dict, id_col: str, took_ms: int) 
                 aggs[label] = {"buckets": buckets}
                 if buckets:
                     aggs[label]["after_key"] = buckets[-1]["key"]
+            elif kind == "global":
+                if rws:
+                    d = rws[0].asDict()
+                    g = {"doc_count": int(d.pop("doc_count"))}
+                    for sublabel, v in d.items():
+                        g[sublabel] = {"value": _json_safe(v)}
+                    aggs[label] = g
+                else:
+                    aggs[label] = {"doc_count": 0}
             elif kind == "sig_buckets":
                 aggs[label] = {"buckets": [
                     {

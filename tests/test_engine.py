@@ -1573,3 +1573,29 @@ def test_terms_agg_missing_and_metric_missing(spark, duck):
     got2 = {b["key"]: (b["doc_count"], b["m"]["value"])
             for b in r2["aggregations"]["by"]["buckets"]}
     assert got2 == {"a": (2, 10.0), "b": (1, 40.0)}
+
+
+def test_global_agg(engine, duck):
+    """`global` sub-aggs ignore the query — whole-index totals beside
+    filtered hits (the faceted-search pattern)."""
+    r = engine.search("events", {
+        "query": {"term": {"event_type": "error"}},
+        "size": 0, "track_total_hits": True,
+        "aggs": {
+            "all": {"global": {}, "aggs": {"m": {"avg": {"field": "value"}},
+                                           "n": {"value_count": {"field": "value"}}}},
+            "filtered_avg": {"avg": {"field": "value"}},
+        },
+    })
+    n_all, avg_all = duck.execute(
+        "SELECT count(*), avg(value) FROM events").fetchone()
+    avg_err = duck.execute(
+        "SELECT avg(value) FROM events WHERE event_type = 'error'"
+    ).fetchone()[0]
+    g = r["aggregations"]["all"]
+    assert g["doc_count"] == n_all
+    assert math.isclose(g["m"]["value"], avg_all, rel_tol=1e-9)
+    assert g["n"]["value"] == n_all
+    assert math.isclose(r["aggregations"]["filtered_avg"]["value"], avg_err,
+                        rel_tol=1e-9)
+    assert r["hits"]["total"]["value"] < n_all  # the query still filtered hits
