@@ -14,7 +14,10 @@ Semantics (pinned, oracle-checked):
   0 for len(t) <= 2, 1 for 3..5, 2 for >= 6),
 - expansion = vocabulary terms with `levenshtein(term, t) <= d` that
   share the first `prefix_length` characters with `t`, ranked by
-  (df DESC, term ASC) and truncated to `max_expansions` (ES default 50),
+  (df DESC, term ASC) and truncated to `max_expansions` (ES default 50).
+  Distance is plain Levenshtein (Spark's and DuckDB's operator): a
+  transposition costs 2 edits, where Lucene's default
+  (`transpositions=true`, Damerau) costs 1 — a documented divergence,
 - scoring = EXACTLY an OR match over the expanded terms: per-term
   df/idf, per-doc contributions sum — the same `a OR b OR c` unit
   semantics as the rest of this engine (FTS5-pinned), served through
