@@ -374,8 +374,8 @@ class Engine:
     # --- search ----------------------------------------------------------
     def _context(self, index: str) -> tuple[IndexSpec, CompileContext, list]:
         spec = self.indices[index]
-        # (kind, query, mode, scoring, slop)
-        ft_specs: list[tuple[str, str, str, bool, int]] = []
+        # (kind, query, mode, scoring, slop, boost)
+        ft_specs: list[tuple[str, str, str, bool, int, float]] = []
 
         def fulltext(field: str, m, kind: str = "match", scoring: bool = True):
             if kind == "const":
@@ -383,7 +383,7 @@ class Engine:
                 # literal gated on the (already compiled) inner predicate
                 if scoring:
                     pred, boost = m
-                    ft_specs.append(("const", (pred, float(boost)), "", True, 0))
+                    ft_specs.append(("const", (pred, float(boost)), "", True, 0, 1.0))
                 return None  # compiler already has the predicate
             if kind == "fnscore":
                 # compile the inner query, remember which clause entries
@@ -395,10 +395,10 @@ class Engine:
                 ipred = compile_query(ctx, m.query, scoring)
                 idxs = list(range(start, len(ft_specs)))
                 for i in idxs:
-                    k, qq, mo, _sc, sl = ft_specs[i]
-                    ft_specs[i] = (k, qq, mo, False, sl)
+                    k, qq, mo, _sc, sl, bst = ft_specs[i]
+                    ft_specs[i] = (k, qq, mo, False, sl, bst)
                 if scoring:
-                    ft_specs.append(("fnscore", (m, ipred, idxs), "", True, 0))
+                    ft_specs.append(("fnscore", (m, ipred, idxs), "", True, 0, 1.0))
                 return ipred
             if kind == "dismax":
                 # compile each branch here so its scoring clauses can be
@@ -415,12 +415,12 @@ class Engine:
                     bpred = compile_query(ctx, bq, scoring)
                     idxs = list(range(start, len(ft_specs)))
                     for i in idxs:
-                        k, qq, mo, _sc, sl = ft_specs[i]
-                        ft_specs[i] = (k, qq, mo, False, sl)
+                        k, qq, mo, _sc, sl, bst = ft_specs[i]
+                        ft_specs[i] = (k, qq, mo, False, sl, bst)
                     branches.append((bpred, idxs))
                 if scoring:
                     ft_specs.append(
-                        ("dismax", (branches, float(m.tie_breaker)), "", True, 0)
+                        ("dismax", (branches, float(m.tie_breaker)), "", True, 0, 1.0)
                     )
                 return _or_all([p for p, _ in branches])
             if kind == "multi":
@@ -436,18 +436,18 @@ class Engine:
                     )
                 mode = "and" if m.operator.upper() == "AND" else "or"
                 i = len(ft_specs)
-                ft_specs.append(("multi", m, mode, scoring, 0))
+                ft_specs.append(("multi", m, mode, scoring, 0, 1.0))
                 return F.col(f"__ft_id_{i}").isNotNull()
             if spec.index_dir and field == spec.text_field:
                 if kind in ("fuzzy", "regexp"):
                     # m is a model.Fuzzy / model.Regexp; expansion is OR
                     # by construction
                     i = len(ft_specs)
-                    ft_specs.append((kind, m, "or", scoring, 0))
+                    ft_specs.append((kind, m, "or", scoring, 0, getattr(m, "boost", 1.0)))
                     return F.col(f"__ft_id_{i}").isNotNull()
                 mode = "and" if m.operator.upper() == "AND" else "or"
                 i = len(ft_specs)
-                ft_specs.append((kind, m.query, mode, scoring, m.slop))
+                ft_specs.append((kind, m.query, mode, scoring, m.slop, getattr(m, "boost", 1.0)))
                 # A REAL boolean predicate over a marker column that
                 # search_df left-joins in from the index's scoring
                 # relation. Unlike an inner/anti join, a marker predicate
@@ -489,8 +489,11 @@ class Engine:
             and q.function_score is None
         ):
             ((field, m),) = q.match.items()
-            # match + fuzziness routes through the expansion path, not WAND
-            if strip_keyword(field) == spec.text_field and not m.fuzziness:
+            # match + fuzziness routes through the expansion path, not
+            # WAND; a boosted match needs the general path's score
+            # multiply (ranking would be identical, reported _score not)
+            if (strip_keyword(field) == spec.text_field and not m.fuzziness
+                    and m.boost == 1.0):
                 return m
         return None
 
@@ -640,7 +643,7 @@ class Engine:
             from gopensearch_spark.search.phrase import query_scope
 
             with query_scope():
-                for i, (kind, q, mode, _scoring, slop) in enumerate(ft_specs):
+                for i, (kind, q, mode, _scoring, slop, _boost) in enumerate(ft_specs):
                     if kind in ("const", "dismax", "fnscore"):
                         continue  # no posting relation — score-only entries
                     rel = relation(kind, q, mode, slop).select(
@@ -722,7 +725,9 @@ class Engine:
                         total = c if total is None else total + c
                     mx0 = F.coalesce(mx, F.lit(0.0))
                     return mx0 + F.lit(tb) * (total - mx0)
-                return F.coalesce(F.col(f"__ft_score_{i}"), F.lit(0.0))
+                base = F.coalesce(F.col(f"__ft_score_{i}"), F.lit(0.0))
+                boost = float(sp[5])
+                return base if boost == 1.0 else base * F.lit(boost)
 
             score_expr = None
             for i, sp in enumerate(ft_specs):
@@ -771,13 +776,15 @@ class Engine:
                     f"{len(d.sort)} sort keys"
                 )
             hits = hits.where(tuple_after_predicate([
-                (ctx.resolve(s.field), s.order, v)
+                (self._sort_col(ctx, s.field, scored), s.order, v)
                 for s, v in zip(d.sort, d.search_after)
             ]))
         if d.sort:
             hits = hits.orderBy(
                 *[
-                    ctx.resolve(s.field).desc() if s.order.lower() == "desc" else ctx.resolve(s.field).asc()
+                    self._sort_col(ctx, s.field, scored).desc()
+                    if s.order.lower() == "desc"
+                    else self._sort_col(ctx, s.field, scored).asc()
                     for s in d.sort
                 ]
             )
@@ -788,6 +795,15 @@ class Engine:
             hits = hits.offset(d.from_)
         hits = hits.limit(size)
         return hits, aggs_out, d
+
+    @staticmethod
+    def _sort_col(ctx: CompileContext, field: str, scored: bool) -> Column:
+        """Resolve a sort field; `_score` maps to the scoring column."""
+        if field == "_score":
+            if not scored:
+                raise ValueError("sort by _score requires a scoring query")
+            return F.col("score")
+        return ctx.resolve(field)
 
     def _highlight_leaves(self, d: model.Dsl, spec: IndexSpec) -> list:
         """Full-text leaves targeting the index's text field, for
@@ -867,6 +883,15 @@ class Engine:
                         h["highlight"] = {     # hits matched via other clauses
                             spec.text_field: [rendered]
                         }
+        if d.source is not None and d.source is not True:
+            # `_source` filtering LAST: highlight and source unmarshal
+            # read the full source above
+            for h in resp["hits"]["hits"]:
+                if d.source is False:
+                    h.pop("_source", None)
+                else:
+                    h["_source"] = {k: v for k, v in h.get("_source", {}).items()
+                                    if k in d.source}
         return resp
 
     def analyze(self, body: str | dict) -> dict:

@@ -30,6 +30,8 @@ class Match:
     slop: int = 0       # match_phrase only: 0 = exact adjacency; > 0
     #                     maps to the FTS5 NEAR window (documented
     #                     divergence from Lucene's edit-move slop)
+    boost: float = 1.0  # ES per-clause boost: multiplies the clause's
+    #                     BM25 contribution in the additive score
 
 
 @dataclass
@@ -366,6 +368,9 @@ class Dsl:
     # ES `suggest` block (term suggester only; raw spec, evaluated by
     # the Engine against the index vocabulary at fetch time)
     suggest: dict | None = None
+    # ES `_source` filtering: None = full source; False = no source;
+    # a list of field names = include only those
+    source: object = None
 
 
 def _parse_match(raw: dict) -> dict[str, Match]:
@@ -377,6 +382,7 @@ def _parse_match(raw: dict) -> dict[str, Match]:
                 fuzziness=str(v.get("fuzziness", "")),
                 operator=str(v.get("operator", "")),
                 slop=int(v.get("slop", 0)),
+                boost=float(v.get("boost", 1.0)),
             )
         else:
             out[k] = Match(query=str(v))
@@ -653,6 +659,13 @@ def parse_dsl(body: str | dict) -> Dsl:
         d.search_after = list(raw["search_after"])
     if raw.get("suggest") is not None:
         d.suggest = dict(raw["suggest"])
+    if "_source" in raw:
+        src = raw["_source"]
+        if isinstance(src, dict):
+            src = src.get("includes")
+        if isinstance(src, str):
+            src = [src]
+        d.source = list(src) if isinstance(src, list) else bool(src)
     # `aggregations` wins over `aggs` (reference json.go:81-85)
     aggs = raw.get("aggregations") or raw.get("aggs") or {}
     d.aggs = {k: _parse_agg(v) for k, v in aggs.items()}

@@ -1599,3 +1599,51 @@ def test_global_agg(engine, duck):
     assert math.isclose(r["aggregations"]["filtered_avg"]["value"], avg_err,
                         rel_tol=1e-9)
     assert r["hits"]["total"]["value"] < n_all  # the query still filtered hits
+
+
+def test_match_boost(engine):
+    """Per-clause boost multiplies the clause's BM25 contribution."""
+    base = engine.search("docs", {"query": {"match": {"text": "spark"}},
+                                  "size": 10000})
+    s0 = {h["_id"]: h["_score"] for h in base["hits"]["hits"]}
+    r = engine.search("docs", {
+        "query": {"match": {"text": {"query": "spark", "boost": 3.0}}},
+        "size": 10000})
+    got = {h["_id"]: h["_score"] for h in r["hits"]["hits"]}
+    assert set(got) == set(s0)
+    for i, v in got.items():
+        assert math.isclose(v, 3.0 * s0[i], rel_tol=1e-9)
+    # boosted should-clauses shift the blend
+    r2 = engine.search("docs", {
+        "query": {"bool": {"should": [
+            {"match": {"text": {"query": "spark", "boost": 2.0}}},
+            {"match": {"text": "data"}}]}},
+        "size": 10000, "track_total_hits": True})
+    d0 = engine.search("docs", {"query": {"match": {"text": "data"}},
+                                "size": 10000})
+    sd = {h["_id"]: h["_score"] for h in d0["hits"]["hits"]}
+    for h in r2["hits"]["hits"]:
+        exp = 2.0 * s0.get(h["_id"], 0.0) + sd.get(h["_id"], 0.0)
+        assert math.isclose(h["_score"], exp, rel_tol=1e-9)
+
+
+def test_source_filtering_and_score_sort(engine):
+    r = engine.search("events", {
+        "query": {"term": {"event_type": "error"}},
+        "_source": ["event_id", "value"], "size": 5})
+    for h in r["hits"]["hits"]:
+        assert set(h["_source"]) == {"event_id", "value"}
+    r2 = engine.search("events", {
+        "query": {"term": {"event_type": "error"}},
+        "_source": False, "size": 5})
+    assert all("_source" not in h for h in r2["hits"]["hits"])
+    # sort by _score explicitly == default scored order
+    a = engine.search("docs", {"query": {"match": {"text": "spark"}},
+                               "size": 20})
+    b = engine.search("docs", {"query": {"match": {"text": "spark"}},
+                               "sort": [{"_score": "desc"},
+                                        {"doc_id": "asc"}], "size": 20})
+    assert [h["_id"] for h in b["hits"]["hits"]] == \
+        [h["_id"] for h in a["hits"]["hits"]]
+    with pytest.raises(ValueError, match="_score"):
+        engine.search("events", {"sort": [{"_score": "desc"}], "size": 1})
