@@ -460,6 +460,63 @@ def compile_agg(
             .select("kv.key", "kv.doc_count")
         )
         return "buckets", out
+    if agg.date_range is not None:
+        from gopensearch_spark.dsl.compiler import _range_bound
+
+        r = agg.date_range
+        # same ONE conditional-count pass as `range`, with bounds
+        # resolved through the date machinery (epoch numbers, RFC3339
+        # strings, template epoch_millis/epoch_second formats)
+        cnts, pairs = [], []
+        for i, rg in enumerate(r.ranges):
+            frm, to = rg.get("from"), rg.get("to")
+            cond = F.lit(True)
+            col_ref = None
+            if frm is not None:
+                c, v = _range_bound(ctx, r.field, frm)
+                cond = cond & (c >= v)
+                col_ref = c
+            if to is not None:
+                c, v = _range_bound(ctx, r.field, to)
+                cond = cond & (c < v)
+                col_ref = c
+            if col_ref is not None:
+                cond = cond & col_ref.isNotNull()
+            key = rg.get("key") or "{}-{}".format(frm if frm is not None else "*",
+                                                  to if to is not None else "*")
+            cnts.append(F.coalesce(
+                F.sum(F.when(cond, 1).otherwise(0)), F.lit(0)
+            ).cast("long").alias(f"__d{i}"))
+            pairs.append(F.struct(
+                F.lit(str(key)).alias("key"), F.col(f"__d{i}").alias("doc_count")
+            ))
+        if not cnts:
+            raise ValueError("date_range aggregation requires at least one range")
+        out = (
+            filtered.agg(*cnts)
+            .select(F.posexplode(F.array(*pairs)).alias("pos", "kv"))
+            .orderBy("pos")
+            .select("kv.key", "kv.doc_count")
+        )
+        return "buckets", out
+    if agg.rare_terms is not None:
+        rt = agg.rare_terms
+        kc = ctx.resolve(rt.field)
+        grouped = filtered
+        if rt.missing is not None:
+            kc = F.coalesce(kc, F.lit(rt.missing))
+        else:
+            grouped = grouped.where(kc.isNotNull())
+        # the long-tail complement of `terms`: exact doc_count filter
+        # (ES approximates with a bloom/CuckooFilter; we are exact —
+        # the result set is vocabulary-bounded, never corpus-bounded)
+        out = (
+            grouped.groupBy(kc.alias("key"))
+            .agg(F.count("*").alias("doc_count"))
+            .where(F.col("doc_count") <= F.lit(int(rt.max_doc_count)))
+            .orderBy(F.asc("doc_count"), F.asc("key"))
+        )
+        return "buckets", out
     if agg.filters is not None:
         import dataclasses
 

@@ -291,6 +291,13 @@ class RangeAgg:
 
 
 @dataclass
+class RareTerms:
+    field: str
+    max_doc_count: int = 1
+    missing: object = None
+
+
+@dataclass
 class FiltersAgg:
     """ES `filters` bucket agg: one named bucket per sub-query."""
     filters: dict[str, "Query"] = field(default_factory=dict)
@@ -336,6 +343,11 @@ class Aggregate:
     stats: AggField | None = None
     percentiles: Percentiles | None = None
     range: RangeAgg | None = None
+    # ES `date_range`: same from-incl/to-excl contract as `range`, with
+    # bounds as epoch numbers or date strings (template formats honored)
+    date_range: RangeAgg | None = None
+    # ES `rare_terms`: buckets with doc_count <= max_doc_count
+    rare_terms: "RareTerms | None" = None
     filters: FiltersAgg | None = None
     top_hits: TopHits | None = None
     significant_terms: SignificantTerms | None = None
@@ -597,6 +609,16 @@ def _parse_agg(raw: dict) -> Aggregate:
     if "range" in raw:
         r = raw["range"]
         a.range = RangeAgg(field=r["field"], ranges=list(r.get("ranges", [])))
+    if "date_range" in raw:
+        r = raw["date_range"]
+        a.date_range = RangeAgg(field=r["field"], ranges=list(r.get("ranges", [])))
+    if "rare_terms" in raw:
+        r = raw["rare_terms"]
+        a.rare_terms = RareTerms(
+            field=str(r["field"]),
+            max_doc_count=int(r.get("max_doc_count", 1)),
+            missing=r.get("missing"),
+        )
     if "filters" in raw:
         a.filters = FiltersAgg(
             filters={k: _parse_query(v) for k, v in raw["filters"]["filters"].items()}

@@ -1647,3 +1647,38 @@ def test_source_filtering_and_score_sort(engine):
         [h["_id"] for h in a["hits"]["hits"]]
     with pytest.raises(ValueError, match="_score"):
         engine.search("events", {"sort": [{"_score": "desc"}], "size": 1})
+
+
+def test_date_range_agg(engine, duck):
+    """from-incl / to-excl over a timestamp column, epoch-millis and
+    RFC3339 bounds both honored."""
+    lo, hi = 1704067200000, 1704100000000
+    r = engine.search("events", {"size": 0, "aggs": {"dr": {
+        "date_range": {"field": "ts", "ranges": [
+            {"to": lo, "key": "early"},
+            {"from": lo, "to": hi, "key": "mid"},
+            {"from": "2024-01-01T09:06:40", "key": "late"},
+        ]}}}})
+    early, mid, late = duck.execute(
+        "SELECT sum(CASE WHEN ts < to_timestamp(?/1000.0) THEN 1 ELSE 0 END),"
+        " sum(CASE WHEN ts >= to_timestamp(?/1000.0) AND ts < to_timestamp(?/1000.0) THEN 1 ELSE 0 END),"
+        " sum(CASE WHEN ts >= TIMESTAMP '2024-01-01 09:06:40' THEN 1 ELSE 0 END)"
+        " FROM events", [lo, lo, hi],
+    ).fetchone()
+    got = {b["key"]: b["doc_count"] for b in r["aggregations"]["dr"]["buckets"]}
+    assert got == {"early": early or 0, "mid": mid, "late": late}
+    assert [b["key"] for b in r["aggregations"]["dr"]["buckets"]] == \
+        ["early", "mid", "late"]  # request order kept
+
+
+def test_rare_terms_agg(engine, duck):
+    r = engine.search("events", {"size": 0, "aggs": {"rare": {
+        "rare_terms": {"field": "user_id", "max_doc_count": 60}}}})
+    exp = duck.execute(
+        "SELECT user_id, count(*) c FROM events GROUP BY 1 "
+        "HAVING c <= 60 ORDER BY c, user_id"
+    ).fetchall()
+    got = [(int(b["key"]), b["doc_count"])
+           for b in r["aggregations"]["rare"]["buckets"]]
+    assert got == [(u, int(c)) for u, c in exp]
+    assert len(got) > 0
