@@ -354,7 +354,19 @@ def compile_agg(
         # sort entirely before the cursor never feed the final top-k,
         # and the per-page cost stays O(matching groups), not O(pages
         # seen so far) like from/size.
-        key_cols = [ctx.resolve(s.field) for s in c.sources]
+        def source_key(s: model.CompositeSource) -> Column:
+            if s.kind == "histogram":
+                col = ctx.resolve(s.field).cast("double")
+                return F.floor(col / F.lit(s.interval)) * F.lit(s.interval)
+            if s.kind == "date_histogram":
+                dh = model.DateHistogram(
+                    field=s.field, fixed_interval=s.fixed_interval,
+                    calendar_interval=s.calendar_interval,
+                )
+                return date_bucket_expr(ctx, dh)  # epoch-millis key
+            return ctx.resolve(s.field)
+
+        key_cols = [source_key(s) for s in c.sources]
         # missing_bucket=false (ES default): NULL source values drop
         grouped = filtered
         for kc in key_cols:

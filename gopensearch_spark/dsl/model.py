@@ -305,12 +305,18 @@ class FiltersAgg:
 
 @dataclass
 class CompositeSource:
-    """One `composite` source (terms only; ES also allows histogram /
-    date_histogram sources — clear error for now)."""
+    """One `composite` source: terms, histogram (fixed `interval`), or
+    date_histogram (`fixed_interval`/`calendar_interval`). Histogram
+    keys page as numbers, date keys as epoch millis — both totally
+    ordered, so the after-cursor works unchanged."""
 
     name: str
     field: str
     order: str = "asc"  # asc | desc
+    kind: str = "terms"  # terms | histogram | date_histogram
+    interval: float = 0.0          # histogram only
+    fixed_interval: str = ""       # date_histogram
+    calendar_interval: str = ""    # date_histogram
 
 
 @dataclass
@@ -564,16 +570,34 @@ def _parse_agg(raw: dict) -> Aggregate:
         sources = []
         for src in c.get("sources", []):
             (name, body), = src.items()
-            if "terms" not in body:
+            if "terms" in body:
+                t = body["terms"]
+                sources.append(CompositeSource(
+                    name=str(name), field=str(t["field"]),
+                    order=str(t.get("order", "asc")).lower(),
+                ))
+            elif "histogram" in body:
+                h = body["histogram"]
+                sources.append(CompositeSource(
+                    name=str(name), field=str(h["field"]),
+                    order=str(h.get("order", "asc")).lower(),
+                    kind="histogram", interval=float(h["interval"]),
+                ))
+            elif "date_histogram" in body:
+                h = body["date_histogram"]
+                sources.append(CompositeSource(
+                    name=str(name), field=str(h["field"]),
+                    order=str(h.get("order", "asc")).lower(),
+                    kind="date_histogram",
+                    fixed_interval=str(h.get("fixed_interval", "")
+                                       or h.get("interval", "")),
+                    calendar_interval=str(h.get("calendar_interval", "")),
+                ))
+            else:
                 raise ValueError(
-                    f"composite source {name!r}: only `terms` sources are "
-                    "supported (histogram/date_histogram sources are not)"
+                    f"composite source {name!r}: must be terms, histogram, "
+                    "or date_histogram"
                 )
-            t = body["terms"]
-            sources.append(CompositeSource(
-                name=str(name), field=str(t["field"]),
-                order=str(t.get("order", "asc")).lower(),
-            ))
         a.composite = CompositeAgg(
             sources=sources,
             size=int(c.get("size", 10)),

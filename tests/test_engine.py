@@ -1148,10 +1148,9 @@ def test_composite_desc_and_null_skip(spark, duck):
 
 
 def test_composite_source_validation(engine):
-    with pytest.raises(ValueError, match="only `terms` sources"):
+    with pytest.raises(ValueError, match="must be terms, histogram"):
         engine.search("events", {"size": 0, "aggs": {"c": {"composite": {
-            "sources": [{"d": {"date_histogram": {"field": "ts",
-                                                  "fixed_interval": "1d"}}}]}}}})
+            "sources": [{"g": {"geotile_grid": {"field": "ts"}}}]}}}})
     with pytest.raises(ValueError, match="missing keys"):
         engine.search("events", {"size": 0, "aggs": {"c": {"composite": {
             "sources": [{"t": {"terms": {"field": "event_type"}}}],
@@ -1682,3 +1681,43 @@ def test_rare_terms_agg(engine, duck):
            for b in r["aggregations"]["rare"]["buckets"]]
     assert got == [(u, int(c)) for u, c in exp]
     assert len(got) > 0
+
+
+def test_composite_date_histogram_source(engine, duck):
+    """composite with a date_histogram source pages day buckets x
+    event_type in key order; full walk == the oracle GROUP BY."""
+    exp = duck.execute(
+        "SELECT CAST(epoch_ms(date_trunc('day', ts)) AS BIGINT) d,"
+        " event_type t, count(*) FROM events GROUP BY 1, 2 ORDER BY 1, 2"
+    ).fetchall()
+    walked, after = [], None
+    while True:
+        comp = {"size": 4, "sources": [
+            {"d": {"date_histogram": {"field": "ts",
+                                      "calendar_interval": "day"}}},
+            {"t": {"terms": {"field": "event_type"}}},
+        ]}
+        if after is not None:
+            comp["after"] = after
+        r = engine.search("events", {"size": 0,
+                                     "aggs": {"c": {"composite": comp}}})
+        buckets = r["aggregations"]["c"]["buckets"]
+        if not buckets:
+            break
+        walked.extend((b["key"]["d"], b["key"]["t"], b["doc_count"])
+                      for b in buckets)
+        after = r["aggregations"]["c"]["after_key"]
+    assert walked == [(d, t, int(n)) for d, t, n in exp]
+
+
+def test_composite_histogram_source(engine, duck):
+    exp = duck.execute(
+        "SELECT floor(value / 50) * 50 AS b, count(*) FROM events "
+        "WHERE value IS NOT NULL GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+    r = engine.search("events", {"size": 0, "aggs": {"c": {"composite": {
+        "size": 100, "sources": [
+            {"b": {"histogram": {"field": "value", "interval": 50}}}]}}}})
+    got = [(b["key"]["b"], b["doc_count"])
+           for b in r["aggregations"]["c"]["buckets"]]
+    assert got == [(b, int(n)) for b, n in exp]
