@@ -1480,6 +1480,16 @@ def _qc_token_stats(spark, sf_dir):
     )
 
 
+def _pack_chunks(spark, sf_dir):
+    """Fixed-token chunking with overlap (chunk 16, stride 12): the
+    pre-tokenization fan-out for LLM training data — an Arrow
+    mapInPandas kernel, row-local, no shuffle."""
+    from gopensearch_spark.datapipe import chunk_documents
+
+    out = chunk_documents(_docs(spark, sf_dir), chunk_tokens=16, stride=12)
+    return out.select("doc_id", "chunk_id", "chunk_text", "n_tokens")
+
+
 def _dedup_decontaminate(spark, sf_dir):
     """Benchmark decontamination (GPT-3 13-gram rule, n=5 at test
     scale): training docs sharing any word n-gram with a benchmark doc.
@@ -1709,6 +1719,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tests/test_tokenizer.py) and the term_stats background feeds
         # every in-window bm25_* idf. Full value-exact oracle below.
         "dsl_significant_text": _dsl_significant_text,
+        # pack_chunks: same Arrow mapInPandas row-fan-out family as
+        # in-window pack_sequences (its two-pass prefix sum) and
+        # mm_extract_features; full value-exact stride-window oracle
+        "pack_chunks": _pack_chunks,
         # dsl_function_score: third member of the spec_score combine
         # family whose two siblings (dsl_constant_score, dsl_dis_max)
         # are value-checked in-window; the function side is row-local
@@ -1816,6 +1830,18 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dsl_dis_max": _dis_max_oracle("spark", "data", 0.4, 50),
         "dsl_function_score": _function_score_oracle("spark", 50),
+        "pack_chunks": """
+WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts,
+                    len(string_split(text, ' ')) AS n
+             FROM documents),
+st AS (SELECT doc_id, ts, n,
+              unnest(generate_series(0, GREATEST(n - 1, 0), 12)) AS s
+       FROM tok WHERE n > 0)
+SELECT doc_id, CAST(s / 12 AS INT) AS chunk_id,
+       array_to_string(ts[s + 1 : LEAST(s + 16, n)], ' ') AS chunk_text,
+       CAST(LEAST(s + 16, n) - s AS INT) AS n_tokens
+FROM st WHERE s = 0 OR s - 12 + 16 < n
+""",
         "dedup_decontaminate": """
 WITH sh AS (
   SELECT doc_id, array_to_string(ts[i:i+4], ' ') AS s FROM (

@@ -13,7 +13,7 @@ from gopensearch_spark.datapipe.multimodal import (  # noqa: F401
     resize_images,
     sample_frames,
 )
-from gopensearch_spark.datapipe.packing import pack_sequences  # noqa: F401
+from gopensearch_spark.datapipe.packing import chunk_documents, pack_sequences  # noqa: F401
 from gopensearch_spark.datapipe.sampling import (  # noqa: F401
     hash_bucket,
     hash_sample,

@@ -135,3 +135,59 @@ def pack_sequences(
     return out.select(
         F.col("id").alias(id_col), F.col("len").alias(len_col), "pack_id"
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 256,
+    stride: int | None = None,
+) -> DataFrame:
+    """Split documents into fixed-token chunks with optional overlap
+    (the standard pre-tokenization step for LLM training data): chunk
+    k covers whitespace tokens [k*stride, k*stride + chunk_tokens);
+    ``stride`` defaults to ``chunk_tokens`` (disjoint). Emission stops
+    with the first chunk that reaches the document's end, so every
+    token is covered exactly once per stride window and no degenerate
+    tail chunks are produced. Empty docs emit no chunks.
+
+    Returns (id, chunk_id, chunk_text, n_tokens). Row fan-out happens
+    inside an Arrow ``mapInPandas`` kernel — fully row-local, no
+    shuffle, no intermediate array-of-chunks column; at 10^12 docs the
+    output is a narrow map stage over the scan."""
+    if stride is None:
+        stride = chunk_tokens
+    if chunk_tokens <= 0 or stride <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    id_field = df.schema[id_col]
+    out_schema = T.StructType([
+        id_field,
+        T.StructField("chunk_id", T.IntegerType()),
+        T.StructField("chunk_text", T.StringType()),
+        T.StructField("n_tokens", T.IntegerType()),
+    ])
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, cids, texts, lens = [], [], [], []
+            for did, s in zip(pdf[id_col], pdf[text_col]):
+                toks = s.split(" ") if s else []
+                n = len(toks)
+                i, cid = 0, 0
+                while i < n:
+                    chunk = toks[i:i + chunk_tokens]
+                    ids.append(did)
+                    cids.append(cid)
+                    texts.append(" ".join(chunk))
+                    lens.append(len(chunk))
+                    if i + chunk_tokens >= n:
+                        break
+                    i += stride
+                    cid += 1
+            yield pd.DataFrame({
+                id_col: ids, "chunk_id": cids,
+                "chunk_text": texts, "n_tokens": lens,
+            })
+
+    return df.select(id_col, text_col).mapInPandas(gen, out_schema)

@@ -598,3 +598,51 @@ def test_decontaminate_hashed_matches_exact(docs_small, spark):
     b = set(map(tuple, decontaminate(docs_small, bench, n=5,
                                      hash_shingles=True).collect()))
     assert a == b and len(a) > 0
+
+
+def test_chunk_documents_vs_duckdb(docs_small, duck):
+    """Chunk windows == the oracle's stride arithmetic (overlap case:
+    chunk 16, stride 12)."""
+    from gopensearch_spark.datapipe import chunk_documents
+
+    got = {
+        (r["doc_id"], r["chunk_id"]): (r["chunk_text"], r["n_tokens"])
+        for r in chunk_documents(docs_small, chunk_tokens=16, stride=12).collect()
+    }
+    exp = duck.execute("""
+        WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts,
+                            len(string_split(text, ' ')) AS n
+                     FROM documents),
+        st AS (SELECT doc_id, ts, n,
+                      unnest(generate_series(0, GREATEST(n - 1, 0), 12)) AS s
+               FROM tok WHERE n > 0)
+        SELECT doc_id, CAST(s / 12 AS INT) AS chunk_id,
+               array_to_string(ts[s + 1 : LEAST(s + 16, n)], ' ') AS chunk_text,
+               LEAST(s + 16, n) - s AS n_tokens
+        FROM st WHERE s = 0 OR s - 12 + 16 < n
+    """).fetchall()
+    assert len(exp) == len(got) > len(
+        {k[0] for k in got}
+    )  # more chunks than docs (docs exceed 16 tokens)
+    for did, cid, text, n in exp:
+        assert got[(did, cid)] == (text, n), (did, cid)
+
+
+def test_chunk_documents_edges(spark):
+    from gopensearch_spark.datapipe import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, ""), (3, "x")], "doc_id long, text string"
+    )
+    rows = sorted(
+        ((r["doc_id"], r["chunk_id"], r["chunk_text"]) for r in
+         chunk_documents(df, chunk_tokens=2, stride=2).collect())
+    )
+    # doc 1: [a b][c d][e]; doc 2: nothing; doc 3: [x]
+    assert rows == [(1, 0, "a b"), (1, 1, "c d"), (1, 2, "e"), (3, 0, "x")]
+    # overlap: stride 1, chunk 3 over 4 tokens -> stops once end reached
+    rows2 = [r["chunk_text"] for r in
+             chunk_documents(
+                 spark.createDataFrame([(1, "a b c d")], "doc_id long, text string"),
+                 chunk_tokens=3, stride=1).collect()]
+    assert rows2 == ["a b c", "b c d"]
