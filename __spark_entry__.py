@@ -613,6 +613,28 @@ def _dsl_date_histogram(spark, sf_dir):
     return df.select(F.col("key").alias("bucket_ms"), "doc_count")
 
 
+def _dsl_pipeline_aggs(spark, sf_dir):
+    """Strict superset of _dsl_date_histogram: same hourly buckets plus
+    a metric sibling, a cumulative_sum and a _count derivative — the ES
+    pipeline-agg family. The window runs over the bucket AXIS
+    (interval-bounded), never the data volume."""
+    body = {"size": 0, "aggs": {"hist": {
+        "date_histogram": {"field": "ts", "fixed_interval": "1h"},
+        "aggs": {
+            "m": {"sum": {"field": "value"}},
+            "cum": {"cumulative_sum": {"buckets_path": "m"}},
+            "drv": {"derivative": {"buckets_path": "_count"}},
+        },
+    }}}
+    _, aggs, _ = _engine(spark, sf_dir).search_df("events", body)
+    _, df = aggs["hist"]
+    return df.select(
+        F.col("key").alias("bucket_ms"), "doc_count",
+        F.round("m", 4).alias("m"), F.round("cum", 4).alias("cum"),
+        F.round("drv", 6).alias("drv"),
+    )
+
+
 def _dsl_metrics(spark, sf_dir):
     """All four single-metric agg branches (avg/min/max/sum) in ONE
     search body — one value-checked entry covering every `_metric_expr`
@@ -1619,7 +1641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_constant_score": _dsl_constant_score,
         "dsl_terms_agg": _dsl_terms_agg,
         "dsl_composite_agg": _dsl_composite_agg,
-        "dsl_date_histogram": _dsl_date_histogram,
+        "dsl_pipeline_aggs": _dsl_pipeline_aggs,
         "dsl_histogram": _dsl_histogram,
         "dsl_metrics": _dsl_metrics,
         "dsl_match_phrase_slop": _dsl_match_phrase_slop,
@@ -1676,6 +1698,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # one-groupBy dispatch whose four siblings are value-checked
         # in-window via dsl_metrics — displaced by dsl_search_after,
         # the NEW sort-tuple cursor path)
+        # dsl_date_histogram: STRICT SUBSET of in-window
+        # dsl_pipeline_aggs (identical date-bucket expr + projection;
+        # the superset adds the metric sibling and the two pipeline
+        # window columns) — displaced by that superset
+        "dsl_date_histogram": _dsl_date_histogram,
         # mm_sample_frames (same Arrow mapInPandas multimodal plumbing
         # family as in-window mm_extract_features; its frame-boundary
         # kernel is value-pinned by tests/test_datapipe.py and its
@@ -1940,6 +1967,15 @@ ORDER BY (fg.c*1.0/ft - bg.c*1.0/bt)
         "dsl_date_histogram": (
             "SELECT (epoch_ms(ts) // 3600000) * 3600000 AS bucket_ms, count(*) AS doc_count "
             "FROM events GROUP BY 1 ORDER BY 1"
+        ),
+        "dsl_pipeline_aggs": (
+            "WITH b AS (SELECT (epoch_ms(ts) // 3600000) * 3600000 AS bucket_ms,"
+            " count(*) AS doc_count, sum(value) AS m FROM events GROUP BY 1) "
+            "SELECT bucket_ms, doc_count, round(m, 4) AS m,"
+            " round(sum(m) OVER (ORDER BY bucket_ms), 4) AS cum,"
+            " round(CAST(doc_count AS DOUBLE)"
+            "  - lag(CAST(doc_count AS DOUBLE)) OVER (ORDER BY bucket_ms), 6) AS drv "
+            "FROM b ORDER BY bucket_ms"
         ),
         "dsl_metrics": (
             "SELECT round(avg(value), 6) AS avg_value, round(min(value), 6) AS min_value, "

@@ -176,6 +176,47 @@ def _top_hits_arrays(
     return out
 
 
+def _split_pipeline(aggs: dict[str, model.Aggregate]):
+    pipe = {k: s for k, s in aggs.items()
+            if s.cumulative_sum is not None or s.derivative is not None}
+    metric = {k: s for k, s in aggs.items() if k not in pipe}
+    return metric, pipe
+
+
+def _apply_pipeline(
+    out: DataFrame, pipe: dict[str, model.Aggregate], metric_labels,
+) -> DataFrame:
+    """cumulative_sum / derivative over the ORDERED bucket relation.
+
+    The window has no partition key, but its input is the bucket AXIS
+    (range/interval-bounded), never the data volume — a few thousand
+    rows at any corpus size, so the single-task window is safe by
+    construction."""
+    from pyspark.sql import Window
+
+    for label, s in pipe.items():
+        p = s.cumulative_sum or s.derivative
+        path = p.buckets_path
+        if path == "_count":
+            src = F.col("doc_count").cast("double")
+        elif path in metric_labels:
+            src = F.col(path).cast("double")
+        else:
+            raise ValueError(
+                f"buckets_path {path!r} is not `_count` or a sibling "
+                f"metric label ({sorted(metric_labels)!r})"
+            )
+        w = Window.orderBy(F.asc("key"))
+        if s.cumulative_sum is not None:
+            out = out.withColumn(label, F.sum(src).over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ))
+        else:
+            # ES derivative: first bucket has no value (null)
+            out = out.withColumn(label, src - F.lag(src).over(w))
+    return out
+
+
 def compile_agg(
     ctx: CompileContext, filtered: DataFrame, agg: model.Aggregate,
     background: DataFrame | None = None,
@@ -396,18 +437,22 @@ def compile_agg(
     if agg.date_histogram is not None:
         dh = agg.date_histogram
         key = date_bucket_expr(ctx, dh).alias("key")
+        metric_subs, pipe_subs = _split_pipeline(agg.aggs)
         out = filtered.groupBy(key).agg(
-            F.count("*").alias("doc_count"), *_metric_exprs(ctx, agg.aggs)
+            F.count("*").alias("doc_count"), *_metric_exprs(ctx, metric_subs)
         )
         if dh.min_doc_count == 0:
             out = _zero_fill_buckets(out, dh)
+        if pipe_subs:
+            out = _apply_pipeline(out, pipe_subs, set(metric_subs))
         return "buckets", out.orderBy(F.asc("key"))
     if agg.histogram is not None:
         h = agg.histogram
         col = ctx.resolve(h.field).cast("double")
         key = (F.floor(col / F.lit(h.interval)) * F.lit(h.interval)).alias("key")
+        metric_subs, pipe_subs = _split_pipeline(agg.aggs)
         out = filtered.groupBy(key).agg(
-            F.count("*").alias("doc_count"), *_metric_exprs(ctx, agg.aggs)
+            F.count("*").alias("doc_count"), *_metric_exprs(ctx, metric_subs)
         )
         if h.min_doc_count == 0:
             # ES default: empty buckets between the observed min and max
@@ -432,6 +477,8 @@ def compile_agg(
                 ).alias("i")
             ).select((F.col("i") * F.lit(iv)).cast("double").alias("key"))
             out = axis.join(out, "key", "left").na.fill({"doc_count": 0})
+        if pipe_subs:
+            out = _apply_pipeline(out, pipe_subs, set(metric_subs))
         return "buckets", out.orderBy(F.asc("key"))
     if agg.range is not None:
         r = agg.range

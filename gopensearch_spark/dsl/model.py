@@ -291,6 +291,14 @@ class RangeAgg:
 
 
 @dataclass
+class PipelineAgg:
+    """ES pipeline aggregation input: `buckets_path` names a sibling
+    metric label (or `_count`) inside the SAME parent histogram."""
+
+    buckets_path: str
+
+
+@dataclass
 class RareTerms:
     field: str
     max_doc_count: int = 1
@@ -361,6 +369,10 @@ class Aggregate:
     # ES `global`: sub-aggs computed over the WHOLE index, ignoring the
     # request's query (the classic faceted-search "totals" bucket)
     global_: bool = False
+    # ES pipeline aggs (inside a histogram/date_histogram parent):
+    # running sum / bucket-to-bucket difference of a sibling metric
+    cumulative_sum: PipelineAgg | None = None
+    derivative: PipelineAgg | None = None
     aggs: dict[str, "Aggregate"] = field(default_factory=dict)
 
 
@@ -649,6 +661,11 @@ def _parse_agg(raw: dict) -> Aggregate:
         )
     if "global" in raw:
         a.global_ = True
+    for pname in ("cumulative_sum", "derivative"):
+        if pname in raw:
+            setattr(a, pname, PipelineAgg(
+                buckets_path=str(raw[pname]["buckets_path"])
+            ))
     if "top_hits" in raw:
         t = raw["top_hits"]
         src = t.get("_source")

@@ -1721,3 +1721,40 @@ def test_composite_histogram_source(engine, duck):
     got = [(b["key"]["b"], b["doc_count"])
            for b in r["aggregations"]["c"]["buckets"]]
     assert got == [(b, int(n)) for b, n in exp]
+
+
+def test_pipeline_aggs_cumsum_derivative(engine, duck):
+    """cumulative_sum and derivative over hourly buckets, paths to both
+    a sibling metric and _count."""
+    r = engine.search("events", {"size": 0, "aggs": {"h": {
+        "date_histogram": {"field": "ts", "fixed_interval": "1h"},
+        "aggs": {
+            "m": {"sum": {"field": "value"}},
+            "cum": {"cumulative_sum": {"buckets_path": "m"}},
+            "dcount": {"derivative": {"buckets_path": "_count"}},
+        }}}})
+    exp = duck.execute("""
+        WITH b AS (SELECT CAST(epoch_ms(time_bucket(INTERVAL 1 HOUR, ts)) AS BIGINT) k,
+                          count(*) c, sum(value) s
+                   FROM events GROUP BY 1)
+        SELECT k, c, s,
+               sum(s) OVER (ORDER BY k) cum,
+               c - lag(c) OVER (ORDER BY k) d
+        FROM b ORDER BY k
+    """).fetchall()
+    buckets = r["aggregations"]["h"]["buckets"]
+    assert len(buckets) == len(exp) > 2
+    for b, (k, c, s, cum, dd) in zip(buckets, exp):
+        assert b["key"] == k and b["doc_count"] == c
+        assert math.isclose(b["cum"]["value"], cum, rel_tol=1e-9)
+        if dd is None:
+            assert b["dcount"]["value"] is None
+        else:
+            assert math.isclose(b["dcount"]["value"], float(dd), rel_tol=1e-9)
+
+
+def test_pipeline_aggs_validation(engine):
+    with pytest.raises(ValueError, match="buckets_path"):
+        engine.search("events", {"size": 0, "aggs": {"h": {
+            "date_histogram": {"field": "ts", "fixed_interval": "1h"},
+            "aggs": {"cum": {"cumulative_sum": {"buckets_path": "nope"}}}}}})
