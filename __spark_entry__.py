@@ -1502,6 +1502,59 @@ def _qc_token_stats(spark, sf_dir):
     )
 
 
+def _hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval: block-max WAND BM25 top-50 fused with exact
+    cosine top-50 by Reciprocal Rank Fusion (Cormack & Clarke 2009).
+    Each system's rank window runs over its requests-bounded top-N,
+    never the corpus; the fused aggregate touches <= N x 2 rows."""
+    from gopensearch_spark.datapipe import cosine_topk, rrf_fuse
+    from gopensearch_spark.search import wand_match
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    bm = wand_match(
+        spark, _index_dir(spark, sf_dir), ["spark", "data"], k=50, mode="or"
+    )
+    q = emb.where(F.col("vec_id") == 7).select(
+        F.lit(7).alias("query_id"), "embedding"
+    )
+    ann = cosine_topk(emb, q, k=50).select(
+        F.col("vec_id").alias("doc_id"), F.col("cosine").alias("score")
+    )
+    out = rrf_fuse([bm.select("doc_id", "score"), ann], k=60, size=25)
+    return out.select(
+        "doc_id", F.round("rrf_score", 9).alias("rrf_score"), "n_systems"
+    )
+
+
+def _hybrid_rrf_oracle() -> str:
+    idf = ("(CASE WHEN ln((s.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)) > 0 "
+           "THEN ln((s.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)) ELSE 1e-6 END)")
+    return f"""
+WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+sc AS (SELECT tf.doc_id,
+         sum({idf} * (tf.tf * {K1 + 1.0}) /
+             (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl))) AS score
+       FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+       WHERE tf.term IN ('spark', 'data') GROUP BY 1),
+bm AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rnk
+       FROM sc QUALIFY rnk <= 50),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 7),
+ann AS (SELECT vec_id AS doc_id,
+          row_number() OVER (ORDER BY
+            list_cosine_similarity(embedding::DOUBLE[], (SELECT qv FROM q)) DESC,
+            vec_id ASC) AS rnk
+        FROM embeddings QUALIFY rnk <= 50),
+u AS (SELECT doc_id, rnk FROM bm UNION ALL SELECT doc_id, rnk FROM ann)
+SELECT doc_id, round(sum(1.0 / (60 + rnk)), 9) AS rrf_score,
+       count(*) AS n_systems
+FROM u GROUP BY 1 ORDER BY sum(1.0 / (60 + rnk)) DESC, doc_id ASC LIMIT 25
+"""
+
+
 def _pack_chunks(spark, sf_dir):
     """Fixed-token chunking with overlap (chunk 16, stride 12): the
     pre-tokenization fan-out for LLM training data — an Arrow
@@ -1746,6 +1799,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tests/test_tokenizer.py) and the term_stats background feeds
         # every in-window bm25_* idf. Full value-exact oracle below.
         "dsl_significant_text": _dsl_significant_text,
+        # hybrid_rrf: a pure COMPOSITION of two in-window engines
+        # (bm25_* WAND top-k + ann_cosine_topk) with requests-bounded
+        # rank windows and one tiny aggregate; full value-exact RRF
+        # oracle below (rank-level agreement on both systems)
+        "hybrid_rrf": _hybrid_rrf,
         # pack_chunks: same Arrow mapInPandas row-fan-out family as
         # in-window pack_sequences (its two-pass prefix sum) and
         # mm_extract_features; full value-exact stride-window oracle
@@ -1857,6 +1915,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dsl_dis_max": _dis_max_oracle("spark", "data", 0.4, 50),
         "dsl_function_score": _function_score_oracle("spark", 50),
+        "hybrid_rrf": _hybrid_rrf_oracle(),
         "pack_chunks": """
 WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts,
                     len(string_split(text, ' ')) AS n

@@ -20,7 +20,7 @@ from gopensearch_spark.datapipe.sampling import (  # noqa: F401
     hash_split,
     stratified_sample,
 )
-from gopensearch_spark.datapipe.similarity import ann_lsh_topk, cosine_topk, ivf_topk  # noqa: F401
+from gopensearch_spark.datapipe.similarity import ann_lsh_topk, cosine_topk, ivf_topk, rrf_fuse  # noqa: F401
 from gopensearch_spark.datapipe.textqc import (  # noqa: F401
     fingerprint,
     lang_id,

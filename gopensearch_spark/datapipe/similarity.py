@@ -220,3 +220,45 @@ def ivf_topk(
         "query_id", "vec_id", cosine_expr(F.col("v"), F.col("qv")).alias("cosine")
     )
     return topk_per_query(cand, k)
+
+
+def rrf_fuse(
+    relations: list[DataFrame],
+    k: int = 60,
+    size: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack & Clarke, SIGIR 2009) over N
+    ranked retrieval relations — the standard lexical+vector hybrid:
+    score(d) = sum over systems of 1 / (k + rank_sys(d)).
+
+    Each input is an (id, score) relation ALREADY truncated to its
+    engine's top-N (e.g. block-max WAND top-50 and cosine top-50), so
+    the per-system rank window runs over a requests-bounded candidate
+    set — never the corpus — and the fused aggregate touches at most
+    N x #systems rows. Ranks order by (score DESC, id ASC) for
+    determinism. Returns (id, rrf_score, n_systems) top-``size``."""
+    from pyspark.sql import Window
+
+    if not relations:
+        raise ValueError("rrf_fuse needs at least one ranked relation")
+    parts = []
+    for rel in relations:
+        w = Window.orderBy(F.desc("score"), F.asc(id_col))
+        parts.append(
+            rel.select(id_col, "score")
+            .withColumn("__rank", F.row_number().over(w))
+            .select(
+                id_col,
+                (F.lit(1.0) / (F.lit(float(k)) + F.col("__rank"))).alias("__rrf"),
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return (
+        u.groupBy(id_col)
+        .agg(F.sum("__rrf").alias("rrf_score"), F.count("*").alias("n_systems"))
+        .orderBy(F.desc("rrf_score"), F.asc(id_col))
+        .limit(size)
+    )

@@ -646,3 +646,57 @@ def test_chunk_documents_edges(spark):
                  spark.createDataFrame([(1, "a b c d")], "doc_id long, text string"),
                  chunk_tokens=3, stride=1).collect()]
     assert rows2 == ["a b c", "b c d"]
+
+
+def test_rrf_fuse_hybrid(spark, docs_small, index_small, duck):
+    """Hybrid BM25 + vector retrieval fused by RRF == DuckDB's rank
+    arithmetic over the same two top-50 lists."""
+    from gopensearch_spark.datapipe import cosine_topk, rrf_fuse
+    from gopensearch_spark.search import wand_match
+
+    SF = os.path.join(
+        os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata"), "sf0.001")
+    emb = spark.read.parquet(os.path.join(SF, "embeddings.parquet"))
+    duck.execute(
+        f"CREATE VIEW IF NOT EXISTS embeddings AS "
+        f"SELECT * FROM read_parquet('{SF}/embeddings.parquet')")
+    bm = wand_match(spark, index_small, ["spark", "data"], k=50, mode="or")
+    q = emb.where(F.col("vec_id") == 7).select(
+        F.lit(7).alias("query_id"), "embedding")
+    ann = cosine_topk(emb, q, k=50).select(
+        F.col("vec_id").alias("doc_id"), F.col("cosine").alias("score"))
+    out = rrf_fuse([bm.select("doc_id", "score"), ann], k=60, size=25)
+    got = [(r["doc_id"], r["rrf_score"], r["n_systems"])
+           for r in out.collect()]
+    K1, B = 1.2, 0.75
+    exp = duck.execute(f"""
+        WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                     FROM documents),
+        tf AS (SELECT doc_id, term, count(*) tf FROM tok GROUP BY 1, 2),
+        dl AS (SELECT doc_id, count(*) dl FROM tok GROUP BY 1),
+        stats AS (SELECT count(*) n_docs, avg(dl) avgdl FROM dl),
+        dfs AS (SELECT term, count(*) df FROM tf GROUP BY 1),
+        sc AS (SELECT tf.doc_id,
+                 sum((CASE WHEN ln((s.n_docs - dfs.df + 0.5)/(dfs.df + 0.5)) > 0
+                      THEN ln((s.n_docs - dfs.df + 0.5)/(dfs.df + 0.5)) ELSE 1e-6 END)
+                   * (tf.tf * {K1 + 1.0}) /
+                     (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl))) AS score
+               FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id)
+               CROSS JOIN stats s
+               WHERE tf.term IN ('spark', 'data') GROUP BY 1),
+        bm AS (SELECT doc_id,
+                 row_number() OVER (ORDER BY score DESC, doc_id ASC) rnk
+               FROM sc QUALIFY rnk <= 50),
+        q AS (SELECT embedding::DOUBLE[] qv FROM embeddings WHERE vec_id = 7),
+        ann AS (SELECT vec_id AS doc_id,
+                 row_number() OVER (ORDER BY
+                   list_cosine_similarity(embedding::DOUBLE[], (SELECT qv FROM q)) DESC,
+                   vec_id ASC) rnk
+                FROM embeddings QUALIFY rnk <= 50),
+        u AS (SELECT doc_id, rnk FROM bm UNION ALL SELECT doc_id, rnk FROM ann)
+        SELECT doc_id, sum(1.0 / (60 + rnk)) rrf, count(*) ns
+        FROM u GROUP BY 1 ORDER BY rrf DESC, doc_id ASC LIMIT 25
+    """).fetchall()
+    assert [(d, n) for d, _, n in got] == [(d, int(n)) for d, _, n in exp]
+    for (_, g, _), (_, x, _) in zip(got, exp):
+        assert math.isclose(g, x, rel_tol=1e-12)
