@@ -109,6 +109,10 @@ def _metric_expr(ctx: CompileContext, sub: model.Aggregate) -> Column | None:
     if sub.value_count is not None:
         # ES value_count: number of non-null values of the field
         return F.count(_metric_col(ctx, sub.value_count))
+    if sub.weighted_avg is not None:
+        v = ctx.resolve(sub.weighted_avg.value_field).cast("double")
+        w = ctx.resolve(sub.weighted_avg.weight_field).cast("double")
+        return F.sum(v * w) / F.sum(w)
     return None
 
 
@@ -617,6 +621,19 @@ def compile_agg(
             F.coalesce(F.sum(col), F.lit(0.0)).alias("sum"),
         )
         return "stats", out
+    if agg.extended_stats is not None:
+        col = _metric_col(ctx, agg.extended_stats).cast("double")
+        out = filtered.agg(
+            F.count(col).alias("count"),
+            F.min(col).alias("min"),
+            F.max(col).alias("max"),
+            F.avg(col).alias("avg"),
+            F.coalesce(F.sum(col), F.lit(0.0)).alias("sum"),
+            F.coalesce(F.sum(col * col), F.lit(0.0)).alias("sum_of_squares"),
+            F.var_pop(col).alias("variance"),       # ES reports population
+            F.stddev_pop(col).alias("std_deviation"),
+        )
+        return "extended_stats", out
     metric = _metric_expr(ctx, agg)
     if metric is not None:
         return "metric", filtered.agg(metric.alias("value"))

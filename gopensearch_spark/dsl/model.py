@@ -291,6 +291,14 @@ class RangeAgg:
 
 
 @dataclass
+class WeightedAvg:
+    """ES `weighted_avg`: sum(value x weight) / sum(weight)."""
+
+    value_field: str
+    weight_field: str
+
+
+@dataclass
 class PipelineAgg:
     """ES pipeline aggregation input: `buckets_path` names a sibling
     metric label (or `_count`) inside the SAME parent histogram."""
@@ -355,6 +363,8 @@ class Aggregate:
     cardinality: AggField | None = None
     value_count: AggField | None = None
     stats: AggField | None = None
+    extended_stats: AggField | None = None
+    weighted_avg: WeightedAvg | None = None
     percentiles: Percentiles | None = None
     range: RangeAgg | None = None
     # ES `date_range`: same from-incl/to-excl contract as `range`, with
@@ -636,7 +646,14 @@ def _parse_agg(raw: dict) -> Aggregate:
             interval=float(h["interval"]),
             min_doc_count=int(h.get("min_doc_count", 0)),
         )
-    for metric in ("avg", "max", "min", "sum", "cardinality", "value_count", "stats"):
+    if "weighted_avg" in raw:
+        wa = raw["weighted_avg"]
+        a.weighted_avg = WeightedAvg(
+            value_field=str(wa["value"]["field"]),
+            weight_field=str(wa["weight"]["field"]),
+        )
+    for metric in ("avg", "max", "min", "sum", "cardinality", "value_count",
+                   "stats", "extended_stats"):
         if metric in raw:
             setattr(a, metric, AggField(
                 field=raw[metric]["field"],

@@ -99,6 +99,17 @@ def shape_response(index: str, rows, agg_rows: dict, id_col: str, took_ms: int) 
                 aggs[label] = {"buckets": buckets}
                 if buckets:
                     aggs[label]["after_key"] = buckets[-1]["key"]
+            elif kind == "extended_stats":
+                if rws:
+                    r0 = rws[0].asDict()
+                    aggs[label] = {
+                        "count": int(r0["count"]),
+                        **{k: _json_safe(r0[k]) for k in
+                           ("min", "max", "avg", "sum", "sum_of_squares",
+                            "variance", "std_deviation")},
+                    }
+                else:
+                    aggs[label] = {"count": 0}
             elif kind == "global":
                 if rws:
                     d = rws[0].asDict()

@@ -1758,3 +1758,29 @@ def test_pipeline_aggs_validation(engine):
         engine.search("events", {"size": 0, "aggs": {"h": {
             "date_histogram": {"field": "ts", "fixed_interval": "1h"},
             "aggs": {"cum": {"cumulative_sum": {"buckets_path": "nope"}}}}}})
+
+
+def test_weighted_avg_and_extended_stats(engine, duck):
+    r = engine.search("events", {"size": 0, "aggs": {
+        "wa": {"weighted_avg": {"value": {"field": "value"},
+                                "weight": {"field": "user_id"}}},
+        "es": {"extended_stats": {"field": "value"}},
+        "by": {"terms": {"field": "event_type", "size": 10},
+               "aggs": {"w": {"weighted_avg": {
+                   "value": {"field": "value"},
+                   "weight": {"field": "user_id"}}}}},
+    }})
+    wa, var, sd, ssq = duck.execute(
+        "SELECT sum(value * user_id) / sum(user_id), var_pop(value),"
+        " stddev_pop(value), sum(value * value) FROM events"
+    ).fetchone()
+    assert math.isclose(r["aggregations"]["wa"]["value"], wa, rel_tol=1e-9)
+    es = r["aggregations"]["es"]
+    assert math.isclose(es["variance"], var, rel_tol=1e-9)
+    assert math.isclose(es["std_deviation"], sd, rel_tol=1e-9)
+    assert math.isclose(es["sum_of_squares"], ssq, rel_tol=1e-9)
+    per = {t: v for t, v in duck.execute(
+        "SELECT event_type, sum(value * user_id) / sum(user_id) "
+        "FROM events GROUP BY 1").fetchall()}
+    for b in r["aggregations"]["by"]["buckets"]:
+        assert math.isclose(b["w"]["value"], per[b["key"]], rel_tol=1e-9)
