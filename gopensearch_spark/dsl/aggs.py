@@ -86,10 +86,17 @@ def date_bucket_expr(ctx: CompileContext, dh: model.DateHistogram) -> Column:
 def _metric_col(ctx: CompileContext, af: model.AggField) -> Column:
     """Resolve a metric field honoring the ES `missing` parameter:
     docs without the field take the substitute value instead of being
-    dropped from the aggregate."""
+    dropped from the aggregate. The substitute keeps its natural type
+    (numeric when it parses as one, else a string literal) and the
+    COLUMN is never force-cast — a numeric `missing` on a keyword field
+    must not null the real values (cardinality/min/max on strings)."""
     col = ctx.resolve(af.field)
     if af.missing != "":
-        col = F.coalesce(col.cast("double"), F.lit(float(af.missing)))
+        try:
+            lit = F.lit(float(af.missing))
+        except ValueError:
+            lit = F.lit(af.missing)
+        col = F.coalesce(col, lit)
     return col
 
 
@@ -212,12 +219,19 @@ def _apply_pipeline(
             )
         w = Window.orderBy(F.asc("key"))
         if s.cumulative_sum is not None:
+            # window sum ignores nulls, so zero-filled empty buckets
+            # carry the running total forward (ES gap_policy=skip)
             out = out.withColumn(label, F.sum(src).over(
                 w.rowsBetween(Window.unboundedPreceding, 0)
             ))
         else:
-            # ES derivative: first bucket has no value (null)
-            out = out.withColumn(label, src - F.lag(src).over(w))
+            # ES derivative, gap_policy=skip: difference against the
+            # LAST NON-NULL previous bucket; first bucket (and buckets
+            # whose own value is null) report null
+            prev = F.last(src, ignorenulls=True).over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            )
+            out = out.withColumn(label, src - prev)
     return out
 
 

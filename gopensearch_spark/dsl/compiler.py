@@ -254,7 +254,7 @@ def compile_query(ctx: CompileContext, q: model.Query | None, scoring: bool = Tr
         if ctx.fulltext_predicate is not None:
             if m.fuzziness:
                 # ES `match` + `fuzziness`: term-level fuzzy expansion
-                fz = model.Fuzzy(value=m.query, fuzziness=m.fuzziness)
+                fz = model.Fuzzy(value=m.query, fuzziness=m.fuzziness, boost=m.boost)
                 ft = ctx.fulltext_predicate(strip_keyword(field), fz, "fuzzy", scoring)
             else:
                 ft = ctx.fulltext_predicate(strip_keyword(field), m, "match", scoring)

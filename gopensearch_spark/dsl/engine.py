@@ -393,8 +393,14 @@ class Engine:
 
                 start = len(ft_specs)
                 ipred = compile_query(ctx, m.query, scoring)
-                idxs = list(range(start, len(ft_specs)))
-                for i in idxs:
+                # only entries that were SCORING at registration feed
+                # the combine: filter/must_not-context clauses stay
+                # score-exempt, and a nested compound's constituents
+                # (already flipped by its own handler) count only
+                # through the compound entry itself — no double count
+                idxs = [i for i in range(start, len(ft_specs))
+                        if ft_specs[i][3]]
+                for i in range(start, len(ft_specs)):
                     k, qq, mo, _sc, sl, bst = ft_specs[i]
                     ft_specs[i] = (k, qq, mo, False, sl, bst)
                 if scoring:
@@ -413,8 +419,12 @@ class Engine:
                 for bq in m.queries:
                     start = len(ft_specs)
                     bpred = compile_query(ctx, bq, scoring)
-                    idxs = list(range(start, len(ft_specs)))
-                    for i in idxs:
+                    # same scoring-at-registration rule as fnscore:
+                    # filter-context clauses and nested compounds'
+                    # constituents are excluded from the branch fold
+                    idxs = [i for i in range(start, len(ft_specs))
+                            if ft_specs[i][3]]
+                    for i in range(start, len(ft_specs)):
                         k, qq, mo, _sc, sl, bst = ft_specs[i]
                         ft_specs[i] = (k, qq, mo, False, sl, bst)
                     branches.append((bpred, idxs))
@@ -688,7 +698,12 @@ class Engine:
                     elif mod == "square":
                         val = x * x
                     elif mod == "reciprocal":
-                        val = F.lit(1.0) / x
+                        # Spark division by zero yields NULL (which
+                        # would poison the score); Lucene's float math
+                        # gives Infinity — reproduce that
+                        val = F.when(
+                            x != 0.0, F.lit(1.0) / x
+                        ).otherwise(F.lit(float("inf")))
                     else:
                         raise ValueError(
                             f"unsupported field_value_factor modifier {mod!r}"
@@ -883,15 +898,32 @@ class Engine:
                         h["highlight"] = {     # hits matched via other clauses
                             spec.text_field: [rendered]
                         }
-        if d.source is not None and d.source is not True:
-            # `_source` filtering LAST: highlight and source unmarshal
-            # read the full source above
+        if d.sort:
+            # ES parity: every hit carries its `sort` value tuple (what
+            # clients feed back as search_after); built from the FULL
+            # source before any _source filtering, so cursors survive
+            # filtered responses
+            fields = [sr.field for sr in d.sort]
+            for h in resp["hits"]["hits"]:
+                src = h.get("_source", {})
+                h["sort"] = [
+                    h.get("_score") if f == "_score" else src.get(f)
+                    for f in fields
+                ]
+        if (d.source is not None and d.source is not True) or d.source_excludes:
+            # `_source` filtering LAST: highlight, source unmarshal and
+            # the sort tuple above read the full source
             for h in resp["hits"]["hits"]:
                 if d.source is False:
                     h.pop("_source", None)
-                else:
-                    h["_source"] = {k: v for k, v in h.get("_source", {}).items()
-                                    if k in d.source}
+                    continue
+                src = h.get("_source", {})
+                if isinstance(d.source, list):
+                    src = {k: v for k, v in src.items() if k in d.source}
+                if d.source_excludes:
+                    src = {k: v for k, v in src.items()
+                           if k not in d.source_excludes}
+                h["_source"] = src
         return resp
 
     def analyze(self, body: str | dict) -> dict:
@@ -903,17 +935,21 @@ class Engine:
         raw = json.loads(body) if isinstance(body, str) else body
         text = raw.get("text", "")
         texts = text if isinstance(text, list) else [text]
-        tokens, pos = [], 0
+        tokens, pos, base = [], 0, 0
         for chunk in texts:
-            for tok, start, end in tokenize_with_offsets(str(chunk)):
+            chunk = str(chunk)
+            for tok, start, end in tokenize_with_offsets(chunk):
                 tokens.append({
                     "token": tok,
-                    "start_offset": start,
-                    "end_offset": end,
+                    # offsets are CUMULATIVE across array elements
+                    # (ES semantics: elements join with a 1-char gap)
+                    "start_offset": base + start,
+                    "end_offset": base + end,
                     "type": "<ALPHANUM>",
                     "position": pos,
                 })
                 pos += 1
+            base += len(chunk) + 1
         return {"tokens": tokens}
 
     def index_stats(self, index: str | None = None) -> dict:
@@ -1022,6 +1058,13 @@ class Engine:
         spec = self.indices[index]
         if not raw.get("sort"):
             raw["sort"] = [{spec.id_col: "asc"}]
+        else:
+            # the cursor predicate is strictly-after on the sort tuple:
+            # without a unique tiebreak, ties spanning a page boundary
+            # would be skipped — append the id column unless present
+            fields = [next(iter(sr)) for sr in raw["sort"]]
+            if spec.id_col not in fields:
+                raw["sort"] = list(raw["sort"]) + [{spec.id_col: "asc"}]
         raw.pop("search_after", None)
         resp = self.search(index, raw)
         sid = uuid.uuid4().hex
@@ -1037,14 +1080,12 @@ class Engine:
         if not hits or len(hits) < size:
             st["after"] = "__done__"  # short page: nothing follows
             return
-        last = hits[-1]["_source"]
-        fields = [next(iter(s)) for s in st["body"]["sort"]]
-        missing = [f for f in fields if f not in last]
-        if missing:
+        after = hits[-1].get("sort")
+        if after is None or any(v is None for v in after):
             raise ValueError(
-                f"scroll sort fields {missing!r} are not _source columns"
+                "scroll sort fields must be materialized _source columns"
             )
-        st["after"] = [last[f] for f in fields]
+        st["after"] = after
 
     def scroll(self, scroll_id: str) -> dict:
         """`POST /_search/scroll`: next page of an open cursor."""

@@ -69,6 +69,7 @@ class Fuzzy:
     fuzziness: str = "AUTO"
     prefix_length: int = 0
     max_expansions: int = 50
+    boost: float = 1.0
 
 
 @dataclass
@@ -411,6 +412,8 @@ class Dsl:
     # ES `_source` filtering: None = full source; False = no source;
     # a list of field names = include only those
     source: object = None
+    # ES `_source.excludes`: drop the listed fields, keep the rest
+    source_excludes: list | None = None
 
 
 def _parse_match(raw: dict) -> dict[str, Match]:
@@ -484,6 +487,7 @@ def _parse_query(raw: dict) -> Query:
                     fuzziness=str(v.get("fuzziness", "AUTO")),
                     prefix_length=int(v.get("prefix_length", 0)),
                     max_expansions=int(v.get("max_expansions", 50)),
+                    boost=float(v.get("boost", 1.0)),
                 )
             else:
                 q.fuzzy[k] = Fuzzy(value=str(v))
@@ -742,7 +746,12 @@ def parse_dsl(body: str | dict) -> Dsl:
     if "_source" in raw:
         src = raw["_source"]
         if isinstance(src, dict):
+            exc = src.get("excludes")
+            if exc is not None:
+                d.source_excludes = [exc] if isinstance(exc, str) else list(exc)
             src = src.get("includes")
+            if src is None and d.source_excludes is not None:
+                src = True  # excludes-only form keeps the rest
         if isinstance(src, str):
             src = [src]
         d.source = list(src) if isinstance(src, list) else bool(src)

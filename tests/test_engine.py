@@ -1784,3 +1784,144 @@ def test_weighted_avg_and_extended_stats(engine, duck):
         "FROM events GROUP BY 1").fetchall()}
     for b in r["aggregations"]["by"]["buckets"]:
         assert math.isclose(b["w"]["value"], per[b["key"]], rel_tol=1e-9)
+
+
+def test_dis_max_filter_context_branch_scoring(engine):
+    """Review fix: a branch's bool.filter clause restricts membership
+    but must NOT leak BM25 into the branch score."""
+    s_spark = {h["_id"]: h["_score"] for h in engine.search(
+        "docs", {"query": {"match": {"text": "spark"}}, "size": 10000}
+    )["hits"]["hits"]}
+    r = engine.search("docs", {
+        "query": {"dis_max": {"queries": [
+            {"bool": {"must": [{"match": {"text": "spark"}}],
+                      "filter": [{"match": {"text": "data"}}]}},
+        ]}},
+        "size": 10000, "track_total_hits": True,
+    })
+    # membership: docs matching spark AND data; score: BM25(spark) only
+    assert r["hits"]["total"]["value"] > 0
+    for h in r["hits"]["hits"]:
+        assert math.isclose(h["_score"], s_spark[h["_id"]], rel_tol=1e-9), h["_id"]
+
+
+def test_dis_max_nested_constant_score_no_double_count(engine, duck):
+    """Review fix: a constant_score nested in a branch contributes its
+    boost ONCE (through the compound entry), never twice."""
+    r = engine.search("events", {
+        "query": {"dis_max": {"queries": [
+            {"constant_score": {"filter": {"term": {"event_type": "error"}},
+                                "boost": 2.0}},
+        ]}},
+        "size": 10000, "track_total_hits": True,
+    })
+    n = duck.execute(
+        "SELECT count(*) FROM events WHERE event_type = 'error'").fetchone()[0]
+    assert r["hits"]["total"]["value"] == n
+    assert all(h["_score"] == 2.0 for h in r["hits"]["hits"])
+
+
+def test_source_excludes(engine):
+    r = engine.search("events", {
+        "query": {"term": {"event_type": "error"}},
+        "_source": {"excludes": ["props", "ts"]}, "size": 3})
+    for h in r["hits"]["hits"]:
+        assert "props" not in h["_source"] and "ts" not in h["_source"]
+        assert "event_id" in h["_source"]  # the rest is kept
+
+
+def test_hits_carry_sort_values(engine):
+    r = engine.search("events", {"sort": [{"value": "desc"},
+                                          {"event_id": "asc"}], "size": 3})
+    for h in r["hits"]["hits"]:
+        assert h["sort"] == [h["_source"]["value"], h["_source"]["event_id"]]
+
+
+def test_scroll_with_source_filtering_and_ties(engine, duck):
+    """Review fixes: scroll survives _source filtering (cursor rides the
+    per-hit sort tuple) and a non-unique user sort gets the id tiebreak
+    so ties never skip."""
+    exp = [r[0] for r in duck.execute(
+        "SELECT event_id FROM events WHERE event_type = 'click' "
+        "ORDER BY user_id ASC, event_id ASC").fetchall()]
+    r = engine.scroll_search("events", {
+        "query": {"term": {"event_type": "click"}},
+        "sort": [{"user_id": "asc"}],  # highly non-unique
+        "_source": False, "size": 30})
+    sid = r["_scroll_id"]
+    got = [int(h["_id"]) for h in r["hits"]["hits"]]
+    while True:
+        page = engine.scroll(sid)["hits"]["hits"]
+        if not page:
+            break
+        got.extend(int(h["_id"]) for h in page)
+    assert got == exp  # complete, no skips, no duplicates
+    engine.clear_scroll(sid)
+
+
+def test_metric_missing_on_string_field(spark):
+    """Review fix: numeric `missing` on a keyword field must not null
+    the real values."""
+    from gopensearch_spark.dsl import Engine
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b"), (4, "a")], "id long, g string")
+    e = Engine(spark)
+    e.create_index("t", df, id_col="id")
+    r = e.search("t", {"size": 0, "aggs": {
+        "c": {"cardinality": {"field": "g", "missing": "anon"}}}})
+    assert r["aggregations"]["c"]["value"] == 3  # a, b, anon
+
+
+def test_fuzzy_boost(engine):
+    base = {h["_id"]: h["_score"] for h in engine.search(
+        "docs", {"query": {"fuzzy": {"text": {"value": "spak"}}}, "size": 100}
+    )["hits"]["hits"]}
+    r = engine.search("docs", {
+        "query": {"fuzzy": {"text": {"value": "spak", "boost": 2.5}}},
+        "size": 100})
+    for h in r["hits"]["hits"]:
+        assert math.isclose(h["_score"], 2.5 * base[h["_id"]], rel_tol=1e-9)
+
+
+def test_function_score_reciprocal_zero(spark):
+    from gopensearch_spark.dsl import Engine
+
+    df = spark.createDataFrame([(1, 0.0), (2, 2.0)], "id long, v double")
+    e = Engine(spark)
+    e.create_index("t", df, id_col="id")
+    r = e.search("t", {"query": {"function_score": {
+        "query": {"match_all": {}},
+        "field_value_factor": {"field": "v", "modifier": "reciprocal"},
+        "boost_mode": "replace"}}, "size": 10})
+    scores = {int(h["_id"]): h["_score"] for h in r["hits"]["hits"]}
+    assert scores[2] == 0.5
+    assert scores[1] == float("inf")  # Lucene float semantics, not null
+
+
+def test_analyze_offsets_across_array(engine):
+    r = engine.analyze({"text": ["foo bar", "baz"]})
+    toks = {t["token"]: (t["start_offset"], t["end_offset"]) for t in r["tokens"]}
+    assert toks["foo"] == (0, 3) and toks["bar"] == (4, 7)
+    assert toks["baz"] == (8, 11)  # continues past element 0 (+1 gap)
+
+
+def test_derivative_across_zero_filled_gap(spark, duck):
+    """Review fix: derivative skips zero-filled metric gaps (ES
+    gap_policy=skip) instead of emitting nulls on both sides."""
+    from gopensearch_spark.dsl import Engine
+
+    rows = [(1, 1000, 10.0), (2, 1500, 20.0), (3, 3500, 40.0)]  # gap at 2s-3s
+    df = spark.createDataFrame(rows, "id long, ts_ms long, v double")
+    e = Engine(spark)
+    e.create_index("t", df, id_col="id")
+    r = e.search("t", {"size": 0, "aggs": {"h": {
+        "date_histogram": {"field": "ts_ms", "fixed_interval": "1s",
+                           "min_doc_count": 0},
+        "aggs": {"m": {"sum": {"field": "v"}},
+                 "d": {"derivative": {"buckets_path": "m"}}}}}})
+    buckets = r["aggregations"]["h"]["buckets"]
+    assert [b["doc_count"] for b in buckets] == [2, 0, 1]
+    assert buckets[0]["d"]["value"] is None          # no previous
+    assert buckets[1]["d"]["value"] is None          # own value is a gap
+    assert buckets[2]["d"]["value"] == 40.0 - 30.0   # vs last NON-NULL
