@@ -566,7 +566,20 @@ def connected_components(
         .join(labels.select("id"), "id", "left_anti")
         .withColumn("cluster_id", F.col("id"))
     )
-    return labels.union(roots)
+    out = labels.union(roots)
+    # ids that appear only in self-loop pairs (a == b) were dropped before
+    # edge-building; the contract is "every id in pairs", so they come back
+    # as their own singleton cluster.
+    all_ids = (
+        pairs.select(F.col(id_a).alias("id"))
+        .union(pairs.select(F.col(id_b).alias("id")))
+        .distinct()
+    )
+    singles = (
+        all_ids.join(out.select("id"), "id", "left_anti")
+        .withColumn("cluster_id", F.col("id"))
+    )
+    return out.union(singles)
 
 
 def assign_dup_clusters(

@@ -119,7 +119,10 @@ def _metric_expr(ctx: CompileContext, sub: model.Aggregate) -> Column | None:
     if sub.weighted_avg is not None:
         v = ctx.resolve(sub.weighted_avg.value_field).cast("double")
         w = ctx.resolve(sub.weighted_avg.weight_field).cast("double")
-        return F.sum(v * w) / F.sum(w)
+        # ES skips docs missing the value field entirely: a null value with a
+        # non-null weight must not inflate the denominator, so both sums are
+        # gated on value presence.
+        return F.sum(F.when(v.isNotNull(), v * w)) / F.sum(F.when(v.isNotNull(), w))
     return None
 
 

@@ -193,6 +193,15 @@ def tuple_after_predicate(items: list[tuple[Column, str, object]]) -> Column:
     pred: Column | None = None
     eq_prefix: Column | None = None
     for col, order, val in items:
+        if val is None:
+            # a null cursor value makes every comparison NULL and silently
+            # drops all rows at that prefix — reject loudly (scroll already
+            # does) rather than skip results
+            raise ValueError(
+                "search_after/composite.after cursor contains a null sort "
+                "value; null-sorted documents cannot be paginated past — "
+                "add a non-null tiebreak key (e.g. _id) to the sort"
+            )
         lit = F.lit(val)
         cmp = (col > lit) if str(order).lower() != "desc" else (col < lit)
         clause = cmp if eq_prefix is None else (eq_prefix & cmp)

@@ -148,6 +148,22 @@ class Engine:
             "tagline": "You Go, for search",
         }
 
+    # `GET /` alias — some ES clients call this "info"
+    cluster_info = cluster_status
+
+    def ping(self) -> bool:
+        """`HEAD /` (reference admin.go:13-16 HeadHandler: 200 with an
+        empty JSON body). Clients use it as a liveness probe; the
+        DataFrame engine is live iff its SparkSession is."""
+        return True
+
+    def default_handler(self, path: str) -> dict:
+        """Any route without a handler (reference admin.go:74-85
+        DefaultHandler): HTTP 501 Not Implemented with an empty body.
+        Returned as a status-shaped dict since this engine has no HTTP
+        layer."""
+        return {"status": 501, "path": path, "body": None}
+
     def _templates_path(self) -> str:
         return os.path.join(self.meta_dir, "templates.json")
 
@@ -965,7 +981,12 @@ class Engine:
             n = int(spec.df.count())
             nbytes = 0
             for idx_dir in spec.indexed_fields().values():
-                for root, _dirs, files in os.walk(idx_dir):
+                # walk only the LIVE generation — after a generation-pointer
+                # compaction the index root still holds the retained previous
+                # generation, which must not double the reported store size
+                from gopensearch_spark.index.builder import resolve_index_dir
+                live = resolve_index_dir(idx_dir)
+                for root, _dirs, files in os.walk(live):
                     nbytes += sum(
                         os.path.getsize(os.path.join(root, f)) for f in files
                     )

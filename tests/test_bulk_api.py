@@ -161,6 +161,23 @@ def test_cluster_status_impersonation(spark):
     cs = e.cluster_status()
     assert cs["version"]["number"] == "7.17"
     assert cs["tagline"] == "You Go, for search"
+    assert cs["name"] == "asdfasdf"
+    assert cs["cluster_name"] == "qwerty"
+    assert cs["cluster_uuid"] == "asdf;ljkasdf"
+    assert cs["version"]["build_flavor"] == "default"
+    assert cs["version"]["minimum_index_compatibility_version"] == "6.8.0"
+    assert cs["version"]["minimum_wire_compatibility_version"] == "6.8.0"
+    # cluster_info is the client-facing alias for the same payload
+    assert e.cluster_info() == cs
+
+
+def test_ping_and_default_handler(spark):
+    # HEAD / (admin.go:13-16) and the catch-all 501 (admin.go:74-85)
+    e = Engine(spark)
+    assert e.ping() is True
+    resp = e.default_handler("/_nodes/stats")
+    assert resp["status"] == 501
+    assert resp["body"] is None
 
 
 def test_put_empty_index_then_ingest(spark):

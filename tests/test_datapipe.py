@@ -217,6 +217,19 @@ def test_connected_components_chain_and_singletons(spark):
                    10: (10, True), 42: (42, True)}
 
 
+def test_connected_components_self_loop_only_ids(spark):
+    """ADVICE r4: an id appearing ONLY in self-pairs (a == b) must still
+    come out as its own singleton cluster — the contract is 'every id in
+    pairs'."""
+    from gopensearch_spark.datapipe import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (7, 7), (9, 9), (2, 2)], "id_a long, id_b long"
+    )
+    cc = {r["id"]: r["cluster_id"] for r in connected_components(pairs).collect()}
+    assert cc == {1: 1, 2: 1, 7: 7, 9: 9}
+
+
 def test_ivf_topk_recall_and_shape(spark):
     import os
 

@@ -1786,6 +1786,34 @@ def test_weighted_avg_and_extended_stats(engine, duck):
         assert math.isclose(b["w"]["value"], per[b["key"]], rel_tol=1e-9)
 
 
+def test_weighted_avg_skips_null_values(spark):
+    """ADVICE r4: a doc with a null value but non-null weight must not
+    contribute its weight to the denominator (ES skips docs missing the
+    value field entirely)."""
+    df = spark.createDataFrame(
+        [(1, 2.0, 10.0), (2, None, 100.0), (3, 4.0, 30.0)],
+        "id long, v double, w double",
+    )
+    e = Engine(spark)
+    e.create_index("wa_idx", df)
+    r = e.search("wa_idx", {"size": 0, "aggs": {
+        "wa": {"weighted_avg": {"value": {"field": "v"},
+                                "weight": {"field": "w"}}}}})
+    # (2*10 + 4*30) / (10 + 30) — the null-v doc's weight 100 excluded
+    assert math.isclose(r["aggregations"]["wa"]["value"], 140.0 / 40.0, rel_tol=1e-12)
+
+
+def test_search_after_null_cursor_rejected(engine):
+    """ADVICE r4: a null cursor value silently drops every row at that
+    prefix; reject loudly instead."""
+    with pytest.raises(ValueError, match="null"):
+        engine.search("events", {
+            "sort": [{"value": {"order": "desc"}}, {"event_id": {"order": "asc"}}],
+            "search_after": [None, 5],
+            "size": 5,
+        })
+
+
 def test_dis_max_filter_context_branch_scoring(engine):
     """Review fix: a branch's bool.filter clause restricts membership
     but must NOT leak BM25 into the branch score."""
