@@ -83,16 +83,26 @@ def cosine_topk(
     """Exact top-k by cosine for each query row: (query_id, vec_id, cosine).
 
     ``queries``: (query_id, embedding). Broadcast; corpus scanned once.
+
+    Norms are precomputed ONCE per side before the crossJoin — a corpus
+    row's norm must not be re-derived for every query it meets (that
+    tripled the per-pair HOF-aggregate work), and the query norm rides
+    the broadcast. The pair expression is a single dot product.
     """
     from gopensearch_spark.util import ensure_parallelism
 
     q = F.broadcast(
-        queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+        queries.select(
+            F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        ).withColumn("qnorm", _norm(F.col("qv")))
     )
-    scored = ensure_parallelism(emb).crossJoin(q).select(
+    corpus = ensure_parallelism(emb).select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv")
+    ).withColumn("cnorm", _norm(F.col("cv")))
+    scored = corpus.crossJoin(q).select(
         "query_id",
-        F.col(id_col).alias("vec_id"),
-        cosine_expr(F.col(vec_col), F.col("qv")).alias("cosine"),
+        "vec_id",
+        (_dot(F.col("cv"), F.col("qv")) / (F.col("cnorm") * F.col("qnorm"))).alias("cosine"),
     )
     return topk_per_query(scored, k)
 

@@ -377,3 +377,27 @@ def test_decontaminate_broadcasts_benchmark(spark, docs_small):
     assert "BroadcastHashJoin" in plan
     # the only hash exchange is the final (doc_id, bench_id) aggregate
     assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_cosine_topk_norms_precomputed_below_join(spark):
+    """VERDICT r4 #2: a corpus row's norm must be computed ONCE per row
+    (below the crossJoin), never re-derived for every query it meets —
+    the post-join pair expression is a single dot product."""
+    from pyspark.sql import functions as F
+
+    from gopensearch_spark.datapipe import cosine_topk
+
+    emb = spark.range(50).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[(F.col("id") * (i + 1) % 7).cast("double") + 1.0 for i in range(4)]).alias(
+            "embedding"
+        ),
+    )
+    q = emb.limit(2).select(F.col("vec_id").alias("query_id"), "embedding")
+    plan = cosine_topk(emb, q, k=3)._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    ji = next(i for i, l in enumerate(lines) if "Join" in l)
+    above = "\n".join(lines[:ji]).upper()
+    below = "\n".join(lines[ji:]).upper()
+    assert "SQRT" not in above, plan  # no norm math above the join
+    assert "SQRT" in below, plan  # norms live in the per-side projects
