@@ -174,6 +174,23 @@ def _engine(spark: SparkSession, sf_dir: str):
         text_field="text", index_dir=_index_dir(spark, sf_dir),
         extra_text_fields={"lang": _lang_index_dir(spark, sf_dir)},
     )
+    # typed nested surface: events with a derived tags array<struct> —
+    # deterministic function of the events table (no synthetic data),
+    # exercising dotted-path + per-element `nested` semantics
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    e.create_index(
+        "events_nested",
+        ev.select(
+            "event_id", "event_type", "user_id",
+            F.array(
+                F.struct(F.lit("type").alias("key"),
+                         F.col("event_type").alias("value")),
+                F.struct(F.lit("mod").alias("key"),
+                         F.pmod(F.col("user_id"), F.lit(7)).cast("string").alias("value")),
+            ).alias("tags"),
+        ),
+        id_col="event_id",
+    )
     _ENGINE_CACHE[key] = e
     return e
 
@@ -783,6 +800,40 @@ def _dsl_date_histogram_bounds(spark, sf_dir):
     _, aggs, _ = _engine(spark, sf_dir).search_df("events", body)
     _, df = aggs["hist"]
     return df.select(F.col("key").alias("bucket_ms"), "doc_count")
+
+
+def _dsl_date_histogram_calendar(spark, sf_dir):
+    """calendar_interval=month + min_doc_count=0 + extended_bounds
+    (VERDICT r4 #4): months vary in length, so the zero-fill axis steps
+    by calendar INTERVAL over timestamps (dsl/aggs.py _zero_fill_buckets
+    calendar branch), not fixed millis — the Grafana dashboard shape
+    (reference pkg/dsl/complex_test.go:13-48)."""
+    body = {"size": 0, "aggs": {"hist": {"date_histogram": {
+        "field": "ts", "calendar_interval": "month", "min_doc_count": 0,
+        "extended_bounds": {"min": 1700000000000, "max": 1709000000000},
+    }}}}
+    _, aggs, _ = _engine(spark, sf_dir).search_df("events", body)
+    _, df = aggs["hist"]
+    return df.select(F.col("key").alias("bucket_ms"), "doc_count")
+
+
+def _dsl_nested_path(spark, sf_dir):
+    """ES `nested` query + dotted-path addressing (VERDICT r4 #3) over a
+    TYPED array<struct> column: the nested clause must co-match key AND
+    value within ONE element (per-element F.exists — row-local, no
+    explode, no shuffle), AND'd with a flattened dotted term that may
+    match ANY element. Paths: dsl/compiler.py path_resolve/compile_nested;
+    the reference's own Jaeger fixtures carry this shape its DSL cannot
+    reach (pkg/server/testdata/bulk-1.ndjson:4)."""
+    body = {"query": {"bool": {"must": [
+        {"nested": {"path": "tags", "query": {"bool": {"must": [
+            {"term": {"tags.key": "mod"}},
+            {"term": {"tags.value": "3"}},
+        ]}}}},
+        {"term": {"tags.value": "error"}},  # flattened: any element
+    ]}}, "size": 10_000_000}
+    hits, _, _ = _engine(spark, sf_dir).search_df("events_nested", body)
+    return hits.select("event_id", "event_type")
 
 
 def _dsl_histogram(spark, sf_dir):
@@ -1652,13 +1703,13 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING CONTRACT: the driver value-checks the FIRST 50 entries in
     # dict order. Every DISTINCT CODE PATH has a value-exact (or
-    # invariant-gate) representative inside that window — round 4 per
-    # the round-3 advisory: dsl_metrics covers all four _metric_expr
-    # arms in one entry, dsl_terms_query and bm25_head_term_flat moved
-    # in, dsl_multi_match is new; round 4b adds bm25_phrase_prefix,
-    # dsl_range_agg, dsl_filters_agg, dsl_stats_agg in-window (each a
-    # NEW code path; the four displaced entries below list their
-    # in-window representatives). The tail (51+) holds only entries
+    # invariant-gate) representative inside that window — round 5 per
+    # VERDICT r4 #3/#4/#5: dsl_nested_path (typed nested/dotted paths),
+    # dsl_date_histogram_calendar (calendar zero-fill axis), hybrid_rrf,
+    # dsl_function_score, dsl_term_suggest and pack_chunks move IN; the
+    # six displaced entries (see the round-5 displacement block in the
+    # tail) each keep an in-window representative of their code path
+    # and their full oracles for replica runs. The tail (51+) holds only entries
     # whose code path has an in-window representative: rows-only
     # approximate paths gated by in-window *_valid/*_recall/*_precision,
     # bm25_tail_term (same OR kernel as bm25_head_term), bm25_and3_k100
@@ -1677,8 +1728,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_prefix": _prefix("dat", 25),
         "bm25_phrase_prefix": _phrase_prefix("spark jo", 25),
         "bm25_fuzzy": _fuzzy("spak", 25),
-        "bm25_regexp": _regexp("dat[a-z]*", 25),
-        "bm25_expr_and_or_not": _match_expr("data AND (scan OR batch) NOT dup", 50),
         # ES-DSL relational surface (compiled to DataFrame ops)
         "dsl_term_filter": _dsl_term_filter,
         "dsl_range_epoch_millis": _dsl_range_epoch_millis,
@@ -1691,15 +1740,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_query_string_glob": _dsl_query_string_glob,
         "dsl_multi_match": _dsl_multi_match,
         "dsl_dis_max": _dsl_dis_max,
-        "dsl_constant_score": _dsl_constant_score,
+        "dsl_function_score": _dsl_function_score,
+        "dsl_nested_path": _dsl_nested_path,
         "dsl_terms_agg": _dsl_terms_agg,
-        "dsl_composite_agg": _dsl_composite_agg,
         "dsl_pipeline_aggs": _dsl_pipeline_aggs,
-        "dsl_histogram": _dsl_histogram,
+        "dsl_date_histogram_calendar": _dsl_date_histogram_calendar,
         "dsl_metrics": _dsl_metrics,
         "dsl_match_phrase_slop": _dsl_match_phrase_slop,
         "dsl_filters_agg": _dsl_filters_agg,
-        "dsl_stats_agg": _dsl_stats_agg,
+        "dsl_term_suggest": _dsl_term_suggest,
         "dsl_subagg": _dsl_subagg,
         "dsl_top_hits": _dsl_top_hits,
         "dsl_significant_terms": _dsl_significant_terms,
@@ -1714,9 +1763,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_capped": _dedup_clusters_capped,
         "split_train_val_test": _split_train_val_test,
         "pack_sequences": _pack_sequences,
+        "pack_chunks": _pack_chunks,
         "mm_extract_features": _mm_extract_features,
         "dedup_decontaminate": _dedup_decontaminate,
         "ann_cosine_topk": _ann_cosine_topk,
+        "hybrid_rrf": _hybrid_rrf,
         "ann_lsh_topk_valid": _ann_topk_valid("lsh"),
         "ann_ivf_topk_valid": _ann_topk_valid("ivf"),
         "qc_quality_score": _qc_quality_score,
@@ -1799,25 +1850,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tests/test_tokenizer.py) and the term_stats background feeds
         # every in-window bm25_* idf. Full value-exact oracle below.
         "dsl_significant_text": _dsl_significant_text,
-        # hybrid_rrf: a pure COMPOSITION of two in-window engines
-        # (bm25_* WAND top-k + ann_cosine_topk) with requests-bounded
-        # rank windows and one tiny aggregate; full value-exact RRF
-        # oracle below (rank-level agreement on both systems)
-        "hybrid_rrf": _hybrid_rrf,
-        # pack_chunks: same Arrow mapInPandas row-fan-out family as
-        # in-window pack_sequences (its two-pass prefix sum) and
-        # mm_extract_features; full value-exact stride-window oracle
-        "pack_chunks": _pack_chunks,
-        # dsl_function_score: third member of the spec_score combine
-        # family whose two siblings (dsl_constant_score, dsl_dis_max)
-        # are value-checked in-window; the function side is row-local
-        # arithmetic over the same scoring-relation join. Full
-        # value-exact oracle below.
-        "dsl_function_score": _dsl_function_score,
-        # dsl_term_suggest: same prefix-pruned term_dict expansion scan
-        # as in-window bm25_fuzzy (fuzzy_expand's machinery with a
-        # dist-first ranking); full value-exact levenshtein oracle below
-        "dsl_term_suggest": _dsl_term_suggest,
+        # round-5 displacements (for the six NEW in-window paths
+        # dsl_nested_path, dsl_date_histogram_calendar, hybrid_rrf,
+        # dsl_function_score, dsl_term_suggest, pack_chunks — VERDICT r4
+        # #3/#4/#5), each displaced entry's code path represented
+        # in-window:
+        # - dsl_stats_agg: same one-aggregate metric dispatch as
+        #   in-window dsl_metrics (all its sum/min/max/avg/count arms
+        #   value-checked there); the stats/extended_stats result
+        #   shaping is value-pinned by pytest
+        #   (test_weighted_avg_and_extended_stats, test_stats_*)
+        "dsl_stats_agg": _dsl_stats_agg,
+        # - dsl_histogram: the sequence()-axis zero-fill left join is
+        #   in-window twice over (dsl_date_histogram_calendar's calendar
+        #   axis + dsl_pipeline_aggs' bucket walk); the numeric
+        #   floor(v/iv)*iv bucket key is one built-in expression,
+        #   pytest-pinned
+        "dsl_histogram": _dsl_histogram,
+        # - bm25_regexp: same bounded-OR term_dict expansion execution
+        #   as in-window bm25_fuzzy and dsl_term_suggest (the candidate
+        #   filter — regex vs edit distance — is driver-side, pinned by
+        #   tests/test_fuzzy.py)
+        "bm25_regexp": _regexp("dat[a-z]*", 25),
+        # - dsl_constant_score: membership = filter-context compile
+        #   (in-window dsl_bool_must_filter) + spec-score combine family
+        #   (in-window dsl_function_score, dsl_dis_max)
+        "dsl_constant_score": _dsl_constant_score,
+        # - dsl_composite_agg: cursor predicate = in-window
+        #   dsl_search_after's tuple_after machinery; the bucket walk =
+        #   in-window dsl_terms_agg/dsl_subagg groupBy
+        "dsl_composite_agg": _dsl_composite_agg,
+        # - bm25_expr_and_or_not: the MATCH expression PARSER is pure
+        #   Python (pinned by tests/test_engine.py expression tests and
+        #   the FTS5 rank-identity fuzz suite); its execution kernels
+        #   are in-window bm25_and2/bm25_or3 + must_not composition
+        "bm25_expr_and_or_not": _match_expr("data AND (scan OR batch) NOT dup", 50),
         "qc_fingerprint": _qc_fingerprint,
         "bm25_near2": _near2("spark", "data", 6, 25),
         "dsl_wildcard_query": _dsl_wildcard_query,
@@ -2026,6 +2093,28 @@ ORDER BY (fg.c*1.0/ft - bg.c*1.0/bt)
         "dsl_date_histogram": (
             "SELECT (epoch_ms(ts) // 3600000) * 3600000 AS bucket_ms, count(*) AS doc_count "
             "FROM events GROUP BY 1 ORDER BY 1"
+        ),
+        "dsl_date_histogram_calendar": (
+            # month-truncated buckets zero-filled across the union of
+            # the data range and the (truncated) extended_bounds
+            "WITH d AS (SELECT epoch_ms(date_trunc('month', ts)) AS bucket_ms,"
+            " count(*) AS n FROM events GROUP BY 1), "
+            "b AS (SELECT least(epoch_ms(date_trunc('month', epoch_ms(1700000000000))),"
+            " min(bucket_ms)) AS lo,"
+            " greatest(epoch_ms(date_trunc('month', epoch_ms(1709000000000))),"
+            " max(bucket_ms)) AS hi FROM d), "
+            "axis AS (SELECT epoch_ms(epoch_ms(lo) + CAST(u AS INT) * INTERVAL 1 MONTH)"
+            " AS bucket_ms FROM b, unnest(range(date_diff('month',"
+            " epoch_ms(lo), epoch_ms(hi)) + 1)) AS t(u)) "
+            "SELECT axis.bucket_ms, coalesce(d.n, 0) AS doc_count "
+            "FROM axis LEFT JOIN d USING (bucket_ms) ORDER BY 1"
+        ),
+        "dsl_nested_path": (
+            # nested co-match reduces to user_id % 7 = 3 on the 'mod'
+            # element; the flattened dotted term to event_type = 'error'
+            # (the 'type' element) — value-exact over the same rows
+            "SELECT event_id, event_type FROM events "
+            "WHERE user_id % 7 = 3 AND event_type = 'error'"
         ),
         "dsl_pipeline_aggs": (
             "WITH b AS (SELECT (epoch_ms(ts) // 3600000) * 3600000 AS bucket_ms,"

@@ -225,7 +225,12 @@ def bench_default() -> dict:
     from gopensearch_spark.session import get_spark
 
     spark = get_spark("bench", master=f"local[{CPUS}]")
-    wp = _build_web_pages(spark, SF_DIR, copies=1, out="/tmp/gopensearch_bench/web_pages")
+    # the fixture path embeds the sf so a cached corpus from a run at a
+    # DIFFERENT scale factor can never leak into this one
+    wp = _build_web_pages(
+        spark, SF_DIR, copies=1,
+        out=f"/tmp/gopensearch_bench/web_pages_{os.path.basename(os.path.normpath(SF_DIR))}",
+    )
     # warm-up: identical build into a throwaway dir so the timed builds
     # measure the pipeline, not JVM codegen + Python-worker startup
     run_index_build(spark, wp, "/tmp/gopensearch_bench/idx_warm")
@@ -256,10 +261,10 @@ def bench_index_only(copies: int, runs: int = 3) -> dict:
 
     spark = get_spark("bench-index", master=f"local[{CPUS}]")
     wp = _build_web_pages(
-        spark, SF_DIR, copies=copies, out=f"/tmp/gopensearch_bench/web_pages_x{copies}"
+        spark, SF_DIR, copies=copies, out=f"/tmp/gopensearch_bench/web_pages_{os.path.basename(os.path.normpath(SF_DIR))}_x{copies}"
     )
     # Warm-up: small build so JVM/codegen/Arrow paths are hot before timing.
-    run_index_build(spark, _build_web_pages(spark, SF_DIR, 1, "/tmp/gopensearch_bench/web_pages"),
+    run_index_build(spark, _build_web_pages(spark, SF_DIR, 1, f"/tmp/gopensearch_bench/web_pages_{os.path.basename(os.path.normpath(SF_DIR))}"),
                     f"/tmp/gopensearch_bench/idx_warm_{CPUS}")
     build = run_index_build_median(spark, wp, f"/tmp/gopensearch_bench/idx_scale_{CPUS}", runs=runs)
     return {"metric": "index build", "unit": "sec", "cpus": CPUS, "copies": copies,
@@ -279,7 +284,7 @@ def bench_wand_vs_flat(copies: int) -> dict:
 
     spark = get_spark("bench-wvf", master=f"local[{CPUS}]")
     wp = _build_web_pages(
-        spark, SF_DIR, copies=copies, out=f"/tmp/gopensearch_bench/web_pages_x{copies}"
+        spark, SF_DIR, copies=copies, out=f"/tmp/gopensearch_bench/web_pages_{os.path.basename(os.path.normpath(SF_DIR))}_x{copies}"
     )
     idx = f"/tmp/gopensearch_bench/idx_wvf_x{copies}"
     if not os.path.exists(os.path.join(idx, "corpus_stats.json")):
@@ -454,7 +459,7 @@ def bench_stream(copies: int, batches: int = 8, compact_every: int | None = None
 
     spark = get_spark("bench-stream", master=f"local[{CPUS}]")
     wp = _build_web_pages(
-        spark, SF_DIR, copies=copies, out=f"/tmp/gopensearch_bench/web_pages_x{copies}"
+        spark, SF_DIR, copies=copies, out=f"/tmp/gopensearch_bench/web_pages_{os.path.basename(os.path.normpath(SF_DIR))}_x{copies}"
     )
     inbox = wp  # the fixture dir IS the inbox (64 parquet files)
     tag = f"x{copies}_c{compact_every or 0}"
@@ -513,7 +518,7 @@ def bench_positions_compare(copies: int, runs: int = 2) -> dict:
 
     spark = get_spark("bench-pos", master=f"local[{CPUS}]")
     wp = _build_web_pages(
-        spark, SF_DIR, copies=copies, out=f"/tmp/gopensearch_bench/web_pages_x{copies}"
+        spark, SF_DIR, copies=copies, out=f"/tmp/gopensearch_bench/web_pages_{os.path.basename(os.path.normpath(SF_DIR))}_x{copies}"
     )
     corpus = prepare_corpus(spark.read.parquet(wp))
     out: dict = {"metric": "positions_profile", "cpus": CPUS, "copies": copies, "profiles": {}}

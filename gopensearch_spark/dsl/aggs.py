@@ -676,15 +676,45 @@ def _zero_fill_buckets(out: DataFrame, dh: model.DateHistogram) -> DataFrame:
     extended_bounds when provided, else the data's own [min, max]. The
     bucket axis is generated with `sequence()` and left-joined; at any
     scale the sequence size is bounded by the time range / interval,
-    never by the data volume."""
+    never by the data volume. Calendar intervals (month/quarter/year
+    vary in length) step the axis with a calendar INTERVAL literal over
+    timestamps instead of fixed millis — the Grafana-dashboard shape
+    (reference pkg/dsl/complex_test.go:13-48 probes date_histogram)."""
     if dh.calendar_interval:
-        raise ValueError("min_doc_count=0 zero-fill implemented for fixed intervals")
+        unit = _CALENDAR_TRUNC.get(dh.calendar_interval)
+        if unit is None:
+            raise ValueError(f"unsupported calendar_interval {dh.calendar_interval!r}")
+        # bounds snap to the bucket key grid via the same date_trunc as
+        # the data buckets, so the left join aligns exactly
+        def trunc_ms(c):
+            return F.unix_millis(F.date_trunc(unit, F.timestamp_millis(c)))
+
+        # ES extended_bounds only EXTENDS the axis — a data bucket
+        # outside the bounds must still appear (least/greatest skip the
+        # null min/max of an empty relation)
+        bounds = out.agg(
+            (F.least(trunc_ms(F.lit(dh.extended_bounds_min)), F.min("key"))
+             if dh.extended_bounds_min is not None else F.min("key")).alias("lo"),
+            (F.greatest(trunc_ms(F.lit(dh.extended_bounds_max)), F.max("key"))
+             if dh.extended_bounds_max is not None else F.max("key")).alias("hi"),
+        ).where(F.col("lo").isNotNull())
+        step = "interval 1 week" if unit == "week" else f"interval 1 {unit}"
+        axis = bounds.select(
+            F.explode(
+                F.expr(
+                    "sequence(timestamp_millis(lo), timestamp_millis(hi), " + step + ")"
+                )
+            ).alias("ts")
+        ).select(F.unix_millis("ts").alias("key"))
+        return axis.join(out, "key", "left").na.fill({"doc_count": 0})
     iv = fixed_interval_ms(dh.fixed_interval or "1s")
     lo = (dh.extended_bounds_min // iv * iv) if dh.extended_bounds_min is not None else None
     hi = (dh.extended_bounds_max // iv * iv) if dh.extended_bounds_max is not None else None
     bounds = out.agg(
-        (F.lit(lo) if lo is not None else F.min("key")).alias("lo"),
-        (F.lit(hi) if hi is not None else F.max("key")).alias("hi"),
+        (F.least(F.lit(lo), F.min("key"))
+         if lo is not None else F.min("key")).alias("lo"),
+        (F.greatest(F.lit(hi), F.max("key"))
+         if hi is not None else F.max("key")).alias("hi"),
     ).where(F.col("lo").isNotNull())
     axis = bounds.select(
         F.explode(F.sequence("lo", "hi", F.lit(iv).cast("long"))).alias("key")

@@ -96,7 +96,12 @@ class CompileContext:
         field = strip_keyword(field)
         if field in self.df.columns:
             return F.col(field)
+        if "." in field and field.split(".")[0] in self.df.columns:
+            # dotted path whose head is a typed column: struct field
+            # access (`process.serviceName`) — native Spark semantics
+            return F.col(field)
         if self.json_col:
+            # full dotted path over the JSON doc ($.process.serviceName)
             return F.get_json_object(F.col(self.json_col), f"$.{field}")
         return F.col(field)
 
@@ -106,6 +111,51 @@ class CompileContext:
             if f.name == field:
                 return f.dataType
         return None
+
+    def path_resolve(self, field: str):
+        """Dotted-path resolution against the TYPED schema.
+
+        Returns ("col", Column) for a scalar/struct path, or
+        ("array", array_col, rest) when the path crosses an
+        array<struct> — `rest` is the remaining path within each
+        element ("" when the path IS the array). Falls back to
+        ("col", resolve(field)) when the head segment isn't a typed
+        column (JSON docs resolve scalars through get_json_object)."""
+        field = strip_keyword(field)
+        segs = field.split(".")
+        names = {f.name: f.dataType for f in self.df.schema.fields}
+        if segs[0] not in names:
+            return ("col", self.resolve(field))
+        col, dtype = F.col(segs[0]), names[segs[0]]
+        for i, seg in enumerate(segs[1:], start=1):
+            if isinstance(dtype, T.ArrayType) and isinstance(dtype.elementType, T.StructType):
+                return ("array", col, ".".join(segs[i:]))
+            if isinstance(dtype, T.StructType) and seg in dtype.fieldNames():
+                col, dtype = col[seg], dtype[seg].dataType
+            else:
+                return ("col", self.resolve(field))
+        if isinstance(dtype, T.ArrayType) and isinstance(dtype.elementType, T.StructType):
+            return ("array", col, "")
+        return ("col", col)
+
+    def pred(self, field: str, fn) -> Column:
+        """Apply fn(value_column) -> boolean Column at a dotted path,
+        with ES object-array FLATTENING: a path crossing an
+        array<struct> (`tags.key`) matches when ANY element matches.
+        One array level (ES itself flattens arbitrarily, but a second
+        level needs an explicit `nested` query here)."""
+        r = self.path_resolve(field)
+        if r[0] == "array":
+            _, arr, rest = r
+            if not rest:
+                raise ValueError(
+                    f"field {field!r} is an object array; query its members "
+                    "(e.g. `{field}.key`) or use a `nested` query"
+                )
+            return F.coalesce(
+                F.exists(arr, lambda e: fn(_elem_get(e, rest))), F.lit(False)
+            )
+        return fn(r[1])
 
 
 def _range_bound(ctx: CompileContext, field: str, value) -> tuple[Column, Column]:
@@ -147,9 +197,129 @@ def _range_bound(ctx: CompileContext, field: str, value) -> tuple[Column, Column
     return col, F.lit(_literal(value) if isinstance(value, str) else value)
 
 
+def _elem_get(e: Column, rest: str) -> Column:
+    """Walk the remaining dotted path inside an array element (struct
+    field or map key access — both via getItem)."""
+    for seg in rest.split("."):
+        e = e[seg]
+    return e
+
+
+def _is_num(v) -> bool:
+    return isinstance(v, (int, float)) or (
+        isinstance(v, str) and v.lstrip("-").replace(".", "", 1).isdigit()
+    )
+
+
+def _elem_range_pred(c: Column, r: model.Range) -> Column:
+    """Range bounds against an array-element value: numeric bounds
+    compare as doubles (element values may be strings in JSON maps),
+    string bounds lexicographically."""
+
+    def cc(v):
+        return c.cast("double") if _is_num(v) else c
+
+    def lit(v):
+        return F.lit(float(v)) if _is_num(v) else F.lit(v)
+
+    p = F.lit(True)
+    if r.gte is not None:
+        p = p & (cc(r.gte) >= lit(r.gte))
+    if r.gt is not None:
+        p = p & ((cc(r.gt) >= lit(r.gt)) if r.include_lower else (cc(r.gt) > lit(r.gt)))
+    if r.lte is not None:
+        p = p & (cc(r.lte) <= lit(r.lte))
+    if r.lt is not None:
+        p = p & ((cc(r.lt) <= lit(r.lt)) if r.include_upper else (cc(r.lt) < lit(r.lt)))
+    return p
+
+
+def _nested_pred_fn(q: model.Query, path: str):
+    """Inner-query compiler for `nested`: returns fn(element) -> bool
+    Column. Fields address the element either by full path (`tags.key`,
+    the ES convention) or relative (`key`). Supported inner forms:
+    bool/term/terms/range/exists/match_all/match(-as-term) — the
+    filter-context subset (score_mode fixed at none)."""
+
+    def rel(field: str) -> str:
+        field = strip_keyword(field)
+        return field[len(path) + 1:] if field.startswith(path + ".") else field
+
+    def fn(e: Column) -> Column:
+        preds: list[Column] = []
+        if q.match_all:
+            preds.append(F.lit(True))
+        for field, t in q.term.items():
+            preds.append(_elem_get(e, rel(field)) == F.lit(_literal(t.value)))
+        for field, m in q.match.items():
+            # inside nested, match == term equality (reference treats
+            # match as a "glorified terms query", sql.go:126-141)
+            preds.append(_elem_get(e, rel(field)) == F.lit(_literal(m.query)))
+        for field, ts in q.terms.items():
+            preds.append(
+                _elem_get(e, rel(field)).isin([_literal(str(v)) for v in ts.values])
+            )
+        if q.exists is not None:
+            preds.append(_elem_get(e, rel(q.exists)).isNotNull())
+        for field, r in q.range.items():
+            preds.append(_elem_range_pred(_elem_get(e, rel(field)), r))
+        if q.bool_ is not None:
+            b = q.bool_
+            for sub in b.must + b.filter:
+                preds.append(_nested_pred_fn(sub, path)(e))
+            if b.should:
+                preds.append(_or_all([_nested_pred_fn(s, path)(e) for s in b.should]))
+            if b.must_not:
+                preds.append(
+                    ~_or_all([
+                        F.coalesce(_nested_pred_fn(s, path)(e), F.lit(False))
+                        for s in b.must_not
+                    ])
+                )
+        if not preds:
+            raise ValueError(
+                "unsupported query form inside `nested` (supported: bool/"
+                "term/terms/range/exists/match_all/match)"
+            )
+        return _and_all(preds)
+
+    return fn
+
+
+def compile_nested(ctx: CompileContext, n: model.Nested) -> Column:
+    """ES `nested` query: inner clauses must co-match within ONE element
+    of the object array at `path` — per-element `F.exists`, so the
+    predicate stays a row-local JVM expression (no explode, no shuffle,
+    no row multiplication at any corpus size)."""
+    path = strip_keyword(n.path)
+    r = ctx.path_resolve(path)
+    if r[0] == "array" and r[2] == "":
+        arr = r[1]
+    elif ctx.json_col and path.split(".")[0] not in ctx.df.columns:
+        # JSON-doc indices (bulk/single-doc ingest): parse the array at
+        # $.path once per row into flat string maps — scalars coerce to
+        # their string forms ("true", "200"), matching the reference's
+        # everything-is-text JSON_EXTRACT comparisons
+        arr = F.from_json(
+            F.get_json_object(F.col(ctx.json_col), f"$.{path}"),
+            T.ArrayType(T.MapType(T.StringType(), T.StringType())),
+        )
+    else:
+        raise ValueError(f"nested path {path!r} does not resolve to an object array")
+    return F.coalesce(F.exists(arr, _nested_pred_fn(n.query, path)), F.lit(False))
+
+
 def compile_range(ctx: CompileContext, ranges: dict[str, model.Range]) -> Column:
     preds = []
     for field, r in ranges.items():
+        pr = ctx.path_resolve(field)
+        if pr[0] == "array":
+            # dotted path crossing an object array: ES flattening — any
+            # element's value may satisfy the range
+            preds.append(ctx.pred(field, lambda c, r=r: _elem_range_pred(c, r)))
+            if ctx.quirk_first_range_only:
+                break
+            continue
         p = F.lit(True)
         if r.gte is not None:
             c, v = _range_bound(ctx, field, r.gte)
@@ -243,11 +413,18 @@ def compile_query(ctx: CompileContext, q: model.Query | None, scoring: bool = Tr
     if q.match_all:
         preds.append(F.lit(True))
     for field, t in q.term.items():
-        preds.append(ctx.resolve(field) == F.lit(_literal(t.value)))
+        preds.append(ctx.pred(field, lambda c, t=t: c == F.lit(_literal(t.value))))
     for field, ts in q.terms.items():
-        preds.append(ctx.resolve(field).isin([_literal(str(v)) for v in ts.values]))
+        preds.append(
+            ctx.pred(field, lambda c, ts=ts: c.isin([_literal(str(v)) for v in ts.values]))
+        )
     if q.exists is not None:
-        preds.append(ctx.resolve(q.exists).isNotNull())
+        r = ctx.path_resolve(q.exists)
+        if r[0] == "array" and r[2] == "":
+            # exists on an object-array path: any element present
+            preds.append(F.coalesce(F.size(r[1]) > 0, F.lit(False)))
+        else:
+            preds.append(ctx.pred(q.exists, lambda c: c.isNotNull()))
     if q.ids is not None:
         if ctx.id_col is None:
             raise ValueError("ids query requires an index with an id column")
@@ -371,6 +548,8 @@ def compile_query(ctx: CompileContext, q: model.Query | None, scoring: bool = Tr
             preds.append(_or_all(
                 [compile_query(ctx, b, False) for b in q.dis_max.queries]
             ))
+    if q.nested is not None:
+        preds.append(compile_nested(ctx, q.nested))
     if q.bool_ is not None:
         b = q.bool_
         for sub in b.must:

@@ -167,6 +167,19 @@ class FunctionScore:
 
 
 @dataclass
+class Nested:
+    """ES `nested` query: the inner query must match WITHIN one element
+    of the array at `path` (per-element AND, not cross-element). The
+    reference parses no `nested`, but its own Jaeger fixtures carry
+    nested tag arrays (pkg/server/testdata/bulk-1.ndjson:4 `tags:
+    [{key,value}]`) that are unreachable without it — ES-correct
+    extension. score_mode is fixed at "none" (filter semantics)."""
+
+    path: str
+    query: "Query" = None  # type: ignore[assignment]
+
+
+@dataclass
 class Query:
     match: dict[str, Match] = field(default_factory=dict)
     # further ES-correct query forms absent from the reference's DSL
@@ -198,6 +211,7 @@ class Query:
     constant_score: ConstantScore | None = None
     dis_max: DisMax | None = None
     function_score: FunctionScore | None = None
+    nested: Nested | None = None
 
 
 @dataclass
@@ -537,6 +551,11 @@ def _parse_query(raw: dict) -> Query:
         )
         if not q.dis_max.queries:
             raise ValueError("dis_max requires at least one sub-query")
+    if "nested" in raw:
+        nn = raw["nested"]
+        if "path" not in nn or "query" not in nn:
+            raise ValueError("nested requires `path` and `query`")
+        q.nested = Nested(path=str(nn["path"]), query=_parse_query(nn["query"]))
     if "term" in raw:
         q.term = _parse_term(raw["term"])
     if "range" in raw:

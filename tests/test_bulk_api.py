@@ -171,6 +171,55 @@ def test_cluster_status_impersonation(spark):
     assert e.cluster_info() == cs
 
 
+def test_nested_query_on_reference_jaeger_fixture(loaded):
+    """VERDICT r4 #3: the reference's own Jaeger spans carry
+    tags:[{key,type,value}] arrays its DSL cannot reach (bulk-1.ndjson:4).
+    `nested` + dotted paths make them addressable over the JSON docs."""
+    e, _ = loaded
+    # co-match within ONE tag element: key AND value in the same element
+    r = e.search("jaeger-span-2022-11-11", {"query": {"nested": {
+        "path": "tags",
+        "query": {"bool": {"must": [
+            {"term": {"tags.key": "http.url"}},
+            {"term": {"tags.value": "/jquery-3.1.1.min.js"}},
+        ]}},
+    }}, "size": 10})
+    # both 2022 spans carry http.url=/jquery-3.1.1.min.js (bulk-1.ndjson)
+    assert r["hits"]["total"]["value"] == 2
+    assert sorted(h["_source"]["traceID"] for h in r["hits"]["hits"]) == [
+        "7d67acc7b4eafa69", "9d67acc7b4eafa69"]
+    # the SAME two terms WITHOUT nested must NOT co-match across elements
+    # of one doc unless each matches some element: key exists in all docs
+    # but that value exists in exactly one
+    r2 = e.search("jaeger-span-2022-11-11", {"query": {"nested": {
+        "path": "tags",
+        "query": {"bool": {"must": [
+            {"term": {"tags.key": "http.method"}},
+            {"term": {"tags.value": "/jquery-3.1.1.min.js"}},
+        ]}},
+    }}, "size": 10})
+    assert r2["hits"]["total"]["value"] == 0  # no single element has both
+    # dotted SCALAR path over the JSON doc: process.serviceName
+    r3 = e.search("jaeger-span-2022-11-11", {
+        "query": {"term": {"process.serviceName": "frontend"}}, "size": 10})
+    assert r3["hits"]["total"]["value"] == 2
+    # nested path inside a struct: process.tags
+    r4 = e.search("jaeger-span-2022-11-11", {"query": {"nested": {
+        "path": "process.tags",
+        "query": {"term": {"process.tags.key": "hostname"}},
+    }}, "size": 10})
+    assert r4["hits"]["total"]["value"] == 2
+    # numeric string coercion inside elements: status_code range
+    r5 = e.search("jaeger-span-2022-11-11", {"query": {"nested": {
+        "path": "tags",
+        "query": {"bool": {"must": [
+            {"term": {"tags.key": "http.status_code"}},
+            {"range": {"tags.value": {"gte": 200, "lt": 300}}},
+        ]}},
+    }}, "size": 10})
+    assert r5["hits"]["total"]["value"] == 2
+
+
 def test_ping_and_default_handler(spark):
     # HEAD / (admin.go:13-16) and the catch-all 501 (admin.go:74-85)
     e = Engine(spark)
