@@ -194,8 +194,58 @@ def test_multimodal_feature_plumbing(spark):
     assert [r["feature"] for r in feats] == [r["feature"] for r in again]
     resized = resize_images(media, 64, 64).collect()
     assert all(r["width"] == 64 and r["height"] == 64 for r in resized)
-    with pytest.raises(NotImplementedError):
-        extract_features(media, fake=False).count()
+
+
+def _tiny_png(pixels: list[list[int]]) -> bytes:
+    """Minimal grayscale PNG writer (pure stdlib) so the REAL decode
+    path can be exercised without PIL being needed to BUILD fixtures."""
+    import struct
+    import zlib
+
+    h, w = len(pixels), len(pixels[0])
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)  # 8-bit grayscale
+    raw = b"".join(b"\x00" + bytes(row) for row in pixels)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+
+def test_multimodal_real_decode_or_explicit_error(spark):
+    """VERDICT r4 #6: when PIL exists the real path decodes actual
+    image bytes; when it does not, fake=False raises the explicit
+    NotImplementedError (never a silent fake fallback)."""
+    from gopensearch_spark.datapipe.multimodal import (
+        MEDIA_SCHEMA, extract_features, has_ffmpeg, has_pil,
+        resize_images, sample_frames,
+    )
+
+    png = _tiny_png([[0, 255], [255, 0]])
+    media = spark.createDataFrame(
+        [(1, "image/png", png, 2, 2, None, None)], MEDIA_SCHEMA)
+    if has_pil():
+        feats = extract_features(media, dim=4, fake=False).collect()
+        assert len(feats) == 1 and len(feats[0]["feature"]) == 4
+        assert all(0.0 <= v <= 1.0 for v in feats[0]["feature"])
+        # deterministic real decode
+        again = extract_features(media, dim=4, fake=False).collect()
+        assert feats[0]["feature"] == again[0]["feature"]
+        resized = resize_images(media, 4, 4, fake=False).collect()
+        assert resized[0]["width"] == 4 and resized[0]["height"] == 4
+        assert resized[0]["payload"][:8] == b"\x89PNG\r\n\x1a\n"
+    else:
+        with pytest.raises(NotImplementedError, match="Pillow"):
+            extract_features(media, fake=False).count()
+        with pytest.raises(NotImplementedError, match="Pillow"):
+            resize_images(media, 4, 4, fake=False).count()
+    if not has_ffmpeg():
+        vids = spark.createDataFrame(
+            [(1, "video/mp4", b"x", None, None, None, 3000)], MEDIA_SCHEMA)
+        with pytest.raises(NotImplementedError, match="ffmpeg"):
+            sample_frames(vids, fake=False).count()
 
 
 def test_connected_components_chain_and_singletons(spark):
