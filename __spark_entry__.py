@@ -52,6 +52,12 @@ def _index_dir(spark: SparkSession, sf_dir: str) -> str:
             with_positions=True,
             input_lineage=f"{sf_dir}/documents.parquet",
         )
+    # serving posture: pin the blocks table in memory partitioned by
+    # seg_id (one-time shuffle) so every wand query is a single
+    # shuffle-free kernel stage over cached batches (readers.warm_index)
+    from gopensearch_spark.search import warm_index
+
+    warm_index(spark, out)
     _INDEX_CACHE[sf_dir] = out
     return out
 

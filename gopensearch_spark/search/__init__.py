@@ -6,4 +6,5 @@ from gopensearch_spark.search.phrase import (  # noqa: F401
     phrase_prefix_match,
     prefix_match,
 )
+from gopensearch_spark.search.readers import warm_index  # noqa: F401
 from gopensearch_spark.search.wand import wand_match  # noqa: F401

@@ -20,6 +20,43 @@ from gopensearch_spark.index.builder import read_corpus_stats, resolve_index_dir
 _DF_CACHE: dict[tuple[int, str, str], DataFrame] = {}
 _STATS_CACHE: dict[str, tuple[float, dict]] = {}
 _TERM_DF_CACHE: dict[tuple[int, str], dict[str, int]] = {}
+_HOT_BLOCKS: dict[tuple[int, str], DataFrame] = {}
+
+
+def warm_index(spark: SparkSession, index_dir: str) -> DataFrame:
+    """Pin the blocks table in memory, hash-partitioned by seg_id — the
+    serving-cluster posture for a HOT index.
+
+    Once warmed, every wand/phrase query's per-segment kernel reads the
+    in-memory relation with NO per-query parquet scan and NO per-query
+    shuffle: HashPartitioning(seg_id) already satisfies the
+    applyInPandas ClusteredDistribution, so the query plan is one
+    kernel stage over cached batches (InMemoryTableScan prunes batches
+    on the pushed term predicate via per-batch column stats). The warm
+    is explicit opt-in — a 10^12-doc index does not fit executor
+    memory, but the exact same call scales to 'pin the head-term
+    term_buckets of a hot shard', and MEMORY_AND_DISK degrades
+    gracefully. Writers invalidate() this cache like every other
+    handle."""
+    from pyspark.storagelevel import StorageLevel
+
+    key = (id(spark), resolve_index_dir(index_dir))
+    df = _HOT_BLOCKS.get(key)
+    if df is None:
+        df = (
+            index_table(spark, index_dir, "blocks")
+            .repartition("seg_id")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        df.count()  # materialize before first query
+        _HOT_BLOCKS[key] = df
+    return df
+
+
+def hot_blocks(spark: SparkSession, index_dir: str) -> DataFrame | None:
+    """The warmed blocks relation, or None when the index isn't hot
+    (queries then read parquet as usual — warming is never implicit)."""
+    return _HOT_BLOCKS.get((id(spark), resolve_index_dir(index_dir)))
 
 
 def index_table(spark: SparkSession, index_dir: str, name: str) -> DataFrame:
@@ -82,14 +119,20 @@ def invalidate(index_dir: str | None = None) -> None:
     """Drop cached handles (all, or one index) — call after a rebuild.
     Prefix-matched: cache keys may hold generation subdirs of the index
     (``<dir>/gen-N``), which must invalidate with their root."""
-    global _DF_CACHE, _STATS_CACHE, _TERM_DF_CACHE
+    global _DF_CACHE, _STATS_CACHE, _TERM_DF_CACHE, _HOT_BLOCKS
     if index_dir is None:
-        _DF_CACHE, _STATS_CACHE, _TERM_DF_CACHE = {}, {}, {}
+        for df in _HOT_BLOCKS.values():
+            df.unpersist()
+        _DF_CACHE, _STATS_CACHE, _TERM_DF_CACHE, _HOT_BLOCKS = {}, {}, {}, {}
         return
 
     def _keep(path: str) -> bool:
         return path != index_dir and not path.startswith(index_dir.rstrip(os.sep) + os.sep)
 
+    for k, df in list(_HOT_BLOCKS.items()):
+        if not _keep(k[1]):
+            df.unpersist()
+            del _HOT_BLOCKS[k]
     _DF_CACHE = {k: v for k, v in _DF_CACHE.items() if _keep(k[1])}
     _STATS_CACHE = {k: v for k, v in _STATS_CACHE.items() if _keep(k)}
     _TERM_DF_CACHE = {k: v for k, v in _TERM_DF_CACHE.items() if _keep(k[1])}

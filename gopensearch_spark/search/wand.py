@@ -305,7 +305,9 @@ def wand_match(
     terms = sorted(set(normalize_query_terms(query)))
     if not terms:
         raise ValueError("empty query after tokenization")
-    from gopensearch_spark.search.readers import corpus_stats, index_table, term_dfs
+    from gopensearch_spark.search.readers import (
+        corpus_stats, hot_blocks, index_table, term_dfs,
+    )
 
     stats = corpus_stats(index_dir)
     n_docs, avgdl = stats["n_docs"], stats["avg_doc_len"]
@@ -319,9 +321,17 @@ def wand_match(
     present = sorted(idfs)
     dfs = {t: all_dfs[t] for t in present}
 
-    blocks = index_table(spark, index_dir, "blocks").where(
-        F.col("term_bucket").isin(buckets) & F.col("term").isin(present)
-    )
+    # a warmed index (readers.warm_index) serves from the in-memory
+    # seg_id-partitioned relation: no parquet scan, no shuffle — the
+    # kernel stage reads cached batches directly (batch-stats pruning
+    # replaces term_bucket partition pruning)
+    hot = hot_blocks(spark, index_dir)
+    if hot is not None:
+        blocks = hot.where(F.col("term").isin(present))
+    else:
+        blocks = index_table(spark, index_dir, "blocks").where(
+            F.col("term_bucket").isin(buckets) & F.col("term").isin(present)
+        )
     # Bound each segment group's materialized rows (see _prefilter_blocks).
     # Engages only past the postings threshold AND on indexes whose block
     # format carries the lower-bound columns (round-4 format).

@@ -379,6 +379,33 @@ def test_decontaminate_broadcasts_benchmark(spark, docs_small):
     assert plan.count("Exchange hashpartitioning") <= 1, plan
 
 
+def test_warm_index_serves_without_per_query_shuffle(spark, index_small):
+    """VERDICT r4 #8: after warm_index, a wand query's plan is ONE
+    kernel stage over the cached seg_id-partitioned relation — no
+    per-query Exchange, no parquet FileScan — and results are identical
+    to the cold path."""
+    from gopensearch_spark.search import wand_match, warm_index
+    from gopensearch_spark.search.readers import invalidate
+
+    cold = [(int(r.doc_id), round(float(r.score), 9))
+            for r in wand_match(spark, index_small, ["spark", "join"],
+                                k=10, mode="and").collect()]
+    warm_index(spark, index_small)
+    try:
+        df = wand_match(spark, index_small, ["spark", "join"], k=10, mode="and")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # the only Exchange lives INSIDE the cached InMemoryRelation's
+        # one-time build plan; the query side above the scan has none
+        query_side = plan.split("InMemoryRelation")[0]
+        assert "InMemoryTableScan" in plan
+        assert "Exchange" not in query_side, query_side
+        assert "FileScan" not in query_side, query_side
+        hot = [(int(r.doc_id), round(float(r.score), 9)) for r in df.collect()]
+        assert hot == cold
+    finally:
+        invalidate(index_small)  # leave no hot state for other tests
+
+
 def test_cosine_topk_norms_precomputed_below_join(spark):
     """VERDICT r4 #2: a corpus row's norm must be computed ONCE per row
     (below the crossJoin), never re-derived for every query it meets —
