@@ -139,7 +139,10 @@ def _build_web_pages(spark, sf_dir: str, copies: int, out: str) -> str:
     from gopensearch_spark.webtext import synth_web_pages
 
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
-        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        # repartition the SEED before the copies-explode: one small
+        # parquet file = one scan partition, so without this the whole
+        # copies x docs synthesis runs as a single serial task
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).repartition(64)
         # 64 files so the scan stage parallelizes at every cluster size
         # (one small parquet file = one scan partition = serial tokenize)
         synth_web_pages(spark, docs, copies=copies).repartition(64).write.mode(

@@ -237,6 +237,7 @@ def rrf_fuse(
     k: int = 60,
     size: int = 10,
     id_col: str = "doc_id",
+    max_input_rows: int = 10_000,
 ) -> DataFrame:
     """Reciprocal Rank Fusion (Cormack & Clarke, SIGIR 2009) over N
     ranked retrieval relations — the standard lexical+vector hybrid:
@@ -253,7 +254,17 @@ def rrf_fuse(
     if not relations:
         raise ValueError("rrf_fuse needs at least one ranked relation")
     parts = []
-    for rel in relations:
+    for i, rel in enumerate(relations):
+        # the global rank window below is safe ONLY because inputs are
+        # each engine's top-N — make the contract explicit: an unbounded
+        # relation (someone fusing a raw corpus) fails loudly instead of
+        # funneling everything through one window partition
+        n = rel.limit(max_input_rows + 1).count()
+        if n > max_input_rows:
+            raise ValueError(
+                f"rrf_fuse input #{i} exceeds max_input_rows={max_input_rows} "
+                "— pass each system's TOP-N relation, not its full scored corpus"
+            )
         w = Window.orderBy(F.desc("score"), F.asc(id_col))
         parts.append(
             rel.select(id_col, "score")
