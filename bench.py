@@ -334,12 +334,15 @@ def bench_query_leg(copies: int) -> dict:
     serving set + a prefix query, per-query best-of-3 minima."""
     import time as _t
 
-    from gopensearch_spark.search import prefix_match, wand_match, warm_index
+    from gopensearch_spark.search import prefix_match, wand_match
     from gopensearch_spark.session import get_spark
 
     spark = get_spark("bench-qleg", master=f"local[{CPUS}]")
     idx = f"/tmp/gopensearch_bench/idx_wvf_x{copies}"
-    warm_index(spark, idx)  # serving posture: hot blocks, no per-query shuffle
+    # COLD serving path (parquet pruning + per-query shuffle), matching
+    # the r3/r4 methodology. The hot in-memory cache (readers.warm_index)
+    # wins at sf0.1-scale indexes but is a wash at 6M docs (BENCH.md
+    # round-5 hot-cache section), so scaling legs stay comparable.
     wand_match(spark, idx, ["data"], k=5, mode="or").collect()  # warm JVM/Arrow
     times: dict[str, float] = {}
     for name, terms, mode, k in QSCALE_SET:

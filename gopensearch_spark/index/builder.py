@@ -303,7 +303,7 @@ def _encoders(block_codec: str):
     raise ValueError(f"unknown block codec {block_codec!r}")
 
 
-def _make_segment_blocks_kernel(block_codec: str = "varint"):
+def _make_segment_blocks_kernel(block_codec: str = "pfor"):
     enc_ids, enc_vals = _encoders(block_codec)
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -382,7 +382,7 @@ def build_postings(
     mode: str = "overwrite",
     build_blocks: bool = True,
     with_positions: bool = False,
-    block_codec: str = "varint",
+    block_codec: str = "pfor",
     batch_id: int | None = None,
 ) -> None:
     """One build pass over ``docs``.
@@ -540,7 +540,7 @@ def _write_blocks_from_postings(
     blocks_path: str,
     term_buckets: int,
     num_segments: int,
-    block_codec: str = "varint",
+    block_codec: str = "pfor",
     batch_id: int | None = None,
 ) -> None:
     """Blocks derived from the WRITTEN postings parquet.
@@ -590,7 +590,7 @@ def finalize_stats(
     out_dir: str,
     term_buckets: int = DEFAULT_TERM_BUCKETS,
     with_positions: bool = False,
-    block_codec: str = "varint",
+    block_codec: str = "pfor",
     num_segments: int = DEFAULT_NUM_SEGMENTS,
     build_blocks: bool = True,
     derive_doc_stats: bool | None = None,
@@ -694,7 +694,7 @@ def refresh_corpus_stats(
     out_dir: str,
     term_buckets: int = DEFAULT_TERM_BUCKETS,
     with_positions: bool = False,
-    block_codec: str = "varint",
+    block_codec: str = "pfor",
 ) -> dict:
     """N/avgdl/total_tokens from a FULL scan of doc_stats (one row per
     doc, never the postings) -> corpus_stats.json. This is the batch
@@ -733,7 +733,7 @@ def fold_corpus_stats(
     out_dir: str,
     term_buckets: int = DEFAULT_TERM_BUCKETS,
     with_positions: bool = False,
-    block_codec: str = "varint",
+    block_codec: str = "pfor",
 ) -> dict:
     """Streaming-path stats refresh: sum the per-batch (n_docs,
     total_tokens) delta rows written by build_postings(batch_id=N) —
@@ -851,7 +851,7 @@ def build_index(
     num_segments: int | None = DEFAULT_NUM_SEGMENTS,
     build_blocks: bool = True,
     with_positions: bool = False,
-    block_codec: str = "varint",
+    block_codec: str = "pfor",
     input_lineage: str = "",
 ) -> dict:
     """Full resumable build: slices -> postings -> derived tables + stats.

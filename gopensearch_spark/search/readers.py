@@ -43,9 +43,17 @@ def warm_index(spark: SparkSession, index_dir: str) -> DataFrame:
     key = (id(spark), resolve_index_dir(index_dir))
     df = _HOT_BLOCKS.get(key)
     if df is None:
+        # sortWithinPartitions(term) is what makes the cache PRUNE: the
+        # cached relation keeps per-batch column min/max stats, and a
+        # term-clustered layout lets InMemoryTableScan skip every batch
+        # outside the query's terms (the in-memory analogue of the
+        # term_bucket partition pruning the parquet path gets). Without
+        # it each query scans ALL cached batches — measured 2.8x SLOWER
+        # than the cold path on a 6M-doc index.
         df = (
             index_table(spark, index_dir, "blocks")
             .repartition("seg_id")
+            .sortWithinPartitions("term")
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
         df.count()  # materialize before first query

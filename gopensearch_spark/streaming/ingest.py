@@ -62,6 +62,17 @@ def _make_batch_handler(
 ):
     from gopensearch_spark.webtext import prepare_corpus
 
+    # codec continuity: appending to an EXISTING index must keep writing
+    # that index's block codec — a default flip (varint -> pfor, round 5)
+    # must never mix codecs inside one index, because the reader resolves
+    # ONE codec per index from corpus_stats
+    try:
+        from gopensearch_spark.index.builder import read_corpus_stats
+
+        block_codec = read_corpus_stats(index_dir).get("block_codec", block_codec)
+    except (OSError, ValueError):
+        pass  # fresh index: the requested codec applies
+
     def handle(batch_df, batch_id: int) -> None:
         if os.path.exists(_batch_ckpt(index_dir, batch_id)):
             return  # replayed batch after restart: already committed
@@ -128,7 +139,7 @@ def start_streaming_index(
     term_buckets: int = 16,
     num_segments: int = 8,
     with_positions: bool = False,
-    block_codec: str = "varint",
+    block_codec: str = "pfor",
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
     compact_every: int | None = None,
