@@ -722,11 +722,100 @@ def _zero_fill_buckets(out: DataFrame, dh: model.DateHistogram) -> DataFrame:
     return axis.join(out, "key", "left").na.fill({"doc_count": 0})
 
 
+class _NestedElemContext(CompileContext):
+    """Sub-agg compile context inside a `nested` aggregation: fields
+    address one exploded array element (`__elem`), by full path
+    (`tags.key`, the ES convention) or relative (`key`)."""
+
+    def __init__(self, base: CompileContext, df: DataFrame, path: str,
+                 elem_type) -> None:
+        super().__init__(
+            df=df, json_col=None, date_fields=base.date_fields,
+            quirk_should_is_and=base.quirk_should_is_and,
+            quirk_first_range_only=base.quirk_first_range_only,
+            id_col=None, fulltext_predicate=None,
+        )
+        self._path = path
+        self._elem_type = elem_type
+
+    def _rel(self, field: str) -> str:
+        from gopensearch_spark.dsl.compiler import strip_keyword
+
+        f = strip_keyword(field)
+        return f[len(self._path) + 1:] if f.startswith(self._path + ".") else f
+
+    def resolve(self, field: str) -> Column:
+        col = F.col("__elem")
+        f = self._rel(field)
+        if f == self._path or f == "":
+            return col
+        for seg in f.split("."):
+            col = col[seg]
+        return col
+
+    def field_type(self, field: str):
+        dtype = self._elem_type
+        for seg in self._rel(field).split("."):
+            if isinstance(dtype, T.StructType) and seg in dtype.fieldNames():
+                dtype = dtype[seg].dataType
+            else:
+                return None  # map elements (JSON docs): string values
+        return dtype
+
+
+def _nested_elements(
+    ctx: CompileContext, filtered: DataFrame, path: str
+) -> tuple[DataFrame, "_NestedElemContext"]:
+    """One row per array element at `path` (explode is a row-local
+    lateral view — no shuffle; the sub-agg's own hash aggregation is the
+    only exchange, exactly as for a document-level agg)."""
+    from gopensearch_spark.dsl.compiler import strip_keyword
+
+    path = strip_keyword(path)
+    r = ctx.path_resolve(path)
+    if r[0] == "array" and r[2] == "":
+        arr = r[1]
+        # walk the schema for the element type
+        dtype = None
+        cur = ctx.df.schema
+        for seg in path.split("."):
+            if isinstance(cur, T.StructType) and seg in cur.fieldNames():
+                cur = cur[seg].dataType
+            else:
+                cur = None
+                break
+        if isinstance(cur, T.ArrayType):
+            dtype = cur.elementType
+    elif ctx.json_col and path.split(".")[0] not in ctx.df.columns:
+        arr = F.from_json(
+            F.get_json_object(F.col(ctx.json_col), f"$.{path}"),
+            T.ArrayType(T.MapType(T.StringType(), T.StringType())),
+        )
+        dtype = T.MapType(T.StringType(), T.StringType())
+    else:
+        raise ValueError(f"nested agg path {path!r} does not resolve to an object array")
+    elems = filtered.select(F.explode(arr).alias("__elem"))
+    return elems, _NestedElemContext(ctx, elems, path, dtype)
+
+
 def compile_aggs(
     ctx: CompileContext, filtered: DataFrame, aggs: dict[str, model.Aggregate],
     background: DataFrame | None = None,
     index_spec=None,
 ) -> dict[str, tuple[str, DataFrame]]:
-    return {label: compile_agg(ctx, filtered, a, background=background,
-                               index_spec=index_spec)
-            for label, a in aggs.items()}
+    out: dict[str, tuple[str, DataFrame]] = {}
+    for label, a in aggs.items():
+        if a.nested is not None:
+            # flattened contract: the parent label carries the element
+            # count; each sub-agg rides as "<label>><sublabel>" and the
+            # response shaper reassembles the ES nesting
+            elems, ectx = _nested_elements(ctx, filtered, a.nested.path)
+            out[label] = ("nested_count", elems.agg(F.count("*").alias("doc_count")))
+            for sublabel, kd in compile_aggs(
+                ectx, elems, a.aggs, background=background, index_spec=index_spec
+            ).items():
+                out[f"{label}>{sublabel}"] = kd
+            continue
+        out[label] = compile_agg(ctx, filtered, a, background=background,
+                                 index_spec=index_spec)
+    return out

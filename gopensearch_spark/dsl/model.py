@@ -364,8 +364,18 @@ class CompositeAgg:
 
 
 @dataclass
+class NestedAgg:
+    """ES `nested` aggregation: sub-aggs run over the ELEMENTS of the
+    object array at `path` (one row per element), not over documents —
+    the facet shape for Jaeger-style tags:[{key,value}] arrays."""
+
+    path: str
+
+
+@dataclass
 class Aggregate:
     terms: AggTerms | None = None
+    nested: NestedAgg | None = None
     composite: CompositeAgg | None = None
     date_histogram: DateHistogram | None = None
     histogram: Histogram | None = None
@@ -603,6 +613,8 @@ def _as_query_list(raw) -> list[Query]:
 
 def _parse_agg(raw: dict) -> Aggregate:
     a = Aggregate()
+    if "nested" in raw:
+        a.nested = NestedAgg(path=str(raw["nested"]["path"]))
     if "terms" in raw:
         t = raw["terms"]
         order = t.get("order") or {"_count": "desc"}

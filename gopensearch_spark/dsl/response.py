@@ -36,6 +36,123 @@ def _bucket_key(v):
     return v if isinstance(v, str) else v
 
 
+def _shape_agg(kind: str, rws) -> dict:
+    """One collected agg relation -> its ES response fragment."""
+    if kind == "nested_count":
+        return {
+            "doc_count": int(rws[0]["doc_count"]) if rws else 0
+        }
+    elif kind == "metric":
+        return {"value": _json_safe(rws[0]["value"]) if rws else None}
+    elif kind == "stats":
+        if rws:
+            r0 = rws[0].asDict()
+            return {
+                "count": int(r0["count"]),
+                "min": _json_safe(r0["min"]),
+                "max": _json_safe(r0["max"]),
+                "avg": _json_safe(r0["avg"]),
+                "sum": _json_safe(r0["sum"]),
+            }
+        else:
+            return {"count": 0, "min": None, "max": None,
+                           "avg": None, "sum": 0.0}
+    elif kind == "filters":
+        # ES keyed form: named buckets as an object, request order
+        return {"buckets": {
+            r["key"]: {"doc_count": int(r["doc_count"])} for r in rws
+        }}
+    elif kind == "composite":
+        # multi-key buckets: {"key": {src: val, ...}, "doc_count"}
+        # + after_key (the LAST page's key — the client's cursor
+        # for the next page), exactly the ES pagination contract
+        buckets = []
+        for r in rws:
+            d = r.asDict()
+            b = {
+                "key": {k: _json_safe(v)
+                        for k, v in d.pop("key").asDict().items()},
+                "doc_count": int(d.pop("doc_count")),
+            }
+            for sublabel, v in d.items():
+                b[sublabel] = {"value": _json_safe(v)}
+            buckets.append(b)
+        out = {"buckets": buckets}
+        if buckets:
+            out["after_key"] = buckets[-1]["key"]
+        return out
+    elif kind == "extended_stats":
+        if rws:
+            r0 = rws[0].asDict()
+            return {
+                "count": int(r0["count"]),
+                **{k: _json_safe(r0[k]) for k in
+                   ("min", "max", "avg", "sum", "sum_of_squares",
+                    "variance", "std_deviation")},
+            }
+        else:
+            return {"count": 0}
+    elif kind == "global":
+        if rws:
+            d = rws[0].asDict()
+            g = {"doc_count": int(d.pop("doc_count"))}
+            for sublabel, v in d.items():
+                g[sublabel] = {"value": _json_safe(v)}
+            return g
+        else:
+            return {"doc_count": 0}
+    elif kind == "sig_buckets":
+        return {"buckets": [
+            {
+                "key": _bucket_key(r["key"]),
+                "doc_count": int(r["doc_count"]),
+                "bg_count": int(r["bg_count"]),
+                "score": float(r["score"]),
+            }
+            for r in rws
+        ]}
+    elif kind == "tophits":
+        # terms buckets whose array-valued sub-labels are the
+        # per-bucket top_hits (ES hits envelope); scalar
+        # sub-labels stay metric-shaped
+        buckets = []
+        for r in rws:
+            d = r.asDict()
+            b = {"key": _bucket_key(d.pop("key")),
+                 "doc_count": int(d.pop("doc_count"))}
+            for sublabel, v in d.items():
+                if isinstance(v, list):
+                    b[sublabel] = {"hits": {"hits": [
+                        {"_source": {k: _json_safe(x)
+                                     for k, x in h.asDict().items()}}
+                        for h in (v or [])
+                    ]}}
+                else:
+                    b[sublabel] = {"value": _json_safe(v)}
+            buckets.append(b)
+        return {"buckets": buckets}
+    elif kind == "percentiles":
+        if rws:
+            r0 = rws[0]
+            return {"values": {
+                str(float(p)): _json_safe(v)
+                for p, v in zip(r0["percents"], r0["values"])
+            }}
+        else:
+            return {"values": {}}
+    else:
+        buckets = []
+        for r in rws:
+            d = r.asDict()
+            b = {"key": _bucket_key(d.pop("key")), "doc_count": int(d.pop("doc_count"))}
+            for sublabel, v in d.items():
+                b[sublabel] = {"value": _json_safe(v)}
+            buckets.append(b)
+        return {"buckets": buckets}
+
+
+
+
 def shape_response(index: str, rows, agg_rows: dict, id_col: str, took_ms: int) -> dict:
     hits = []
     for i, r in enumerate(rows):
@@ -61,111 +178,12 @@ def shape_response(index: str, rows, agg_rows: dict, id_col: str, took_ms: int) 
     if agg_rows:
         aggs = {}
         for label, (kind, rws) in agg_rows.items():
-            if kind == "metric":
-                aggs[label] = {"value": _json_safe(rws[0]["value"]) if rws else None}
-            elif kind == "stats":
-                if rws:
-                    r0 = rws[0].asDict()
-                    aggs[label] = {
-                        "count": int(r0["count"]),
-                        "min": _json_safe(r0["min"]),
-                        "max": _json_safe(r0["max"]),
-                        "avg": _json_safe(r0["avg"]),
-                        "sum": _json_safe(r0["sum"]),
-                    }
-                else:
-                    aggs[label] = {"count": 0, "min": None, "max": None,
-                                   "avg": None, "sum": 0.0}
-            elif kind == "filters":
-                # ES keyed form: named buckets as an object, request order
-                aggs[label] = {"buckets": {
-                    r["key"]: {"doc_count": int(r["doc_count"])} for r in rws
-                }}
-            elif kind == "composite":
-                # multi-key buckets: {"key": {src: val, ...}, "doc_count"}
-                # + after_key (the LAST page's key — the client's cursor
-                # for the next page), exactly the ES pagination contract
-                buckets = []
-                for r in rws:
-                    d = r.asDict()
-                    b = {
-                        "key": {k: _json_safe(v)
-                                for k, v in d.pop("key").asDict().items()},
-                        "doc_count": int(d.pop("doc_count")),
-                    }
-                    for sublabel, v in d.items():
-                        b[sublabel] = {"value": _json_safe(v)}
-                    buckets.append(b)
-                aggs[label] = {"buckets": buckets}
-                if buckets:
-                    aggs[label]["after_key"] = buckets[-1]["key"]
-            elif kind == "extended_stats":
-                if rws:
-                    r0 = rws[0].asDict()
-                    aggs[label] = {
-                        "count": int(r0["count"]),
-                        **{k: _json_safe(r0[k]) for k in
-                           ("min", "max", "avg", "sum", "sum_of_squares",
-                            "variance", "std_deviation")},
-                    }
-                else:
-                    aggs[label] = {"count": 0}
-            elif kind == "global":
-                if rws:
-                    d = rws[0].asDict()
-                    g = {"doc_count": int(d.pop("doc_count"))}
-                    for sublabel, v in d.items():
-                        g[sublabel] = {"value": _json_safe(v)}
-                    aggs[label] = g
-                else:
-                    aggs[label] = {"doc_count": 0}
-            elif kind == "sig_buckets":
-                aggs[label] = {"buckets": [
-                    {
-                        "key": _bucket_key(r["key"]),
-                        "doc_count": int(r["doc_count"]),
-                        "bg_count": int(r["bg_count"]),
-                        "score": float(r["score"]),
-                    }
-                    for r in rws
-                ]}
-            elif kind == "tophits":
-                # terms buckets whose array-valued sub-labels are the
-                # per-bucket top_hits (ES hits envelope); scalar
-                # sub-labels stay metric-shaped
-                buckets = []
-                for r in rws:
-                    d = r.asDict()
-                    b = {"key": _bucket_key(d.pop("key")),
-                         "doc_count": int(d.pop("doc_count"))}
-                    for sublabel, v in d.items():
-                        if isinstance(v, list):
-                            b[sublabel] = {"hits": {"hits": [
-                                {"_source": {k: _json_safe(x)
-                                             for k, x in h.asDict().items()}}
-                                for h in (v or [])
-                            ]}}
-                        else:
-                            b[sublabel] = {"value": _json_safe(v)}
-                    buckets.append(b)
-                aggs[label] = {"buckets": buckets}
-            elif kind == "percentiles":
-                if rws:
-                    r0 = rws[0]
-                    aggs[label] = {"values": {
-                        str(float(p)): _json_safe(v)
-                        for p, v in zip(r0["percents"], r0["values"])
-                    }}
-                else:
-                    aggs[label] = {"values": {}}
-            else:
-                buckets = []
-                for r in rws:
-                    d = r.asDict()
-                    b = {"key": _bucket_key(d.pop("key")), "doc_count": int(d.pop("doc_count"))}
-                    for sublabel, v in d.items():
-                        b[sublabel] = {"value": _json_safe(v)}
-                    buckets.append(b)
-                aggs[label] = {"buckets": buckets}
+            if ">" in label:
+                continue  # nested sub-agg: reassembled below
+            aggs[label] = _shape_agg(kind, rws)
+        for label, (kind, rws) in agg_rows.items():
+            if ">" in label:
+                parent, sub = label.split(">", 1)
+                aggs.setdefault(parent, {})[sub] = _shape_agg(kind, rws)
         resp["aggregations"] = aggs
     return resp

@@ -220,6 +220,30 @@ def test_nested_query_on_reference_jaeger_fixture(loaded):
     assert r5["hits"]["total"]["value"] == 2
 
 
+def test_nested_agg_on_reference_jaeger_fixture(loaded):
+    """Facet over the Jaeger span tags: nested agg over the JSON tag
+    arrays (from_json string maps), terms on tags.key."""
+    e, _ = loaded
+    r = e.search("jaeger-span-2022-11-11", {"size": 0, "aggs": {"tagkeys": {
+        "nested": {"path": "tags"},
+        "aggs": {"keys": {"terms": {"field": "tags.key", "size": 20}}},
+    }}})
+    agg = r["aggregations"]["tagkeys"]
+    assert agg["doc_count"] == 16  # 8 tags per span x 2 spans
+    got = {b["key"]: b["doc_count"] for b in agg["keys"]["buckets"]}
+    # every standard jaeger tag key appears once per span
+    assert got["http.method"] == 2 and got["http.url"] == 2
+    assert got["span.kind"] == 2 and got["sampler.type"] == 2
+    # metric sub-agg over element values (numeric strings cast)
+    r2 = e.search("jaeger-span-2022-11-11", {"size": 0, "aggs": {"st": {
+        "nested": {"path": "tags"},
+        "aggs": {"m": {"max": {"field": "tags.value"}}},
+    }}})
+    # max over string values is lexicographic; just assert shape + type
+    assert r2["aggregations"]["st"]["doc_count"] == 16
+    assert "value" in r2["aggregations"]["st"]["m"]
+
+
 def test_ping_and_default_handler(spark):
     # HEAD / (admin.go:13-16) and the catch-all 501 (admin.go:74-85)
     e = Engine(spark)

@@ -1866,6 +1866,27 @@ def test_dotted_path_and_nested_on_typed_columns(spark):
     assert ids({"query": {"bool": {"must_not": [
         {"nested": {"path": "tags", "query": {"term": {"tags.key": "env"}}}},
     ]}}}) == [3]
+    # nested AGGREGATION: facet over array elements (one row per
+    # element), sub-agg fields addressed by full path
+    r = e.search("typed_idx", {"size": 0, "aggs": {"t": {
+        "nested": {"path": "tags"},
+        "aggs": {"vals": {"terms": {"field": "tags.value", "size": 10}}},
+    }}})
+    agg = r["aggregations"]["t"]
+    assert agg["doc_count"] == 6  # total elements across docs 1, 2, 4
+    got = {b["key"]: b["doc_count"] for b in agg["vals"]["buckets"]}
+    assert got == {"prod": 2, "us": 2, "dev": 1, "eu": 1}
+    # nested agg composed under a query filter
+    r2 = e.search("typed_idx", {
+        "query": {"term": {"process.serviceName": "svc-a"}},
+        "size": 0, "aggs": {"t": {
+            "nested": {"path": "tags"},
+            "aggs": {"keys": {"terms": {"field": "tags.key", "size": 10}}},
+        }}})
+    agg2 = r2["aggregations"]["t"]
+    assert agg2["doc_count"] == 2  # only doc 1 has tags among svc-a docs
+    assert {b["key"]: b["doc_count"] for b in agg2["keys"]["buckets"]} == {
+        "env": 1, "region": 1}
 
 
 def test_weighted_avg_skips_null_values(spark):
