@@ -842,6 +842,21 @@ def _dsl_nested_path(spark, sf_dir):
     return hits.select("event_id", "event_type")
 
 
+def _dsl_nested_agg(spark, sf_dir):
+    """ES `nested` AGGREGATION (round 5): terms facet over the elements
+    of the tags array<struct> — one row per element via a row-local
+    explode, sub-agg fields addressed by full path (dsl/aggs.py
+    _nested_elements). size=20 covers every distinct key (no
+    truncation-boundary ties in the oracle compare)."""
+    body = {"size": 0, "aggs": {"t": {
+        "nested": {"path": "tags"},
+        "aggs": {"vals": {"terms": {"field": "tags.value", "size": 20}}},
+    }}}
+    _, aggs, _ = _engine(spark, sf_dir).search_df("events_nested", body)
+    _, df = aggs["t>vals"]
+    return df.select(F.col("key").alias("tag_value"), "doc_count")
+
+
 def _dsl_histogram(spark, sf_dir):
     """ES numeric `histogram` (interval 50, min_doc_count=0 zero-fill
     between observed min/max buckets — the ES default)."""
@@ -1891,6 +1906,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   the FTS5 rank-identity fuzz suite); its execution kernels
         #   are in-window bm25_and2/bm25_or3 + must_not composition
         "bm25_expr_and_or_not": _match_expr("data AND (scan OR batch) NOT dup", 50),
+        # dsl_nested_agg (round 5): the nested-elements explode is the
+        # only new machinery; its sibling dsl_nested_path is in-window
+        # and the terms-agg core is in-window via dsl_terms_agg. Full
+        # value-exact UNION-ALL oracle below.
+        "dsl_nested_agg": _dsl_nested_agg,
         "qc_fingerprint": _qc_fingerprint,
         "bm25_near2": _near2("spark", "data", 6, 25),
         "dsl_wildcard_query": _dsl_wildcard_query,
@@ -2121,6 +2141,17 @@ ORDER BY (fg.c*1.0/ft - bg.c*1.0/bt)
             # (the 'type' element) — value-exact over the same rows
             "SELECT event_id, event_type FROM events "
             "WHERE user_id % 7 = 3 AND event_type = 'error'"
+        ),
+        "dsl_nested_agg": (
+            # the derived tags array holds ('type', event_type) and
+            # ('mod', user_id % 7) per event — the element relation is
+            # exactly this UNION ALL; size=20 > distinct keys, so the
+            # terms agg never truncates and ties can't reorder the set
+            "WITH elems AS ("
+            " SELECT event_type AS v FROM events"
+            " UNION ALL SELECT CAST(user_id % 7 AS VARCHAR) FROM events) "
+            "SELECT v AS tag_value, count(*) AS doc_count FROM elems "
+            "GROUP BY 1 ORDER BY doc_count DESC, tag_value ASC LIMIT 20"
         ),
         "dsl_pipeline_aggs": (
             "WITH b AS (SELECT (epoch_ms(ts) // 3600000) * 3600000 AS bucket_ms,"
