@@ -842,6 +842,36 @@ def _dsl_nested_path(spark, sf_dir):
     return hits.select("event_id", "event_type")
 
 
+def _dedup_url_canonical(spark, sf_dir):
+    """URL canonicalization + per-URL exact dedup (round 5) — the
+    standard web-crawl dedup key (datapipe/dedup.py canonical_url:
+    fragment/tracking-param strip, host lowercase, default ports,
+    trailing slash; pure JVM regexps). Four deterministic noise
+    variants of each page URL are derived from events; the oracle
+    constructs the KNOWN canonical form directly, so the check pins the
+    canonicalizer against its spec, not against a reimplementation."""
+    from gopensearch_spark.datapipe import url_dedup
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    k = (F.col("event_id") % 97).cast("string")
+    variant = F.col("event_id") % 4
+    host = F.concat(F.lit("site"), k, F.lit(".example"))
+    path = F.concat(F.lit("/page/"), k)
+    raw = (
+        # case noise lowercases scheme+HOST only (paths are case-
+        # sensitive per RFC 3986, so the path stays canonical here)
+        F.when(variant == 0, F.concat(F.lit("HTTPS://"), F.upper(host), path, F.lit("/")))
+        .when(variant == 1, F.concat(F.lit("https://"), host, path,
+                                     F.lit("?utm_source=news&fbclid=x"),
+                                     F.col("event_id").cast("string")))
+        .when(variant == 2, F.concat(F.lit("https://"), host, F.lit(":443"),
+                                     path, F.lit("#sec")))
+        .otherwise(F.concat(F.lit("https://"), host, path))
+    )
+    docs = ev.select(F.col("event_id"), raw.alias("url"))
+    return url_dedup(docs, url_col="url", id_col="event_id")
+
+
 def _dsl_nested_agg(spark, sf_dir):
     """ES `nested` AGGREGATION (round 5): terms facet over the elements
     of the tags array<struct> — one row per element via a row-local
@@ -1911,6 +1941,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # and the terms-agg core is in-window via dsl_terms_agg. Full
         # value-exact UNION-ALL oracle below.
         "dsl_nested_agg": _dsl_nested_agg,
+        # dedup_url_canonical (round 5): same hash-group dedup core as
+        # in-window dedup_exact; the canonicalizer is pure JVM regexps
+        # pinned case-by-case in tests/test_datapipe.py. Full
+        # value-exact spec oracle below.
+        "dedup_url_canonical": _dedup_url_canonical,
         "qc_fingerprint": _qc_fingerprint,
         "bm25_near2": _near2("spark", "data", 6, 25),
         "dsl_wildcard_query": _dsl_wildcard_query,
@@ -2141,6 +2176,14 @@ ORDER BY (fg.c*1.0/ft - bg.c*1.0/bt)
             # (the 'type' element) — value-exact over the same rows
             "SELECT event_id, event_type FROM events "
             "WHERE user_id % 7 = 3 AND event_type = 'error'"
+        ),
+        "dedup_url_canonical": (
+            # every variant of event_id's URL canonicalizes to the same
+            # known form — the oracle constructs that form directly
+            "SELECT 'https://site' || (event_id % 97) || '.example/page/'"
+            " || (event_id % 97) AS canonical_url,"
+            " min(event_id) AS event_id, count(*) AS dup_count "
+            "FROM events GROUP BY 1"
         ),
         "dsl_nested_agg": (
             # the derived tags array holds ('type', event_type) and

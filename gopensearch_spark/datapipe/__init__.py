@@ -1,5 +1,6 @@
 from gopensearch_spark.datapipe.dedup import (  # noqa: F401
     assign_dup_clusters,
+    canonical_url,
     connected_components,
     decontaminate,
     embedding_neardup_pairs,
@@ -7,6 +8,7 @@ from gopensearch_spark.datapipe.dedup import (  # noqa: F401
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_pairs,
+    url_dedup,
 )
 from gopensearch_spark.datapipe.multimodal import (  # noqa: F401
     extract_features,

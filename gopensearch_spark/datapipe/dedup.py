@@ -28,7 +28,7 @@ import re
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -64,6 +64,55 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
             F.count("*").alias("dup_count"),
         )
         .select(id_col, "dup_count")
+    )
+
+
+_TRACKING_PARAM_RE = (
+    r"(utm_[a-z]+|gclid|fbclid|msclkid|mc_cid|mc_eid|ref|referrer|source|igshid)"
+)
+
+
+def canonical_url(col: Column) -> Column:
+    """Canonical form of a URL — the standard web-crawl dedup key.
+
+    Pure JVM regexp/string expressions (codegen'd, no UDF):
+    1. strip the fragment (#...),
+    2. drop tracking query params (utm_*, gclid, fbclid, ...),
+    3. drop an emptied '?' and trailing '&'/';',
+    4. lowercase scheme+host (path stays case-sensitive per RFC 3986),
+    5. default ports (:80 http, :443 https) removed,
+    6. trailing '/' trimmed from a non-root path.
+
+    Canonicalization is heuristic by nature; this implements the
+    overwhelmingly common equivalences without fetching anything."""
+    u = F.regexp_replace(col, r"#.*$", "")  # 1
+    # 2: kill tracking params wherever they sit in the query string
+    u = F.regexp_replace(u, r"([?&;])" + _TRACKING_PARAM_RE + r"=[^&;#]*", "$1")
+    u = F.regexp_replace(u, r"[?&;]+$", "")  # 3: emptied query
+    u = F.regexp_replace(u, r"\?[&;]+", "?")  # 3: leading separators
+    u = F.regexp_replace(u, r"[&;]{2,}", "&")  # 3: doubled separators
+    # 4: lowercase scheme://host (host = up to the first / ? #)
+    head = F.lower(F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1))
+    tail = F.regexp_replace(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", "")
+    u = F.when(head != "", F.concat(head, tail)).otherwise(u)
+    # 5: default ports
+    u = F.regexp_replace(u, r"^(http://[^/?#:]*):80(?=[/?#]|$)", "$1")
+    u = F.regexp_replace(u, r"^(https://[^/?#:]*):443(?=[/?#]|$)", "$1")
+    # 6: trailing slash on a non-root path (keep 'scheme://host/')
+    u = F.regexp_replace(u, r"(://[^/?#]+/[^?#]*?)/+(\?|$)", "$1$2")
+    return u
+
+
+def url_dedup(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """One row per canonical URL: (canonical_url, doc_id = min id,
+    dup_count) — exact-dedup keyed on canonical_url(); hash-group,
+    shuffle-minimal, same shape as exact_dedup."""
+    return (
+        df.groupBy(canonical_url(F.col(url_col)).alias("canonical_url"))
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("dup_count"))
+        .select("canonical_url", id_col, "dup_count")
     )
 
 
