@@ -1724,6 +1724,112 @@ def _qc_fingerprint(spark, sf_dir):
     return fingerprint(_docs(spark, sf_dir))
 
 
+def _dsl_bucket_pipelines2(spark, sf_dir):
+    """Round-5 parent-pipeline family beyond cumulative_sum/derivative:
+    moving_fn (3-bucket trailing sum, ES shift=0 window), serial_diff
+    (lag 2) and bucket_script (painless-arithmetic sum/count ratio
+    evaluated as a Catalyst Column — never a Python UDF) over hourly
+    buckets. Window input is the bucket AXIS, never the data volume."""
+    body = {"size": 0, "aggs": {"h": {
+        "date_histogram": {"field": "ts", "fixed_interval": "1h"},
+        "aggs": {
+            "s": {"sum": {"field": "value"}},
+            "mov": {"moving_fn": {"buckets_path": "_count", "window": 3,
+                                  "script": "MovingFunctions.sum(values)"}},
+            "sd": {"serial_diff": {"buckets_path": "s", "lag": 2}},
+            "ratio": {"bucket_script": {
+                "buckets_path": {"tot": "s", "cnt": "_count"},
+                "script": "params.tot / params.cnt"}},
+        },
+    }}}
+    _, aggs, _ = _engine(spark, sf_dir).search_df("events", body)
+    _, df = aggs["h"]
+    return df.select(
+        F.col("key").alias("bucket_ms"), "doc_count",
+        F.round("mov", 6).alias("mov"), F.round("sd", 4).alias("sd"),
+        F.round("ratio", 6).alias("ratio"),
+    )
+
+
+def _dsl_bucket_selector_sort(spark, sf_dir):
+    """bucket_selector (HAVING-shaped script filter) + bucket_sort
+    (order terms buckets by a sibling metric, keep top 3) + a sibling
+    avg_bucket reducing the surviving buckets' metric — the three
+    remaining round-5 pipeline paths in one value-checked entry."""
+    body = {"size": 0, "aggs": {
+        "t": {"terms": {"field": "event_type", "size": 100},
+              "aggs": {
+                  "av": {"avg": {"field": "value"}},
+                  "keep": {"bucket_selector": {
+                      "buckets_path": {"c": "_count"},
+                      "script": "params.c > 10"}},
+                  "top": {"bucket_sort": {
+                      "sort": [{"av": {"order": "desc"}}], "size": 3}},
+              }},
+        "avg_av": {"avg_bucket": {"buckets_path": "t>av"}},
+    }}
+    _, aggs, _ = _engine(spark, sf_dir).search_df("events", body)
+    _, tdf = aggs["t"]
+    _, sdf = aggs["avg_av"]
+    return (
+        tdf.select(F.col("key").alias("event_type"), "doc_count",
+                   F.round("av", 6).alias("av"))
+        .crossJoin(sdf.select(F.round("value", 6).alias("avg_av_all")))
+    )
+
+
+def _scrub_pii(spark, sf_dir):
+    """PII redaction over the corpus with deterministically injected
+    PII (email/phone/IP/SSN derived from doc_id — the parquet corpus
+    itself is synthetic words): chained JVM regexp_replace, identical
+    RE2-compatible patterns in the DuckDB oracle. At 100 TB this is a
+    shuffle-free single-pass projection."""
+    from gopensearch_spark.datapipe import scrub_pii
+
+    d = F.col("doc_id")
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 40),
+            F.lit(" contact user"), d.cast("string"), F.lit("@example.com"),
+            F.lit(" or 415-555-"),
+            F.lpad((d % 10000).cast("string"), 4, "0"),
+            F.lit(" host 10.0.0."), (d % 256).cast("string"),
+            F.when(d % 3 == 0, F.lit(" ssn 123-45-6789")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return scrub_pii(docs).select("doc_id", "text_clean", "n_redactions")
+
+
+def _qc_gopher_rules(spark, sf_dir):
+    """Gopher quality-rule battery (Rae et al. 2021 table A1 shape):
+    word count / mean word length / symbol ratio / alpha-word fraction
+    / stopword hits + the AND-of-bands verdict, as ONE whole-stage
+    projection (no UDFs, no shuffle)."""
+    from gopensearch_spark.datapipe import gopher_rules
+
+    out = gopher_rules(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        F.col("word_count").cast("long").alias("word_count"),
+        F.round("mean_word_len", 6).alias("mean_word_len"),
+        F.round("symbol_word_ratio", 6).alias("symbol_word_ratio"),
+        F.round("alpha_word_frac", 6).alias("alpha_word_frac"),
+        F.col("stop_hits").cast("long").alias("stop_hits"),
+        "passes",
+    )
+
+
+def _segment_dedup(spark, sf_dir):
+    """CCNet-style segment-level dedup (fixed 20-token windows — the
+    corpus carries no newlines): globally-first occurrence election via
+    one hash-keyed groupBy, reassembly via one doc-keyed groupBy. The
+    planted near-dup pairs share long prefixes, so real segments drop."""
+    from gopensearch_spark.datapipe import segment_dedup
+
+    return segment_dedup(_docs(spark, sf_dir), separator=None, token_window=20)
+
+
 def _sql_q1(spark, sf_dir):
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).createOrReplaceTempView("li")
     return spark.sql("""
@@ -1772,12 +1878,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # their oracles for local replica runs.
     return {
         # full-text BM25 (the FTS5-equivalent core; wand = serving path)
-        "bm25_head_term": _bm25(["data"], "or", 10),
         "bm25_and2": _bm25(["spark", "join"], "and", 10),
         "bm25_or3": _bm25(["merge", "sort", "batch"], "or", 25),
         "bm25_phrase2": _phrase("spark join", 25),
         "bm25_prefix": _prefix("dat", 25),
-        "bm25_phrase_prefix": _phrase_prefix("spark jo", 25),
         "bm25_fuzzy": _fuzzy("spak", 25),
         # ES-DSL relational surface (compiled to DataFrame ops)
         "dsl_term_filter": _dsl_term_filter,
@@ -1785,8 +1889,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_bool_must_filter": _dsl_bool_must_filter,
         "dsl_min_should_match": _dsl_min_should_match,
         "dsl_bool_must_not": _dsl_bool_must_not,
-        "dsl_terms_query": _dsl_terms_query,
-        "dsl_exists_query": _dsl_exists_query,
         "dsl_search_after": _dsl_search_after,
         "dsl_query_string_glob": _dsl_query_string_glob,
         "dsl_multi_match": _dsl_multi_match,
@@ -1795,6 +1897,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_nested_path": _dsl_nested_path,
         "dsl_terms_agg": _dsl_terms_agg,
         "dsl_pipeline_aggs": _dsl_pipeline_aggs,
+        "dsl_bucket_pipelines2": _dsl_bucket_pipelines2,
+        "dsl_bucket_selector_sort": _dsl_bucket_selector_sort,
         "dsl_date_histogram_calendar": _dsl_date_histogram_calendar,
         "dsl_metrics": _dsl_metrics,
         "dsl_match_phrase_slop": _dsl_match_phrase_slop,
@@ -1822,7 +1926,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk_valid": _ann_topk_valid("lsh"),
         "ann_ivf_topk_valid": _ann_topk_valid("ivf"),
         "qc_quality_score": _qc_quality_score,
-        "qc_repetition": _qc_repetition,
+        "qc_gopher_rules": _qc_gopher_rules,
+        "scrub_pii": _scrub_pii,
+        "segment_dedup": _segment_dedup,
         # plain SQL surface
         "sql_q1": _sql_q1,
         # --- entries 51+: outside the driver's 50-entry value window ---
@@ -1853,6 +1959,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # one-groupBy dispatch whose four siblings are value-checked
         # in-window via dsl_metrics — displaced by dsl_search_after,
         # the NEW sort-tuple cursor path)
+        # round-5 displacements (making room for the new pipeline-agg
+        # and web-pipeline code paths), each with an in-window
+        # representative: bm25_head_term (single-term degenerate case of
+        # the same OR kernel bm25_or3 value-checks with live accumulator
+        # pruning; single-term is also the rank-identity suite's base
+        # case), bm25_phrase_prefix (composition of two in-window paths:
+        # bm25_phrase2's positional kernel + bm25_prefix's dictionary
+        # expansion), dsl_terms_query (the isin arm of the same
+        # literal-inference predicate compile dsl_term_filter
+        # value-checks; multi-value pinned by pytest), dsl_exists_query
+        # (isNotNull arm of the same predicate compiler; the match-all
+        # probe it rides on is exercised by every size:0 agg entry
+        # in-window), qc_repetition (same Arrow-batched textqc kernel
+        # family as in-window qc_quality_score; its n-gram repetition
+        # kernel is pinned by tests/test_datapipe.py)
+        "bm25_head_term": _bm25(["data"], "or", 10),
+        "bm25_phrase_prefix": _phrase_prefix("spark jo", 25),
+        "dsl_terms_query": _dsl_terms_query,
+        "dsl_exists_query": _dsl_exists_query,
+        "qc_repetition": _qc_repetition,
         # dsl_date_histogram: STRICT SUBSET of in-window
         # dsl_pipeline_aggs (identical date-bucket expr + projection;
         # the superset adds the metric sibling and the two pipeline
@@ -1964,6 +2090,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _ann_lsh_topk,
         "ann_ivf_topk": _ann_ivf_topk,
     }
+
+
+def _scrub_pii_oracle() -> str:
+    """DuckDB replica of _scrub_pii: identical deterministic PII
+    injection, then the SAME pattern battery (the patterns live in the
+    Java-regex ∩ RE2 subset by design) applied with the 'g' flag, and
+    n_redactions recounted from placeholder-length deltas."""
+    from gopensearch_spark.datapipe.scrub import PII_PATTERNS
+
+    expr = (
+        "substr(text, 1, 40) || ' contact user' || doc_id || '@example.com'"
+        " || ' or 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+        " || ' host 10.0.0.' || CAST(doc_id % 256 AS VARCHAR)"
+        " || CASE WHEN doc_id % 3 = 0 THEN ' ssn 123-45-6789' ELSE '' END"
+    )
+    for _, pat, token in PII_PATTERNS:
+        p = pat.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{p}', '{token}', 'g')"
+    tokens = list(dict.fromkeys(t for _, _, t in PII_PATTERNS))
+    counts = " + ".join(
+        f"(len(text_clean) - len(replace(text_clean, '{t}', ''))) // {len(t)}"
+        for t in tokens
+    )
+    return (
+        f"WITH c AS (SELECT doc_id, {expr} AS text_clean FROM documents) "
+        f"SELECT doc_id, text_clean, CAST({counts} AS BIGINT) AS n_redactions "
+        "FROM c"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2390,6 +2544,74 @@ WITH s AS (SELECT doc_id, {score_cols} FROM documents)
 SELECT doc_id, {case} AS pred_lang FROM s
 """,
         "qc_fingerprint": "SELECT doc_id, md5(lower(text)) AS fp FROM documents",
+        "dsl_bucket_pipelines2": (
+            "WITH b AS (SELECT (epoch_ms(ts) // 3600000) * 3600000 AS bucket_ms,"
+            " count(*) AS doc_count, sum(value) AS s FROM events GROUP BY 1) "
+            "SELECT bucket_ms, doc_count,"
+            " round(sum(CAST(doc_count AS DOUBLE)) OVER (ORDER BY bucket_ms"
+            "  ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), 6) AS mov,"
+            " round(s - lag(s, 2) OVER (ORDER BY bucket_ms), 4) AS sd,"
+            " round(s / doc_count, 6) AS ratio "
+            "FROM b ORDER BY bucket_ms"
+        ),
+        "dsl_bucket_selector_sort": (
+            # selector = HAVING; bucket_sort = ORDER BY metric LIMIT;
+            # sibling avg_bucket reduces the SURVIVING buckets (ES
+            # sibling pipelines run on the parent's final bucket list)
+            "WITH b AS (SELECT event_type, count(*) AS doc_count,"
+            " avg(value) AS av FROM events WHERE event_type IS NOT NULL"
+            " GROUP BY 1 HAVING count(*) > 10),"
+            " t AS (SELECT * FROM b ORDER BY av DESC LIMIT 3) "
+            "SELECT event_type, doc_count, round(av, 6) AS av,"
+            " (SELECT round(avg(av), 6) FROM t) AS avg_av_all "
+            "FROM t ORDER BY av DESC"
+        ),
+        "scrub_pii": _scrub_pii_oracle(),
+        "qc_gopher_rules": (
+            "WITH m AS (SELECT doc_id,"
+            " len(string_split(text, ' ')) AS word_count,"
+            " CAST(len(replace(text, ' ', '')) AS DOUBLE)"
+            "  / len(string_split(text, ' ')) AS mwl,"
+            " CAST(len(text) - len(replace(text, '#', ''))"
+            "  + len(text) - len(replace(text, '…', '')) AS DOUBLE)"
+            "  / len(string_split(text, ' ')) AS swr,"
+            " CAST(len(list_filter(string_split(text, ' '),"
+            "   x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)"
+            "  / len(string_split(text, ' ')) AS awf,"
+            " len(list_intersect(list_distinct(string_split(text, ' ')),"
+            "   ['the','be','to','of','and','that','have','with'])) AS stop_hits"
+            " FROM documents) "
+            "SELECT doc_id, word_count, round(mwl, 6) AS mean_word_len,"
+            " round(swr, 6) AS symbol_word_ratio,"
+            " round(awf, 6) AS alpha_word_frac, stop_hits,"
+            " (word_count >= 50 AND word_count <= 100000"
+            "  AND mwl >= 3.0 AND mwl <= 10.0 AND swr <= 0.1"
+            "  AND awf >= 0.8 AND stop_hits >= 2) AS passes "
+            "FROM m"
+        ),
+        "segment_dedup": """
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                     unnest(range(len(string_split(text, ' ')))) AS i
+              FROM documents),
+segs AS (SELECT doc_id, i // 20 AS idx,
+                string_agg(tok, ' ' ORDER BY i) AS seg
+         FROM toks GROUP BY doc_id, i // 20
+         HAVING trim(string_agg(tok, ' ' ORDER BY i)) != ''),
+firsts AS (SELECT lower(trim(seg)) AS k,
+                  min(struct_pack(doc_id := doc_id, idx := idx)) AS first
+           FROM segs GROUP BY 1),
+kept AS (SELECT s.doc_id, string_agg(s.seg, ' ' ORDER BY s.idx) AS text_dedup,
+                count(*) AS n_kept
+         FROM segs s JOIN firsts f ON lower(trim(s.seg)) = f.k
+         WHERE s.doc_id = f.first.doc_id AND s.idx = f.first.idx
+         GROUP BY s.doc_id),
+totals AS (SELECT doc_id, count(*) AS n_segments FROM segs GROUP BY 1)
+SELECT d.doc_id, coalesce(k.text_dedup, '') AS text_dedup,
+       coalesce(t.n_segments, 0) AS n_segments,
+       coalesce(k.n_kept, 0) AS n_kept
+FROM documents d
+LEFT JOIN totals t USING (doc_id) LEFT JOIN kept k USING (doc_id)
+""",
         "sql_q1": (
             "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 4) AS sum_qty, "
             "round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue, count(*) AS n_rows "

@@ -7,8 +7,14 @@ from gopensearch_spark.datapipe.dedup import (  # noqa: F401
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    segment_dedup,
     simhash_pairs,
     url_dedup,
+)
+from gopensearch_spark.datapipe.scrub import (  # noqa: F401
+    gopher_rules,
+    scrub_pii,
+    scrub_pii_col,
 )
 from gopensearch_spark.datapipe.multimodal import (  # noqa: F401
     extract_features,

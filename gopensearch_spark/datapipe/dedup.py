@@ -116,6 +116,88 @@ def url_dedup(
     )
 
 
+def segment_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    separator: str | None = "\n", token_window: int | None = None,
+) -> DataFrame:
+    """CCNet-style paragraph-level dedup: split each document into
+    segments, keep only the GLOBALLY FIRST occurrence (min (id, idx))
+    of each normalized segment, and reassemble the surviving text.
+
+    Segmentation is `separator`-based (paragraphs/lines — the real
+    web-crawl case) or fixed `token_window`-word chunks (corpora whose
+    text carries no structural separators, e.g. bag-of-words fixtures);
+    exactly one must be set. Normalization = lower(trim(segment)).
+
+    Returns (id, text_dedup, n_segments, n_kept). Documents whose every
+    segment was seen earlier come back with text_dedup = ''.
+
+    Scale shape (the 100 TB question): posexplode is a row-local
+    lateral view (no shuffle); first-occurrence election is ONE
+    hash-partitioned groupBy on the segment hash with a min-struct
+    partial aggregate (map-side combine — duplicate-heavy corpora
+    shrink before the exchange); the winners relation re-joins the
+    segments on the same hash key (AQE reuses the partitioning); and
+    reassembly is one groupBy on the doc id. No window over the corpus,
+    no driver materialization, no skew hotspot beyond the empty-segment
+    hash (filtered before the shuffle)."""
+    if (separator is None) == (token_window is None):
+        raise ValueError("set exactly one of separator / token_window")
+    if token_window is not None:
+        toks = F.split(F.col(text_col), " ")
+        # tokens -> contiguous fixed-size word chunks, space-rejoined
+        nseg = F.ceil(F.size(toks) / F.lit(token_window)).cast("int")
+        segs_arr = F.transform(
+            F.sequence(F.lit(0), nseg - 1),
+            lambda i: F.concat_ws(
+                " ", F.slice(toks, i * token_window + 1, token_window)
+            ),
+        )
+        joiner = " "
+    else:
+        segs_arr = F.split(F.col(text_col), re.escape(separator))
+        joiner = separator
+    segs = (
+        df.select(F.col(id_col).alias("__id"), segs_arr.alias("__segs"))
+        .select("__id", F.posexplode("__segs").alias("__idx", "__seg"))
+        .where(F.trim(F.col("__seg")) != "")
+        .withColumn("__key", F.xxhash64(F.lower(F.trim(F.col("__seg")))))
+    )
+    winners = segs.groupBy("__key").agg(
+        F.min(F.struct("__id", "__idx")).alias("__first")
+    )
+    kept = (
+        segs.join(winners, "__key")
+        .where(
+            (F.col("__id") == F.col("__first.__id"))
+            & (F.col("__idx") == F.col("__first.__idx"))
+        )
+        .groupBy("__id")
+        .agg(
+            F.concat_ws(
+                joiner,
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("__idx", "__seg"))),
+                    lambda s: s["__seg"],
+                ),
+            ).alias("text_dedup"),
+            F.count("*").alias("n_kept"),
+        )
+    )
+    totals = segs.groupBy("__id").agg(F.count("*").alias("n_segments"))
+    return (
+        df.select(F.col(id_col).alias("__id"))
+        .join(totals, "__id", "left")
+        .join(kept, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+            F.coalesce("n_segments", F.lit(0)).cast("long").alias("n_segments"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        )
+    )
+
+
 def _word_shingles(text_col: str, n: int):
     """Word n-gram shingles as an array column.
 

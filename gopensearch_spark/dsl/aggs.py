@@ -190,51 +190,163 @@ def _top_hits_arrays(
     return out
 
 
+_PARENT_PIPELINE_FIELDS = (
+    "cumulative_sum", "derivative", "bucket_script", "bucket_selector",
+    "moving_fn", "serial_diff", "bucket_sort",
+)
+
+
+def _is_parent_pipeline(s: model.Aggregate) -> bool:
+    return any(getattr(s, f) is not None for f in _PARENT_PIPELINE_FIELDS)
+
+
 def _split_pipeline(aggs: dict[str, model.Aggregate]):
-    pipe = {k: s for k, s in aggs.items()
-            if s.cumulative_sum is not None or s.derivative is not None}
+    pipe = {k: s for k, s in aggs.items() if _is_parent_pipeline(s)}
     metric = {k: s for k, s in aggs.items() if k not in pipe}
     return metric, pipe
+
+
+_SCRIPT_SAFE = re.compile(r"^[\w\s.+\-*/%()<>=!&|,]*$")
+
+
+def _eval_bucket_script(script: str, cols: dict[str, Column]) -> Column:
+    """Evaluate the painless-arithmetic subset ES bucket_script /
+    bucket_selector use in practice: `params.<name>` references plus
+    arithmetic (+ - * / %), comparisons and parentheses — e.g.
+    `params.total / params.cnt * 100`, `params.rate > 0.5`.
+
+    The expression is rejected unless it consists solely of those
+    tokens; evaluation maps `params.<name>` onto the resolved bucket
+    Column and lets Column operator overloading build the Catalyst
+    expression (stays whole-stage-codegen JVM-side — never a Python
+    UDF). Null inputs propagate to a null result, which IS ES
+    gap_policy=skip."""
+    if not _SCRIPT_SAFE.match(script) or "__" in script:
+        raise ValueError(f"unsupported bucket script: {script!r}")
+
+    class _Params:
+        def __init__(self, c): self._c = c
+
+        def __getattr__(self, name):
+            if name.startswith("_"):
+                raise AttributeError(name)
+            try:
+                return self._c[name]
+            except KeyError:
+                raise ValueError(
+                    f"script references params.{name} but buckets_path "
+                    f"defines {sorted(self._c)!r}"
+                ) from None
+
+    try:
+        out = eval(script, {"__builtins__": {}}, {"params": _Params(cols)})  # noqa: S307
+    except SyntaxError as e:
+        raise ValueError(f"unparseable bucket script: {script!r}") from e
+    if not isinstance(out, Column):
+        out = F.lit(out)
+    return out
+
+
+_MOVING_FN_RE = re.compile(
+    r"^\s*MovingFunctions\.(max|min|sum|unweightedAvg|stdDev)\(\s*values\s*[,)]"
+)
 
 
 def _apply_pipeline(
     out: DataFrame, pipe: dict[str, model.Aggregate], metric_labels,
 ) -> DataFrame:
-    """cumulative_sum / derivative over the ORDERED bucket relation.
+    """Parent pipeline aggs over the ORDERED bucket relation:
+    cumulative_sum / derivative / moving_fn / serial_diff /
+    bucket_script, then bucket_selector, then bucket_sort (the ES
+    execution order: selectors see every computed column; bucket_sort
+    re-orders/truncates last).
 
-    The window has no partition key, but its input is the bucket AXIS
-    (range/interval-bounded), never the data volume — a few thousand
-    rows at any corpus size, so the single-task window is safe by
-    construction."""
+    Every window here has no partition key, but its input is the bucket
+    AXIS (range/interval-bounded), never the data volume — a few
+    thousand rows at any corpus size, so the single-task window is safe
+    by construction."""
     from pyspark.sql import Window
 
-    for label, s in pipe.items():
-        p = s.cumulative_sum or s.derivative
-        path = p.buckets_path
+    w = Window.orderBy(F.asc("key"))
+    avail = set(metric_labels)
+
+    def src_col(path: str) -> Column:
         if path == "_count":
-            src = F.col("doc_count").cast("double")
-        elif path in metric_labels:
-            src = F.col(path).cast("double")
-        else:
-            raise ValueError(
-                f"buckets_path {path!r} is not `_count` or a sibling "
-                f"metric label ({sorted(metric_labels)!r})"
-            )
-        w = Window.orderBy(F.asc("key"))
+            return F.col("doc_count").cast("double")
+        if path in avail:
+            return F.col(path).cast("double")
+        raise ValueError(
+            f"buckets_path {path!r} is not `_count` or a sibling "
+            f"metric/pipeline label ({sorted(avail)!r})"
+        )
+
+    selectors = {k: s for k, s in pipe.items() if s.bucket_selector is not None}
+    sorts = {k: s for k, s in pipe.items() if s.bucket_sort is not None}
+    for label, s in pipe.items():
+        if label in selectors or label in sorts:
+            continue
         if s.cumulative_sum is not None:
             # window sum ignores nulls, so zero-filled empty buckets
             # carry the running total forward (ES gap_policy=skip)
-            out = out.withColumn(label, F.sum(src).over(
+            out = out.withColumn(label, F.sum(src_col(s.cumulative_sum.buckets_path)).over(
                 w.rowsBetween(Window.unboundedPreceding, 0)
             ))
-        else:
+        elif s.derivative is not None:
             # ES derivative, gap_policy=skip: difference against the
             # LAST NON-NULL previous bucket; first bucket (and buckets
             # whose own value is null) report null
+            src = src_col(s.derivative.buckets_path)
             prev = F.last(src, ignorenulls=True).over(
                 w.rowsBetween(Window.unboundedPreceding, -1)
             )
             out = out.withColumn(label, src - prev)
+        elif s.moving_fn is not None:
+            m = s.moving_fn
+            fn = _MOVING_FN_RE.match(m.script)
+            if not fn:
+                raise ValueError(
+                    f"moving_fn script {m.script!r} is not a supported "
+                    "MovingFunctions builtin (max/min/sum/unweightedAvg/stdDev)"
+                )
+            # ES window [i-window+shift, i-1+shift]: shift=0 (default)
+            # covers the `window` buckets BEFORE the current one
+            fw = w.rowsBetween(-m.window + m.shift, -1 + m.shift)
+            src = src_col(m.buckets_path)
+            agg = {
+                "max": F.max, "min": F.min, "sum": F.sum,
+                "unweightedAvg": F.avg, "stdDev": F.stddev_pop,
+            }[fn.group(1)]
+            out = out.withColumn(label, agg(src).over(fw))
+        elif s.serial_diff is not None:
+            src = src_col(s.serial_diff.buckets_path)
+            out = out.withColumn(
+                label, src - F.lag(src, s.serial_diff.lag).over(w)
+            )
+        elif s.bucket_script is not None:
+            cols = {n: src_col(p) for n, p in s.bucket_script.buckets_path.items()}
+            out = out.withColumn(
+                label, _eval_bucket_script(s.bucket_script.script, cols)
+            )
+        avail.add(label)
+    for label, s in selectors.items():
+        cols = {n: src_col(p) for n, p in s.bucket_selector.buckets_path.items()}
+        pred = _eval_bucket_script(s.bucket_selector.script, cols)
+        # null predicate (gap bucket) drops the bucket, the ES behavior
+        out = out.where(F.coalesce(pred.cast("boolean"), F.lit(False)))
+    for label, s in sorts.items():
+        bs = s.bucket_sort
+        order = []
+        for so in bs.sort:
+            c = (F.col("key") if so.field == "_key"
+                 else F.col("doc_count") if so.field == "_count"
+                 else src_col(so.field))
+            order.append(c.desc() if so.order.lower() == "desc" else c.asc())
+        if order:
+            out = out.orderBy(*order)
+        if bs.from_:
+            out = out.offset(bs.from_)
+        if bs.size is not None:
+            out = out.limit(bs.size)
     return out
 
 
@@ -265,8 +377,8 @@ def compile_agg(
         okey, odir = agg.terms.order_key, agg.terms.order_dir
         th_subs = {k: s.top_hits for k, s in agg.aggs.items()
                    if s.top_hits is not None}
-        metric_subs = {k: s for k, s in agg.aggs.items()
-                       if s.top_hits is None}
+        rest = {k: s for k, s in agg.aggs.items() if s.top_hits is None}
+        metric_subs, pipe_subs = _split_pipeline(rest)
         if okey == "_count":
             ocol = F.col("doc_count")
         elif okey == "_key":
@@ -285,6 +397,15 @@ def compile_agg(
             .orderBy(*order)
             .limit(agg.terms.size)
         )
+        if pipe_subs:
+            # bucket_script/bucket_selector/bucket_sort over the terms
+            # buckets (the classic "filter/sort terms buckets by a
+            # metric" pattern); window-shaped pipelines (cumulative_sum
+            # etc.) run over key order, matching their histogram
+            # semantics
+            out = _apply_pipeline(out, pipe_subs, set(metric_subs))
+            if not any(s.bucket_sort is not None for s in pipe_subs.values()):
+                out = out.orderBy(*order)
         if th_subs:
             # join the bounded per-bucket hit arrays onto the surviving
             # top-size buckets only (left join keeps the truncation),
@@ -465,7 +586,12 @@ def compile_agg(
         if dh.min_doc_count == 0:
             out = _zero_fill_buckets(out, dh)
         if pipe_subs:
-            out = _apply_pipeline(out, pipe_subs, set(metric_subs))
+            # pipelines need key order as INPUT; a bucket_sort then owns
+            # the OUTPUT order (sorting by key afterwards would undo it)
+            out = _apply_pipeline(out.orderBy(F.asc("key")), pipe_subs,
+                                  set(metric_subs))
+            if any(s.bucket_sort is not None for s in pipe_subs.values()):
+                return "buckets", out
         return "buckets", out.orderBy(F.asc("key"))
     if agg.histogram is not None:
         h = agg.histogram
@@ -499,7 +625,10 @@ def compile_agg(
             ).select((F.col("i") * F.lit(iv)).cast("double").alias("key"))
             out = axis.join(out, "key", "left").na.fill({"doc_count": 0})
         if pipe_subs:
-            out = _apply_pipeline(out, pipe_subs, set(metric_subs))
+            out = _apply_pipeline(out.orderBy(F.asc("key")), pipe_subs,
+                                  set(metric_subs))
+            if any(s.bucket_sort is not None for s in pipe_subs.values()):
+                return "buckets", out
         return "buckets", out.orderBy(F.asc("key"))
     if agg.range is not None:
         r = agg.range
@@ -804,7 +933,10 @@ def compile_aggs(
     index_spec=None,
 ) -> dict[str, tuple[str, DataFrame]]:
     out: dict[str, tuple[str, DataFrame]] = {}
+    siblings = {k: a for k, a in aggs.items() if a.pipeline_sibling is not None}
     for label, a in aggs.items():
+        if label in siblings:
+            continue  # reduced AFTER its parent bucket agg compiles
         if a.nested is not None:
             # flattened contract: the parent label carries the element
             # count; each sub-agg rides as "<label>><sublabel>" and the
@@ -818,4 +950,52 @@ def compile_aggs(
             continue
         out[label] = compile_agg(ctx, filtered, a, background=background,
                                  index_spec=index_spec)
+    for label, a in siblings.items():
+        out[label] = _compile_sibling_pipeline(label, a.pipeline_sibling, out)
     return out
+
+
+def _compile_sibling_pipeline(
+    label: str, sp: model.SiblingPipeline, compiled: dict[str, tuple[str, DataFrame]]
+) -> tuple[str, DataFrame]:
+    """ES sibling pipeline (`avg_bucket`/`sum_bucket`/`min_bucket`/
+    `max_bucket`/`stats_bucket`): reduce one metric column (or
+    `_count`) across ALL buckets of a sibling bucket agg. The input is
+    the already-compiled bucket RELATION — axis-sized, so this is one
+    tiny agg over a few thousand rows regardless of corpus size.
+
+    gap_policy=skip is Spark's native null handling: null metric values
+    (zero-filled empty buckets never have metrics) fall out of
+    avg/min/max/count and sum alike."""
+    if ">" not in sp.buckets_path:
+        raise ValueError(
+            f"{sp.op}_bucket buckets_path {sp.buckets_path!r} must be "
+            "'<bucket_label>><metric_label>' (or >_count)"
+        )
+    parent, metric = sp.buckets_path.split(">", 1)
+    if parent not in compiled:
+        raise ValueError(
+            f"{sp.op}_bucket references unknown sibling {parent!r} "
+            f"(have {sorted(k for k in compiled if '>' not in k)!r})"
+        )
+    kind, pdf = compiled[parent]
+    if kind not in ("buckets", "tophits", "sig_buckets"):
+        raise ValueError(
+            f"{sp.op}_bucket parent {parent!r} is not a bucket aggregation"
+        )
+    col = (F.col("doc_count") if metric == "_count" else F.col(metric)).cast("double")
+    if metric != "_count" and metric not in pdf.columns:
+        raise ValueError(
+            f"{sp.op}_bucket metric {metric!r} not found in {parent!r} "
+            f"buckets ({pdf.columns!r})"
+        )
+    if sp.op == "stats":
+        return "stats", pdf.agg(
+            F.count(col).alias("count"), F.min(col).alias("min"),
+            F.max(col).alias("max"), F.avg(col).alias("avg"),
+            # ES stats sum is 0.0 when every bucket is a gap
+            F.coalesce(F.sum(col), F.lit(0.0)).alias("sum"),
+        )
+    agg = {"avg": F.avg, "min": F.min, "max": F.max,
+           "sum": lambda c: F.coalesce(F.sum(c), F.lit(0.0))}[sp.op]
+    return "metric", pdf.agg(agg(col).alias("value"))

@@ -322,6 +322,62 @@ class PipelineAgg:
 
 
 @dataclass
+class BucketScript:
+    """ES `bucket_script` / `bucket_selector` input: `buckets_path`
+    maps script variable names to sibling metric labels (or `_count`);
+    `script` is the painless-arithmetic subset this engine evaluates
+    (`params.<name>` refs + arithmetic/comparison operators)."""
+
+    buckets_path: dict[str, str]
+    script: str
+
+
+@dataclass
+class MovingFn:
+    """ES `moving_fn`: sliding-window function over an ordered bucket
+    metric. `script` must call one of the `MovingFunctions.*` builtins
+    this engine supports (max/min/sum/unweightedAvg/stdDev). Default
+    shift=0 windows the `window` buckets BEFORE the current one
+    (exclusive), the ES contract."""
+
+    buckets_path: str
+    window: int
+    script: str
+    shift: int = 0
+
+
+@dataclass
+class SerialDiff:
+    """ES `serial_diff`: value minus the value `lag` buckets earlier
+    (null while no such bucket exists — gap_policy=skip shape)."""
+
+    buckets_path: str
+    lag: int = 1
+
+
+@dataclass
+class BucketSortAgg:
+    """ES `bucket_sort`: re-orders / truncates the PARENT's buckets by
+    sibling metric labels (or `_key`/`_count`); applied after every
+    other pipeline in the same parent."""
+
+    sort: list[Sort] = field(default_factory=list)
+    from_: int = 0
+    size: int | None = None
+
+
+@dataclass
+class SiblingPipeline:
+    """ES sibling pipeline agg (`avg_bucket` et al.): lives NEXT TO a
+    bucket agg and reduces one of its metrics across all buckets.
+    `buckets_path` is `"<bucket_label>><metric_label>"` or
+    `"<bucket_label>>_count"`."""
+
+    op: str  # avg | sum | min | max | stats
+    buckets_path: str
+
+
+@dataclass
 class RareTerms:
     field: str
     max_doc_count: int = 1
@@ -408,6 +464,15 @@ class Aggregate:
     # running sum / bucket-to-bucket difference of a sibling metric
     cumulative_sum: PipelineAgg | None = None
     derivative: PipelineAgg | None = None
+    # ES parent pipeline aggs (round 5): script-computed bucket
+    # columns, bucket filtering/sorting, sliding-window functions
+    bucket_script: BucketScript | None = None
+    bucket_selector: BucketScript | None = None
+    moving_fn: MovingFn | None = None
+    serial_diff: SerialDiff | None = None
+    bucket_sort: BucketSortAgg | None = None
+    # ES sibling pipeline aggs (round 5): avg/sum/min/max/stats_bucket
+    pipeline_sibling: SiblingPipeline | None = None
     aggs: dict[str, "Aggregate"] = field(default_factory=dict)
 
 
@@ -718,6 +783,45 @@ def _parse_agg(raw: dict) -> Aggregate:
             setattr(a, pname, PipelineAgg(
                 buckets_path=str(raw[pname]["buckets_path"])
             ))
+    for pname in ("bucket_script", "bucket_selector"):
+        if pname in raw:
+            p = raw[pname]
+            bp = p["buckets_path"]
+            if not isinstance(bp, dict):
+                # ES also accepts a bare string; variable name defaults
+                # to "value" (painless: params.value)
+                bp = {"value": str(bp)}
+            setattr(a, pname, BucketScript(
+                buckets_path={str(k): str(v) for k, v in bp.items()},
+                script=str(p["script"]),
+            ))
+    if "moving_fn" in raw:
+        p = raw["moving_fn"]
+        a.moving_fn = MovingFn(
+            buckets_path=str(p["buckets_path"]),
+            window=int(p["window"]),
+            script=str(p["script"]),
+            shift=int(p.get("shift", 0)),
+        )
+    if "serial_diff" in raw:
+        p = raw["serial_diff"]
+        a.serial_diff = SerialDiff(
+            buckets_path=str(p["buckets_path"]),
+            lag=int(p.get("lag", 1)),
+        )
+    if "bucket_sort" in raw:
+        p = raw["bucket_sort"]
+        a.bucket_sort = BucketSortAgg(
+            sort=_parse_sort(p.get("sort")),
+            from_=int(p.get("from", 0)),
+            size=(int(p["size"]) if p.get("size") is not None else None),
+        )
+    for op in ("avg", "sum", "min", "max", "stats"):
+        pname = f"{op}_bucket"
+        if pname in raw:
+            a.pipeline_sibling = SiblingPipeline(
+                op=op, buckets_path=str(raw[pname]["buckets_path"])
+            )
     if "top_hits" in raw:
         t = raw["top_hits"]
         src = t.get("_source")

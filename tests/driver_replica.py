@@ -33,7 +33,7 @@ def normalize(rows, cols):
     return sorted(out, key=repr)
 
 
-def main(sf_dir: str) -> int:
+def main(sf_dir: str, only: list[str] | None = None) -> int:
     from gopensearch_spark.session import get_spark
 
     import __spark_entry__ as entrymod
@@ -46,6 +46,8 @@ def main(sf_dir: str) -> int:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    if only:
+        qs = {k: v for k, v in qs.items() if k in only}
     failures = []
     for name, fn in qs.items():
         df = fn(spark, sf_dir)
@@ -82,4 +84,5 @@ def main(sf_dir: str) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"))
+    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01",
+                  only=sys.argv[2:] or None))

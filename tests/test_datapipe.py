@@ -839,3 +839,127 @@ def test_rrf_fuse_hybrid(spark, docs_small, index_small, duck):
     assert [(d, n) for d, _, n in got] == [(d, int(n)) for d, _, n in exp]
     for (_, g, _), (_, x, _) in zip(got, exp):
         assert math.isclose(g, x, rel_tol=1e-12)
+
+
+def test_scrub_pii_redacts_and_counts(spark):
+    from gopensearch_spark.datapipe import scrub_pii
+
+    rows = [
+        (0, "contact bob.smith+x@mail-host.co.uk or 192.168.1.254 now"),
+        (1, "ssn 123-45-6789 phone +1 (415) 555-0134 plain text"),
+        (2, "no pii here at all"),
+        (3, "two mails a@b.io c@d.org and 555-867-5309"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: (r["text_clean"], r["n_redactions"])
+           for r in scrub_pii(df).collect()}
+    assert got[0] == ("contact <EMAIL> or <IP> now", 2)
+    assert got[1] == ("ssn <SSN> phone <PHONE> plain text", 2)
+    assert got[2] == ("no pii here at all", 0)
+    assert got[3] == ("two mails <EMAIL> <EMAIL> and <PHONE>", 3)
+
+
+def test_scrub_pii_matches_duckdb(spark, docs_small):
+    """Same regex battery in DuckDB (RE2, 'g' flag) over the real
+    corpus with injected PII produces the identical cleaned strings."""
+    from gopensearch_spark.datapipe import scrub_pii
+    from gopensearch_spark.datapipe.scrub import PII_PATTERNS
+
+    df = docs_small.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" u"), F.col("doc_id"), F.lit("@ex.com "),
+            F.lit("10.0."), (F.col("doc_id") % 256).cast("string"), F.lit(".7"),
+        ).alias("text"),
+    )
+    got = {r["doc_id"]: r["text_clean"] for r in scrub_pii(df).collect()}
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    expr = "text || ' u' || doc_id || '@ex.com ' || '10.0.' || (doc_id % 256) || '.7'"
+    for _, pat, token in PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat}', '{token}', 'g')"
+    exp = dict(con.execute(f"SELECT doc_id, {expr} FROM documents").fetchall())
+    assert got == exp
+
+
+def test_gopher_rules_bands(spark):
+    from gopensearch_spark.datapipe import gopher_rules
+
+    rows = [
+        (0, " ".join(["the word and with that have lots more text here"] * 6)),
+        (1, "short"),  # word_count below band
+        (2, " ".join(["### ## #"] * 30)),  # symbol ratio + no alpha
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in gopher_rules(df).collect()}
+    assert got[0]["passes"] is True
+    assert got[0]["word_count"] == 60 and got[0]["stop_hits"] >= 2
+    assert got[1]["passes"] is False
+    assert got[2]["passes"] is False
+    assert got[2]["alpha_word_frac"] == 0.0
+    assert got[2]["symbol_word_ratio"] > 0.1
+
+
+def test_segment_dedup_separator(spark):
+    from gopensearch_spark.datapipe import segment_dedup
+
+    rows = [
+        (0, "alpha beta\ncommon line\ngamma"),
+        (1, "common line\ndelta"),       # "common line" first seen in doc 0
+        (2, "common line"),              # everything duplicated -> empty
+        (3, "alpha beta\nalpha beta"),   # intra-doc dup: keep first only
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in
+           segment_dedup(df, separator="\n").collect()}
+    # doc 0 wins every segment it contains (lowest (id, idx))
+    assert got[0]["text_dedup"] == "alpha beta\ncommon line\ngamma"
+    assert got[1]["text_dedup"] == "delta"
+    assert got[2]["text_dedup"] == "" and got[2]["n_kept"] == 0
+    assert got[3]["text_dedup"] == ""  # "alpha beta" already won by doc 0
+    assert got[3]["n_segments"] == 2 and got[3]["n_kept"] == 0
+
+
+def test_segment_dedup_token_window_vs_duckdb(docs_small, duck):
+    """Fixed 20-token-window segmentation over the real corpus; the
+    whole op (segment, elect first, reassemble) cross-checked value-
+    exact against DuckDB."""
+    from gopensearch_spark.datapipe import segment_dedup
+
+    got = {r["doc_id"]: (r["text_dedup"], r["n_segments"], r["n_kept"])
+           for r in segment_dedup(
+               docs_small, separator=None, token_window=20).collect()}
+    exp = {r[0]: (r[1], r[2], r[3]) for r in duck.execute("""
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                 unnest(range(len(string_split(text, ' ')))) AS i
+          FROM documents
+        ), segs AS (
+          SELECT doc_id, i // 20 AS idx,
+                 string_agg(tok, ' ' ORDER BY i) AS seg
+          FROM toks GROUP BY doc_id, i // 20
+          HAVING trim(string_agg(tok, ' ' ORDER BY i)) != ''
+        ), firsts AS (
+          SELECT lower(trim(seg)) AS k,
+                 min(struct_pack(doc_id := doc_id, idx := idx)) AS first
+          FROM segs GROUP BY 1
+        ), kept AS (
+          SELECT s.doc_id,
+                 string_agg(s.seg, ' ' ORDER BY s.idx) AS text_dedup,
+                 count(*) AS n_kept
+          FROM segs s JOIN firsts f ON lower(trim(s.seg)) = f.k
+          WHERE s.doc_id = f.first.doc_id AND s.idx = f.first.idx
+          GROUP BY s.doc_id
+        ), totals AS (
+          SELECT doc_id, count(*) AS n_segments FROM segs GROUP BY 1
+        )
+        SELECT d.doc_id, coalesce(k.text_dedup, ''),
+               coalesce(t.n_segments, 0), coalesce(k.n_kept, 0)
+        FROM documents d
+        LEFT JOIN totals t USING (doc_id) LEFT JOIN kept k USING (doc_id)
+    """).fetchall()}
+    assert got == exp
+    # the fixture's planted near-dups share prefixes -> something dedups
+    assert any(v[2] < v[1] for v in got.values())

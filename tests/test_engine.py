@@ -1797,6 +1797,134 @@ def test_pipeline_aggs_validation(engine):
             "aggs": {"cum": {"cumulative_sum": {"buckets_path": "nope"}}}}}})
 
 
+def test_bucket_script_and_selector(engine, duck):
+    """bucket_script computes a per-bucket expression from sibling
+    metrics; bucket_selector then filters buckets on another script."""
+    r = engine.search("events", {"size": 0, "aggs": {"h": {
+        "date_histogram": {"field": "ts", "fixed_interval": "1h"},
+        "aggs": {
+            "s": {"sum": {"field": "value"}},
+            "per_doc": {"bucket_script": {
+                "buckets_path": {"tot": "s", "cnt": "_count"},
+                "script": "params.tot / params.cnt"}},
+            "keep": {"bucket_selector": {
+                "buckets_path": {"cnt": "_count"},
+                "script": "params.cnt > 3"}},
+        }}}})
+    exp = duck.execute("""
+        SELECT CAST(epoch_ms(time_bucket(INTERVAL 1 HOUR, ts)) AS BIGINT) k,
+               count(*) c, sum(value) / count(*) per_doc
+        FROM events GROUP BY 1 HAVING count(*) > 3 ORDER BY k
+    """).fetchall()
+    buckets = r["aggregations"]["h"]["buckets"]
+    assert len(buckets) == len(exp) > 0
+    for b, (k, c, pd) in zip(buckets, exp):
+        assert b["key"] == k and b["doc_count"] == c
+        assert math.isclose(b["per_doc"]["value"], pd, rel_tol=1e-9)
+
+
+def test_bucket_script_rejects_unsafe(engine):
+    with pytest.raises(ValueError, match="bucket script"):
+        engine.search("events", {"size": 0, "aggs": {"h": {
+            "date_histogram": {"field": "ts", "fixed_interval": "1h"},
+            "aggs": {"x": {"bucket_script": {
+                "buckets_path": {"c": "_count"},
+                "script": "__import__('os')"}}}}}})
+    with pytest.raises(ValueError, match="params.nope"):
+        engine.search("events", {"size": 0, "aggs": {"h": {
+            "date_histogram": {"field": "ts", "fixed_interval": "1h"},
+            "aggs": {"x": {"bucket_script": {
+                "buckets_path": {"c": "_count"},
+                "script": "params.nope + 1"}}}}}})
+
+
+def test_moving_fn_and_serial_diff(engine, duck):
+    """moving_fn default shift=0 windows the `window` buckets BEFORE the
+    current one; serial_diff subtracts the lag-th previous value."""
+    r = engine.search("events", {"size": 0, "aggs": {"h": {
+        "date_histogram": {"field": "ts", "fixed_interval": "1h"},
+        "aggs": {
+            "mov": {"moving_fn": {
+                "buckets_path": "_count", "window": 3,
+                "script": "MovingFunctions.sum(values)"}},
+            "sd": {"serial_diff": {"buckets_path": "_count", "lag": 2}},
+        }}}})
+    exp = duck.execute("""
+        WITH b AS (SELECT CAST(epoch_ms(time_bucket(INTERVAL 1 HOUR, ts)) AS BIGINT) k,
+                          count(*) c FROM events GROUP BY 1)
+        SELECT k, c,
+               sum(c) OVER (ORDER BY k ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) mov,
+               c - lag(c, 2) OVER (ORDER BY k) sd
+        FROM b ORDER BY k
+    """).fetchall()
+    buckets = r["aggregations"]["h"]["buckets"]
+    assert len(buckets) == len(exp) > 3
+    for b, (k, c, mov, sd) in zip(buckets, exp):
+        assert b["key"] == k and b["doc_count"] == c
+        for label, want in (("mov", mov), ("sd", sd)):
+            if want is None:
+                assert b[label]["value"] is None
+            else:
+                assert math.isclose(b[label]["value"], float(want), rel_tol=1e-9)
+
+
+def test_bucket_sort_under_terms(engine, duck):
+    """the classic 'order terms buckets by a metric, keep top 2'."""
+    r = engine.search("events", {"size": 0, "aggs": {"t": {
+        "terms": {"field": "event_type", "size": 100},
+        "aggs": {
+            "av": {"avg": {"field": "value"}},
+            "top": {"bucket_sort": {
+                "sort": [{"av": {"order": "desc"}}], "size": 2}},
+        }}}})
+    exp = duck.execute("""
+        SELECT event_type, count(*) c, avg(value) av FROM events
+        WHERE event_type IS NOT NULL
+        GROUP BY 1 ORDER BY av DESC LIMIT 2
+    """).fetchall()
+    buckets = r["aggregations"]["t"]["buckets"]
+    assert [(b["key"], b["doc_count"]) for b in buckets] == \
+        [(k, int(c)) for k, c, _ in exp]
+    for b, (_, _, av) in zip(buckets, exp):
+        assert math.isclose(b["av"]["value"], av, rel_tol=1e-9)
+
+
+def test_sibling_bucket_aggs(engine, duck):
+    """avg/sum/min/max/stats_bucket reduce a sibling histogram's metric
+    (or _count) across all buckets."""
+    r = engine.search("events", {"size": 0, "aggs": {
+        "h": {"date_histogram": {"field": "ts", "fixed_interval": "1h"},
+              "aggs": {"s": {"sum": {"field": "value"}}}},
+        "avg_s": {"avg_bucket": {"buckets_path": "h>s"}},
+        "max_c": {"max_bucket": {"buckets_path": "h>_count"}},
+        "sum_s": {"sum_bucket": {"buckets_path": "h>s"}},
+        "st": {"stats_bucket": {"buckets_path": "h>s"}},
+    }})
+    exp = duck.execute("""
+        WITH b AS (SELECT time_bucket(INTERVAL 1 HOUR, ts) k,
+                          count(*) c, sum(value) s FROM events GROUP BY 1)
+        SELECT avg(s), max(c), sum(s), count(s), min(s), max(s) FROM b
+    """).fetchone()
+    a = r["aggregations"]
+    assert math.isclose(a["avg_s"]["value"], exp[0], rel_tol=1e-9)
+    assert a["max_c"]["value"] == float(exp[1])
+    assert math.isclose(a["sum_s"]["value"], exp[2], rel_tol=1e-9)
+    st = a["st"]
+    assert st["count"] == exp[3]
+    assert math.isclose(st["min"], exp[4], rel_tol=1e-9)
+    assert math.isclose(st["max"], exp[5], rel_tol=1e-9)
+
+
+def test_sibling_bucket_validation(engine):
+    with pytest.raises(ValueError, match="unknown sibling"):
+        engine.search("events", {"size": 0, "aggs": {
+            "x": {"avg_bucket": {"buckets_path": "nope>m"}}}})
+    with pytest.raises(ValueError, match="must be"):
+        engine.search("events", {"size": 0, "aggs": {
+            "h": {"date_histogram": {"field": "ts", "fixed_interval": "1h"}},
+            "x": {"avg_bucket": {"buckets_path": "h"}}}})
+
+
 def test_weighted_avg_and_extended_stats(engine, duck):
     r = engine.search("events", {"size": 0, "aggs": {
         "wa": {"weighted_avg": {"value": {"field": "value"},

@@ -102,6 +102,9 @@ def test_wand_or_block_skipping_under_skewed_idfs(spark, tmp_path):
     from gopensearch_spark.index.builder import read_corpus_stats
     stats = read_corpus_stats(idx)
     idfs = {t: _idf(stats["n_docs"], d) for t, d in tstats.items()}
+    # direct kernel calls bypass wand_match's codec resolution — pass
+    # the decoders matching the index's block_codec (pfor by default)
+    dec = W._decoders(stats.get("block_codec", "varint"))
     counted = {"n": 0}
     orig = W._decode_term
 
@@ -115,7 +118,7 @@ def test_wand_or_block_skipping_under_skewed_idfs(spark, tmp_path):
         for _, g in blocks.groupby("seg_id"):
             total += len(g)
             W._score_segment_or({t: gg for t, gg in g.groupby("term")},
-                                idfs, stats["avg_doc_len"], 3)
+                                idfs, stats["avg_doc_len"], 3, dec=dec)
     finally:
         W._decode_term = orig
     # the floored head term's blocks must be (mostly) skipped once the
@@ -137,7 +140,7 @@ def test_wand_or_block_skipping_under_skewed_idfs(spark, tmp_path):
         for _, g in blocks.groupby("seg_id"):
             total += len(g)
             W._score_segment_and({t: gg for t, gg in g.groupby("term")},
-                                 idfs, stats["avg_doc_len"], 50)
+                                 idfs, stats["avg_doc_len"], 50, dec=dec)
     finally:
         W._decode_term = orig
     assert counted["n"] < total * 0.6, (counted["n"], total)
