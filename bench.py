@@ -61,6 +61,8 @@ BENCH_QUERIES = [
     "ann_cosine_topk",
     "qc_quality_score",
     "qc_repetition",
+    "scrub_pii",
+    "segment_dedup",
     "dsl_top_hits",
     "dsl_significant_text",
     "sql_q1",
