@@ -659,14 +659,16 @@ def _dsl_pipeline_aggs(spark, sf_dir):
 
 
 def _dsl_metrics(spark, sf_dir):
-    """All four single-metric agg branches (avg/min/max/sum) in ONE
-    search body — one value-checked entry covering every `_metric_expr`
-    arm AND the multiple-top-level-aggs surface (§2 A6)."""
+    """All four single-metric agg branches (avg/min/max/sum) plus the
+    round-5 percentile_ranks arm in ONE search body — one value-checked
+    entry covering every `_metric_expr` arm AND the
+    multiple-top-level-aggs surface (§2 A6)."""
     body = {"size": 0, "aggs": {
         "a": {"avg": {"field": "value"}},
         "mn": {"min": {"field": "value"}},
         "mx": {"max": {"field": "value"}},
         "s": {"sum": {"field": "value"}},
+        "pr": {"percentile_ranks": {"field": "value", "values": [100.0]}},
     }}
     _, aggs, _ = _engine(spark, sf_dir).search_df("events", body)
     return (
@@ -674,6 +676,8 @@ def _dsl_metrics(spark, sf_dir):
         .crossJoin(aggs["mn"][1].select(F.round("value", 6).alias("min_value")))
         .crossJoin(aggs["mx"][1].select(F.round("value", 6).alias("max_value")))
         .crossJoin(aggs["s"][1].select(F.round("value", 4).alias("sum_value")))
+        .crossJoin(aggs["pr"][1].select(
+            F.round(F.col("values")[0], 6).alias("pr100")))
     )
 
 
@@ -1843,6 +1847,176 @@ def _sql_q1(spark, sf_dir):
     """)
 
 
+def _dsl_collapse(spark, sf_dir):
+    """ES field collapsing: one best hit per user_id under the request
+    sort (value desc, id tiebreak) — a window row_number over the
+    collapse key; the only shuffle is on that key."""
+    body = {
+        "query": {"range": {"value": {"gte": 100}}},
+        "collapse": {"field": "user_id"},
+        "sort": [{"value": {"order": "desc"}}],
+        "size": 1000000,
+    }
+    hits, _, _ = _engine(spark, sf_dir).search_df("events", body)
+    return hits.select("event_id", "user_id", F.round("value", 6).alias("value"))
+
+
+def _dsl_rescore_phrase(spark, sf_dir):
+    """ES rescore: cheap match('data') primary, top-30 window re-ranked
+    by a match_phrase('spark join') secondary (0.7/1.3 weights, total).
+    The phrase relation is semi-joined against the broadcast window ids
+    before scoring — posting lists never flow past the bounded window."""
+    body = {
+        "query": {"match": {"text": "data"}},
+        "rescore": {
+            "window_size": 30,
+            "query": {
+                "rescore_query": {"match_phrase": {"text": "spark join"}},
+                "query_weight": 0.7,
+                "rescore_query_weight": 1.3,
+                "score_mode": "total",
+            },
+        },
+        "size": 30,
+    }
+    hits, _, _ = _engine(spark, sf_dir).search_df("documents", body)
+    return (
+        hits.withColumn("score", F.round("score", _ROUND))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+        .select("doc_id", "score")
+    )
+
+
+def _dsl_runtime_script(spark, sf_dir):
+    """ES runtime_mappings + script_fields: a runtime field (value*10)
+    resolvable by the range query and the sort like a stored column,
+    plus a fetch-phase script field over it — both compiled from the
+    painless doc['f'].value arithmetic subset to Catalyst projections
+    (whole-stage codegen, never a Python UDF)."""
+    body = {
+        "query": {"range": {"v10": {"gte": 1500}}},
+        "runtime_mappings": {
+            "v10": {"type": "double", "script": "doc['value'].value * 10"},
+        },
+        "script_fields": {"vmod": {"script": "doc['v10'].value % 7 + 1"}},
+        "sort": [{"event_id": {"order": "asc"}}],
+        "size": 1000000,
+    }
+    hits, _, _ = _engine(spark, sf_dir).search_df("events", body)
+    return hits.select(
+        "event_id",
+        F.round("v10", 6).alias("v10"),
+        F.round("vmod", 6).alias("vmod"),
+    )
+
+
+def _dsl_multi_terms(spark, sf_dir):
+    """ES multi_terms: (event_type, user_id) tuple buckets + an avg
+    metric sub-agg — ONE hash-agg pass over the joined key string,
+    exactly like `terms`."""
+    body = {"size": 0, "aggs": {"mt": {
+        "multi_terms": {
+            "terms": [{"field": "event_type"}, {"field": "user_id"}],
+            "size": 12,
+        },
+        "aggs": {"v": {"avg": {"field": "value"}}},
+    }}}
+    _, aggs, _ = _engine(spark, sf_dir).search_df("events", body)
+    _, df = aggs["mt"]
+    return df.select("key", "doc_count", F.round("v", 6).alias("v"))
+
+
+def _dsl_auto_date_histogram(spark, sf_dir):
+    """ES auto_date_histogram: interval auto-picked from the ES rounding
+    ladder so the span fits 12 buckets (a two-scalar min/max probe, then
+    the ordinary date_histogram machinery with a zero-filled axis)."""
+    body = {"size": 0, "aggs": {"ah": {
+        "auto_date_histogram": {"field": "ts", "buckets": 12},
+    }}}
+    _, aggs, _ = _engine(spark, sf_dir).search_df("events", body)
+    _, df = aggs["ah"]
+    return df.select(F.col("key").alias("bucket_ms"), "doc_count")
+
+
+def _dsl_auto_dh_oracle(buckets: int) -> str:
+    """DuckDB replica: the same fixed-interval ladder fit (the entry's
+    event span always lands on a fixed step; calendar steps would need
+    date_trunc arms here) + the same zero-filled bucket axis."""
+    steps = [1000, 5000, 10_000, 30_000, 60_000, 300_000, 600_000,
+             1_800_000, 3_600_000, 10_800_000, 43_200_000, 86_400_000,
+             604_800_000]
+    arms = " ".join(
+        f"WHEN hi // {s} - lo // {s} + 1 <= {buckets} THEN {s}" for s in steps
+    )
+    return f"""
+WITH mm AS (
+  SELECT epoch_ms(min(ts)) AS lo, epoch_ms(max(ts)) AS hi
+  FROM events WHERE ts IS NOT NULL
+),
+iv AS (SELECT CASE {arms} ELSE 604800000 END AS iv FROM mm),
+cnt AS (
+  SELECT (epoch_ms(ts) // iv) * iv AS k, count(*) AS n
+  FROM events, iv WHERE ts IS NOT NULL GROUP BY 1
+),
+axis AS (
+  SELECT unnest(generate_series((lo // iv) * iv, (hi // iv) * iv, iv)) AS k
+  FROM mm, iv
+)
+SELECT CAST(axis.k AS BIGINT) AS bucket_ms,
+       CAST(coalesce(cnt.n, 0) AS BIGINT) AS doc_count
+FROM axis LEFT JOIN cnt USING (k)
+"""
+
+
+def _dsl_rescore_oracle() -> str:
+    """DuckDB replica of the two-phase ranking: flat BM25 for the
+    primary match, top-30 window by raw score, positional phrase BM25
+    for the secondary, ES total combine (unmatched window docs keep
+    query_weight x original)."""
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+         unnest(range(len(string_split(text, ' ')))) AS pos
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+prim AS (
+  SELECT tf.doc_id,
+    (CASE WHEN ln((s.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)) > 0
+          THEN ln((s.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)) ELSE 1e-6 END)
+    * (tf.tf * {K1 + 1.0}) / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl)) AS score
+  FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  WHERE tf.term = 'data'
+),
+win AS (SELECT doc_id, score FROM prim ORDER BY score DESC, doc_id ASC LIMIT 30),
+phits AS (
+  SELECT a.doc_id, count(*) AS tf FROM tok a
+  JOIN tok b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = 'spark' AND b.term = 'join' GROUP BY 1
+),
+pu AS (SELECT count(*) AS df FROM phits),
+ph AS (
+  SELECT h.doc_id,
+    (CASE WHEN ln((s.n_docs - pu.df + 0.5) / (pu.df + 0.5)) > 0
+          THEN ln((s.n_docs - pu.df + 0.5) / (pu.df + 0.5)) ELSE 1e-6 END)
+    * (h.tf * {K1 + 1.0}) / (h.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl)) AS score
+  FROM phits h JOIN dl USING (doc_id) CROSS JOIN stats s CROSS JOIN pu
+),
+comb AS (
+  SELECT w.doc_id,
+    CASE WHEN p.score IS NOT NULL THEN 0.7 * w.score + 1.3 * p.score
+         ELSE 0.7 * w.score END AS score
+  FROM win w LEFT JOIN ph p USING (doc_id)
+)
+SELECT doc_id, round(score, {_ROUND}) AS score FROM comb
+ORDER BY round(score, {_ROUND}) DESC, doc_id ASC LIMIT 10
+"""
+
+
 # --- driver contract ---------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1866,7 +2040,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dsl_function_score, dsl_term_suggest and pack_chunks move IN; the
     # six displaced entries (see the round-5 displacement block in the
     # tail) each keep an in-window representative of their code path
-    # and their full oracles for replica runs. The tail (51+) holds only entries
+    # and their full oracles for replica runs. Round 5c adds collapse /
+    # rescore / runtime-script / multi_terms / auto_date_histogram
+    # in-window (displacing five r4-GREEN entries whose paths keep
+    # in-window representatives — see the round-5c block in the tail);
+    # percentile_ranks rides the dsl_metrics entry as a fifth arm. The tail (51+) holds only entries
     # whose code path has an in-window representative: rows-only
     # approximate paths gated by in-window *_valid/*_recall/*_precision,
     # bm25_tail_term (same OR kernel as bm25_head_term), bm25_and3_k100
@@ -1888,15 +2066,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_range_epoch_millis": _dsl_range_epoch_millis,
         "dsl_bool_must_filter": _dsl_bool_must_filter,
         "dsl_min_should_match": _dsl_min_should_match,
-        "dsl_bool_must_not": _dsl_bool_must_not,
         "dsl_search_after": _dsl_search_after,
         "dsl_query_string_glob": _dsl_query_string_glob,
         "dsl_multi_match": _dsl_multi_match,
-        "dsl_dis_max": _dsl_dis_max,
         "dsl_function_score": _dsl_function_score,
         "dsl_nested_path": _dsl_nested_path,
+        # round-5c NEW code paths: field collapsing (window dedup over
+        # hits), two-phase rescore ranking (bounded-window secondary
+        # join), painless doc-script runtime/script fields, tuple-keyed
+        # multi_terms, ladder-picked auto_date_histogram
+        "dsl_collapse": _dsl_collapse,
+        "dsl_rescore_phrase": _dsl_rescore_phrase,
+        "dsl_runtime_script": _dsl_runtime_script,
         "dsl_terms_agg": _dsl_terms_agg,
-        "dsl_pipeline_aggs": _dsl_pipeline_aggs,
+        "dsl_multi_terms": _dsl_multi_terms,
+        "dsl_auto_date_histogram": _dsl_auto_date_histogram,
         "dsl_bucket_pipelines2": _dsl_bucket_pipelines2,
         "dsl_bucket_selector_sort": _dsl_bucket_selector_sort,
         "dsl_date_histogram_calendar": _dsl_date_histogram_calendar,
@@ -1904,10 +2088,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_match_phrase_slop": _dsl_match_phrase_slop,
         "dsl_filters_agg": _dsl_filters_agg,
         "dsl_term_suggest": _dsl_term_suggest,
-        "dsl_subagg": _dsl_subagg,
         "dsl_top_hits": _dsl_top_hits,
         "dsl_significant_terms": _dsl_significant_terms,
-        "dsl_phrase_filter": _dsl_phrase_filter,
         "dsl_must_not_match": _dsl_must_not_match,
         # training-data pipeline operators
         "dedup_exact": _dedup_exact,
@@ -1974,6 +2156,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # in-window), qc_repetition (same Arrow-batched textqc kernel
         # family as in-window qc_quality_score; its n-gram repetition
         # kernel is pinned by tests/test_datapipe.py)
+        # round-5c displacements (making room for the five NEW paths
+        # dsl_collapse / dsl_rescore_phrase / dsl_runtime_script /
+        # dsl_multi_terms / dsl_auto_date_histogram), every displaced
+        # entry r4-value-checked green and with an in-window
+        # representative of its code path:
+        # - dsl_bool_must_not: the must_not negation compile is
+        #   in-window via dsl_must_not_match (relation-backed must_not)
+        #   and the bool composition via dsl_bool_must_filter
+        "dsl_bool_must_not": _dsl_bool_must_not,
+        # - dsl_phrase_filter: composition of two in-window paths —
+        #   bm25_phrase2's positional kernel + dsl_must_not_match's
+        #   filter-context (scoring=False) marker join
+        "dsl_phrase_filter": _dsl_phrase_filter,
+        # - dsl_pipeline_aggs: same _apply_pipeline bucket-axis window
+        #   machinery as in-window dsl_bucket_pipelines2 (its
+        #   cumulative_sum/derivative arms are pytest-pinned); the
+        #   zero-filled date axis is in-window via
+        #   dsl_date_histogram_calendar
+        "dsl_pipeline_aggs": _dsl_pipeline_aggs,
+        # - dsl_dis_max: same spec_score combine fold over the scoring
+        #   join as in-window dsl_function_score; the branch-grouped
+        #   greatest+tie_breaker fold is pytest-pinned (test_engine)
+        "dsl_dis_max": _dsl_dis_max,
+        # - dsl_subagg: same one-groupBy terms+metric core as in-window
+        #   dsl_terms_agg, and the metric-sub-agg-under-buckets path is
+        #   value-checked in-window by dsl_multi_terms' avg sub-agg
+        "dsl_subagg": _dsl_subagg,
         "bm25_head_term": _bm25(["data"], "or", 10),
         "bm25_phrase_prefix": _phrase_prefix("spark jo", 25),
         "dsl_terms_query": _dsl_terms_query,
@@ -2361,9 +2570,34 @@ ORDER BY (fg.c*1.0/ft - bg.c*1.0/bt)
         ),
         "dsl_metrics": (
             "SELECT round(avg(value), 6) AS avg_value, round(min(value), 6) AS min_value, "
-            "round(max(value), 6) AS max_value, round(sum(value), 4) AS sum_value FROM events"
+            "round(max(value), 6) AS max_value, round(sum(value), 4) AS sum_value, "
+            # percentile_ranks: % of non-null values at or below 100
+            # (null values excluded from the denominator, ES contract)
+            "round(100.0 * avg(CASE WHEN value <= 100 THEN 1.0 "
+            "WHEN value IS NOT NULL THEN 0.0 END), 6) AS pr100 FROM events"
         ),
         "dsl_multi_match": _multi_match_oracle("data", "en", 2.0),
+        "dsl_collapse": (
+            "SELECT event_id, user_id, round(value, 6) AS value FROM ("
+            " SELECT event_id, user_id, value,"
+            " row_number() OVER (PARTITION BY user_id"
+            "  ORDER BY value DESC, event_id ASC) AS rn"
+            " FROM events WHERE value >= 100) WHERE rn = 1"
+        ),
+        "dsl_rescore_phrase": _dsl_rescore_oracle(),
+        "dsl_runtime_script": (
+            "SELECT event_id, round(value * 10, 6) AS v10,"
+            " round(fmod(value * 10, 7) + 1, 6) AS vmod"
+            " FROM events WHERE value * 10 >= 1500"
+        ),
+        "dsl_multi_terms": (
+            "SELECT key, doc_count, round(v, 6) AS v FROM ("
+            " SELECT event_type || '|' || CAST(user_id AS VARCHAR) AS key,"
+            " count(*) AS doc_count, avg(value) AS v"
+            " FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL"
+            " GROUP BY 1 ORDER BY doc_count DESC, key ASC LIMIT 12)"
+        ),
+        "dsl_auto_date_histogram": _dsl_auto_dh_oracle(12),
         "dsl_histogram": (
             "WITH d AS (SELECT floor(value / 50) * 50 AS bucket, count(*) AS n "
             "FROM events GROUP BY 1), "

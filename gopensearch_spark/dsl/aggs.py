@@ -83,6 +83,33 @@ def date_bucket_expr(ctx: CompileContext, dh: model.DateHistogram) -> Column:
     return (F.floor(millis / iv) * iv).cast("long")
 
 
+# ES auto_date_histogram rounding ladder (smallest -> largest). Each
+# entry is (fixed_interval, calendar_interval, approx_ms_for_fit) — the
+# calendar steps use an approximate width for the fit test only (the
+# actual bucketing truncates on real calendar boundaries).
+_AUTO_DH_LADDER = [
+    ("1s", "", 1000), ("5s", "", 5000), ("10s", "", 10_000), ("30s", "", 30_000),
+    ("1m", "", 60_000), ("5m", "", 300_000), ("10m", "", 600_000), ("30m", "", 1_800_000),
+    ("1h", "", 3_600_000), ("3h", "", 10_800_000), ("12h", "", 43_200_000),
+    ("1d", "", 86_400_000), ("7d", "", 604_800_000),
+    ("", "1M", 2_592_000_000), ("", "1q", 7_776_000_000), ("", "1y", 31_536_000_000),
+]
+
+
+def _auto_dh_interval(lo_ms: int, hi_ms: int, buckets: int) -> tuple[str, str]:
+    """Smallest ladder interval whose bucket count over [lo, hi] fits in
+    `buckets`. Returns (fixed_interval, calendar_interval) — exactly one
+    non-empty. Spans wider than `buckets` years degrade to yearly
+    buckets (ES continues the ladder with 5y/10y/...; multi-year
+    truncation needs a custom key expression we don't grow until a
+    fixture needs it)."""
+    for fixed, cal, approx in _AUTO_DH_LADDER:
+        nb = (hi_ms // approx) - (lo_ms // approx) + 1
+        if nb <= buckets:
+            return fixed, cal
+    return "", "1y"
+
+
 def _metric_col(ctx: CompileContext, af: model.AggField) -> Column:
     """Resolve a metric field honoring the ES `missing` parameter:
     docs without the field take the substitute value instead of being
@@ -206,45 +233,17 @@ def _split_pipeline(aggs: dict[str, model.Aggregate]):
     return metric, pipe
 
 
-_SCRIPT_SAFE = re.compile(r"^[\w\s.+\-*/%()<>=!&|,]*$")
-
-
 def _eval_bucket_script(script: str, cols: dict[str, Column]) -> Column:
     """Evaluate the painless-arithmetic subset ES bucket_script /
     bucket_selector use in practice: `params.<name>` references plus
     arithmetic (+ - * / %), comparisons and parentheses — e.g.
     `params.total / params.cnt * 100`, `params.rate > 0.5`.
+    Delegates to the shared evaluator (compiler.eval_param_script):
+    the expression stays a whole-stage-codegen Catalyst Column — never
+    a Python UDF; null inputs propagate (ES gap_policy=skip)."""
+    from gopensearch_spark.dsl.compiler import eval_param_script
 
-    The expression is rejected unless it consists solely of those
-    tokens; evaluation maps `params.<name>` onto the resolved bucket
-    Column and lets Column operator overloading build the Catalyst
-    expression (stays whole-stage-codegen JVM-side — never a Python
-    UDF). Null inputs propagate to a null result, which IS ES
-    gap_policy=skip."""
-    if not _SCRIPT_SAFE.match(script) or "__" in script:
-        raise ValueError(f"unsupported bucket script: {script!r}")
-
-    class _Params:
-        def __init__(self, c): self._c = c
-
-        def __getattr__(self, name):
-            if name.startswith("_"):
-                raise AttributeError(name)
-            try:
-                return self._c[name]
-            except KeyError:
-                raise ValueError(
-                    f"script references params.{name} but buckets_path "
-                    f"defines {sorted(self._c)!r}"
-                ) from None
-
-    try:
-        out = eval(script, {"__builtins__": {}}, {"params": _Params(cols)})  # noqa: S307
-    except SyntaxError as e:
-        raise ValueError(f"unparseable bucket script: {script!r}") from e
-    if not isinstance(out, Column):
-        out = F.lit(out)
-    return out
+    return eval_param_script(script, cols)
 
 
 _MOVING_FN_RE = re.compile(
@@ -414,6 +413,70 @@ def compile_agg(
             out = out.join(arrays, "key", "left").orderBy(*order)
             return "tophits", out
         return "buckets", out
+    if agg.multi_terms is not None:
+        mt = agg.multi_terms
+        if not mt.terms:
+            raise ValueError("multi_terms requires at least one term source")
+        cols = [ctx.resolve(f) for f in mt.terms]
+        # ES contract: a doc missing ANY key field produces no bucket
+        for c in cols:
+            filtered = filtered.where(c.isNotNull())
+        # bucket key = the `|`-joined key_as_string ES reports; the
+        # groupBy key IS the joined string, so this stays ONE hash-agg
+        # pass exactly like `terms`
+        key = F.concat_ws("|", *[c.cast("string") for c in cols]).alias("key")
+        metric_subs, pipe_subs = _split_pipeline(agg.aggs)
+        okey, odir = mt.order_key, mt.order_dir
+        if okey == "_count":
+            ocol = F.col("doc_count")
+        elif okey == "_key":
+            ocol = F.col("key")
+        elif okey in metric_subs:
+            ocol = F.col(okey)
+        else:
+            raise ValueError(
+                f"multi_terms order {okey!r} is not _count, _key, or a "
+                f"metric sub-aggregation label ({sorted(agg.aggs)!r})"
+            )
+        order = [ocol.asc() if odir == "asc" else ocol.desc(), F.asc("key")]
+        out = (
+            filtered.groupBy(key)
+            .agg(F.count("*").alias("doc_count"), *_metric_exprs(ctx, metric_subs))
+            .orderBy(*order)
+            .limit(mt.size)
+        )
+        if pipe_subs:
+            out = _apply_pipeline(out, pipe_subs, set(metric_subs))
+            if not any(s.bucket_sort is not None for s in pipe_subs.values()):
+                out = out.orderBy(*order)
+        return "buckets", out
+    if agg.auto_date_histogram is not None:
+        import dataclasses
+
+        ah = agg.auto_date_histogram
+        # min/max probe: ONE two-scalar aggregate (bounded, never
+        # data-sized), then delegate to the date_histogram machinery
+        # with the chosen ladder interval
+        probe = model.DateHistogram(field=ah.field, fixed_interval="1ms")
+        millis = date_bucket_expr(ctx, probe)
+        row = filtered.agg(F.min(millis).alias("lo"), F.max(millis).alias("hi")).collect()[0]
+        if row["lo"] is None:
+            # empty foreground: zero buckets (ES returns an empty axis)
+            empty = filtered.groupBy(millis.alias("key")).agg(
+                F.count("*").alias("doc_count"))
+            return "buckets", empty.where(F.lit(False))
+        fixed, cal = _auto_dh_interval(int(row["lo"]), int(row["hi"]), ah.buckets)
+        # ES auto_date_histogram zero-fills the chart axis (that is its
+        # whole purpose) — contiguous buckets across [min, max]
+        dh = model.DateHistogram(
+            field=ah.field, fixed_interval=fixed, calendar_interval=cal,
+            min_doc_count=0,
+        )
+        return compile_agg(
+            ctx, filtered,
+            dataclasses.replace(agg, auto_date_histogram=None, date_histogram=dh),
+            background=background, index_spec=index_spec,
+        )
     if agg.global_:
         import dataclasses
 
@@ -794,6 +857,24 @@ def compile_agg(
         out = filtered.agg(vals.alias("values"))
         return "percentiles", out.select(
             F.lit([float(x) for x in p.percents]).alias("percents"), "values"
+        )
+    if agg.percentile_ranks is not None:
+        pr = agg.percentile_ranks
+        if not pr.values:
+            raise ValueError("percentile_ranks requires values")
+        # exact rank: percentage of observed values at or below each
+        # requested value — one conditional-avg per value, ONE hash-agg
+        # pass (ES approximates with TDigest; exactness wins for parity)
+        col = ctx.resolve(pr.field).cast("double")
+        exprs = [
+            (F.avg(F.when(col <= F.lit(float(v)), 1.0).otherwise(0.0)) * 100)
+            .alias(f"r{i}")
+            for i, v in enumerate(pr.values)
+        ]
+        out = filtered.where(col.isNotNull()).agg(*exprs)
+        return "percentiles", out.select(
+            F.lit([float(v) for v in pr.values]).alias("percents"),
+            F.array(*[F.col(f"r{i}") for i in range(len(pr.values))]).alias("values"),
         )
     if agg.top_hits is not None:
         raise ValueError("top_hits is supported as a sub-aggregation of `terms`")

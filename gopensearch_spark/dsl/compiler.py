@@ -596,3 +596,67 @@ def compile_search(ctx: CompileContext, d: model.Dsl) -> DataFrame:
         )
     size = 10 if d.size is None else d.size  # default LIMIT 10 (sql.go:326-332)
     return out.limit(size)
+
+
+# --- painless-arithmetic subset evaluator (shared by bucket_script /
+# bucket_selector in aggs.py and script_fields / runtime_mappings in
+# the Engine) ---
+
+_SCRIPT_SAFE = re.compile(r"^[\w\s.+\-*/%()<>=!&|,]*$")
+_DOC_REF = re.compile(r"doc\[\s*'([\w.]+)'\s*\]\s*\.\s*value")
+
+
+def eval_param_script(script: str, cols: dict[str, Column]) -> Column:
+    """Evaluate the painless-arithmetic subset over named Columns:
+    `params.<name>` references plus arithmetic (+ - * / %), comparisons
+    and parentheses. The expression is rejected unless it consists
+    solely of those tokens; evaluation maps `params.<name>` onto its
+    Column and lets Column operator overloading build the Catalyst
+    expression (whole-stage codegen JVM-side — never a Python UDF).
+    Null inputs propagate to a null result (ES gap_policy=skip)."""
+    if not _SCRIPT_SAFE.match(script) or "__" in script:
+        raise ValueError(f"unsupported script: {script!r}")
+
+    class _Params:
+        def __init__(self, c): self._c = c
+
+        def __getattr__(self, name):
+            if name.startswith("_"):
+                raise AttributeError(name)
+            try:
+                return self._c[name]
+            except KeyError:
+                raise ValueError(
+                    f"script references params.{name} but the available "
+                    f"parameters are {sorted(self._c)!r}"
+                ) from None
+
+    try:
+        out = eval(script, {"__builtins__": {}}, {"params": _Params(cols)})  # noqa: S307
+    except SyntaxError as e:
+        raise ValueError(f"unparseable script: {script!r}") from e
+    if not isinstance(out, Column):
+        out = F.lit(out)
+    return out
+
+
+def eval_doc_script(script: str, resolve) -> Column:
+    """ES painless doc-value script (`doc['field'].value` arithmetic)
+    compiled to a Catalyst Column: each doc[...] reference is resolved
+    through ``resolve`` (the CompileContext resolver, so JSON-mapped
+    and dotted-path fields work) and cast to double, then the remaining
+    arithmetic evaluates via eval_param_script. Used by script_fields,
+    runtime_mappings, and script sorts."""
+    names: dict[str, str] = {}
+
+    def _sub(m: re.Match) -> str:
+        f = m.group(1)
+        if f not in names:
+            names[f] = f"v{len(names)}"
+        return f"params.{names[f]}"
+
+    body = _DOC_REF.sub(_sub, script)
+    if "doc[" in body:
+        raise ValueError(f"unresolvable doc[...] reference in {script!r}")
+    cols = {n: resolve(f).cast("double") for f, n in names.items()}
+    return eval_param_script(body, cols)

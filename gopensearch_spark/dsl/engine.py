@@ -540,7 +540,10 @@ class Engine:
         spec = self.indices[index]
         track = d.track_total_hits if d.track_total_hits is not None else self.track_total_hits
 
-        m = self._pure_match(d, spec)
+        needs_general = bool(
+            d.collapse or d.rescore or d.script_fields or d.runtime_mappings
+        )
+        m = None if needs_general else self._pure_match(d, spec)
         if m is not None:
             # serve straight from the compressed block index: block-max
             # skipping bounds the decode to candidate blocks, and only
@@ -574,10 +577,24 @@ class Engine:
             return hits.limit(size), {}, d
 
         spec, ctx, ft_specs = self._context(index)
+        if d.runtime_mappings:
+            # runtime fields join the relation BEFORE query compile, so
+            # the query/sort/agg compilers resolve them like stored
+            # columns; each script is a Catalyst projection (row-local,
+            # whole-stage codegen — never a Python UDF), and later
+            # runtime fields may reference earlier ones
+            import dataclasses
+
+            from gopensearch_spark.dsl.compiler import eval_doc_script
+
+            for name, src in d.runtime_mappings.items():
+                ctx = dataclasses.replace(
+                    ctx, df=ctx.df.withColumn(name, eval_doc_script(src, ctx.resolve))
+                )
         pred = compile_query(ctx, d.query)  # populates ft_specs via callback
 
         scored = ft_specs != []
-        base = spec.df
+        base = ctx.df
         if ft_specs:
             from gopensearch_spark.search import (
                 bm25_scores,
@@ -810,7 +827,82 @@ class Engine:
                 (self._sort_col(ctx, s.field, scored), s.order, v)
                 for s, v in zip(d.sort, d.search_after)
             ]))
-        if d.sort:
+        size = 10 if d.size is None else d.size
+        if d.collapse is not None:
+            # ES field collapsing: one best hit per collapse-key value,
+            # best under the request's order (with an id tiebreak so
+            # row_number is total). The only shuffle is on the collapse
+            # key; per-group state is one row.
+            from pyspark.sql.window import Window
+
+            corder = [
+                self._sort_col(ctx, s.field, scored).desc()
+                if s.order.lower() == "desc"
+                else self._sort_col(ctx, s.field, scored).asc()
+                for s in d.sort
+            ] or ([F.desc("score")] if scored else [])
+            corder.append(F.asc(F.col(spec.id_col)))
+            w = Window.partitionBy(ctx.resolve(d.collapse.field)).orderBy(*corder)
+            hits = (
+                hits.withColumn("__collapse_rn", F.row_number().over(w))
+                .where(F.col("__collapse_rn") == 1)
+                .drop("__collapse_rn")
+            )
+        if d.rescore is not None:
+            rs = d.rescore
+            if d.sort:
+                raise ValueError(
+                    "rescore cannot be combined with an explicit sort (ES contract)")
+            if d.search_after is not None or d.collapse is not None:
+                raise ValueError(
+                    "rescore cannot be combined with search_after or collapse")
+            if not scored:
+                raise ValueError("rescore requires a scoring primary query")
+            if size + (d.from_ or 0) > rs.window_size:
+                raise ValueError(
+                    f"rescore window_size {rs.window_size} must cover "
+                    f"from+size {size + (d.from_ or 0)}")
+            # bound FIRST: only the top-window hits are rescored. The
+            # secondary scoring relation is semi-joined against the
+            # broadcast window ids before the outer join, so its posting
+            # lists never flow past the bounded candidate set.
+            window = hits.orderBy(F.desc("score"), F.asc(spec.id_col)) \
+                         .limit(rs.window_size)
+            sec = self._scoring_relation(spec, rs.query).select(
+                F.col("doc_id").alias("__rs_id"),
+                F.col("score").alias("__rs_score"),
+            )
+            sec = sec.join(
+                F.broadcast(window.select(F.col(spec.id_col).alias("__rs_id"))),
+                "__rs_id",
+            )
+            j = window.join(
+                F.broadcast(sec), window[spec.id_col] == sec["__rs_id"], "left"
+            ).drop("__rs_id")
+            orig = F.col("score") * F.lit(float(rs.query_weight))
+            secs = F.col("__rs_score") * F.lit(float(rs.rescore_query_weight))
+            mode = rs.score_mode
+            if mode == "total":
+                comb = orig + secs
+            elif mode == "multiply":
+                comb = orig * secs
+            elif mode == "avg":
+                comb = (orig + secs) / 2
+            elif mode == "max":
+                comb = F.greatest(orig, secs)
+            elif mode == "min":
+                comb = F.least(orig, secs)
+            else:
+                raise ValueError(f"unsupported rescore score_mode {mode!r}")
+            # ES: a window doc the rescore query does NOT match keeps
+            # query_weight x its original score
+            comb = F.when(F.col("__rs_score").isNotNull(), comb).otherwise(orig)
+            hits = (
+                j.withColumn("score", comb)
+                .drop("__rs_score")
+                .orderBy(F.desc("score"), F.asc(spec.id_col))
+            )
+        elif d.sort:
             hits = hits.orderBy(
                 *[
                     self._sort_col(ctx, s.field, scored).desc()
@@ -821,11 +913,45 @@ class Engine:
             )
         elif scored:
             hits = hits.orderBy(F.desc("score"), F.asc(spec.id_col))
-        size = 10 if d.size is None else d.size
         if d.from_:
             hits = hits.offset(d.from_)
         hits = hits.limit(size)
+        if d.script_fields:
+            # fetch-phase computed columns: Catalyst projections over
+            # the ALREADY-limited page (≤ size rows)
+            from gopensearch_spark.dsl.compiler import eval_doc_script
+
+            for name, src in d.script_fields.items():
+                hits = hits.withColumn(name, eval_doc_script(src, ctx.resolve))
         return hits, aggs_out, d
+
+    def _scoring_relation(self, spec: IndexSpec, q: model.Query) -> DataFrame:
+        """Unordered (doc_id, score) relation for a rescore query. The
+        supported secondary shapes are a single `match` or
+        `match_phrase` on the indexed text field — the classic
+        cheap-match-then-phrase two-phase ranking (Lucene's
+        QueryRescorer reruns an arbitrary query; these are the shapes
+        with a posting-backed scoring relation here)."""
+        from gopensearch_spark.search import bm25_scores, phrase_match
+
+        if q.match and len(q.match) == 1 and not q.match_phrase:
+            (f, m), = q.match.items()
+            if strip_keyword(f) != spec.text_field:
+                raise ValueError(
+                    f"rescore match field {f!r} is not the indexed text "
+                    f"field {spec.text_field!r}")
+            mode = "and" if m.operator.upper() == "AND" else "or"
+            return bm25_scores(self.spark, spec.index_dir, m.query, mode=mode)
+        if q.match_phrase and len(q.match_phrase) == 1 and not q.match:
+            (f, m), = q.match_phrase.items()
+            if strip_keyword(f) != spec.text_field:
+                raise ValueError(
+                    f"rescore match_phrase field {f!r} is not the indexed "
+                    f"text field {spec.text_field!r}")
+            return phrase_match(self.spark, spec.index_dir, m.query, k=None)
+        raise ValueError(
+            "rescore supports a single match or match_phrase on the "
+            "indexed text field")
 
     @staticmethod
     def _sort_col(ctx: CompileContext, field: str, scored: bool) -> Column:
@@ -895,6 +1021,13 @@ class Engine:
         )
         if total is not None:
             resp["hits"]["total"] = {"value": total, "relation": "eq"}
+        if d.script_fields:
+            # ES shape: script-field values live under hit["fields"],
+            # not _source (extracted BEFORE doc-backed unmarshal
+            # replaces _source with the original document)
+            for h in resp["hits"]["hits"]:
+                src = h.get("_source", {})
+                h["fields"] = {n: [src.pop(n, None)] for n in d.script_fields}
         if spec.doc_backed:
             self._unmarshal_source(index, spec, resp)
         if d.suggest:
@@ -940,6 +1073,10 @@ class Engine:
                     src = {k: v for k, v in src.items()
                            if k not in d.source_excludes}
                 h["_source"] = src
+        elif d.script_fields and d.source is None:
+            # ES: script_fields suppress _source unless it is requested
+            for h in resp["hits"]["hits"]:
+                h.pop("_source", None)
         return resp
 
     def analyze(self, body: str | dict) -> dict:

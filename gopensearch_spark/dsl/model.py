@@ -227,6 +227,38 @@ class AggTerms:
 
 
 @dataclass
+class MultiTerms:
+    """ES `multi_terms`: terms buckets keyed by a TUPLE of fields in
+    one groupBy pass (the two-field facet without a composite walk).
+    A doc missing ANY of the key fields produces no bucket (ES
+    contract); `key` in the result is the `|`-joined key_as_string ES
+    reports alongside the key array."""
+    terms: list[str] = field(default_factory=list)  # field names, in order
+    size: int = 10
+    order_key: str = "_count"
+    order_dir: str = "desc"
+
+
+@dataclass
+class AutoDateHistogram:
+    """ES `auto_date_histogram`: pick the smallest interval from the ES
+    rounding ladder such that the bucketed span fits in `buckets`
+    buckets, then delegate to the date_histogram machinery. The min/max
+    probe is a single two-scalar aggregate (bounded, never data-sized)."""
+    field: str
+    buckets: int = 10
+
+
+@dataclass
+class PercentileRanks:
+    """ES `percentile_ranks`: for each requested value, the percentage
+    of observed values at or below it (exact; ES approximates with
+    TDigest)."""
+    field: str
+    values: list[float] = field(default_factory=list)
+
+
+@dataclass
 class DateHistogram:
     field: str
     fixed_interval: str = ""
@@ -431,6 +463,9 @@ class NestedAgg:
 @dataclass
 class Aggregate:
     terms: AggTerms | None = None
+    multi_terms: MultiTerms | None = None
+    auto_date_histogram: AutoDateHistogram | None = None
+    percentile_ranks: PercentileRanks | None = None
     nested: NestedAgg | None = None
     composite: CompositeAgg | None = None
     date_histogram: DateHistogram | None = None
@@ -477,6 +512,30 @@ class Aggregate:
 
 
 @dataclass
+class Collapse:
+    """ES `collapse`: keep only the best hit per distinct value of
+    `field` (field collapsing), best = first under the request's sort
+    (or _score for scored queries). One window row_number over the
+    collapse key — the shuffle is on the collapse key, bounded state
+    per group."""
+    field: str
+
+
+@dataclass
+class Rescore:
+    """ES `rescore`: re-rank the top `window_size` hits of the primary
+    query with a (typically more expensive) secondary query — the
+    classic cheap-match-then-phrase two-phase ranking. Only the window
+    is rescored; the secondary scoring relation is joined against the
+    BOUNDED window ids, never the corpus."""
+    query: "Query"
+    window_size: int = 10
+    query_weight: float = 1.0
+    rescore_query_weight: float = 1.0
+    score_mode: str = "total"  # total | multiply | avg | max | min
+
+
+@dataclass
 class Dsl:
     query: Query | None = None
     size: int | None = None  # None -> default 10 at limit time (sql.go:326-332)
@@ -503,6 +562,16 @@ class Dsl:
     source: object = None
     # ES `_source.excludes`: drop the listed fields, keep the rest
     source_excludes: list | None = None
+    # ES `collapse`: field collapsing (one best hit per key)
+    collapse: Collapse | None = None
+    # ES `rescore`: two-phase ranking over the top-window hits
+    rescore: Rescore | None = None
+    # ES `script_fields`: fetch-phase computed columns, painless
+    # doc['f'].value arithmetic subset compiled to Catalyst expressions
+    script_fields: dict[str, str] = field(default_factory=dict)
+    # ES `runtime_mappings`: script-defined fields resolvable by the
+    # query/sort/agg compilers exactly like stored columns
+    runtime_mappings: dict[str, str] = field(default_factory=dict)
 
 
 def _parse_match(raw: dict) -> dict[str, Match]:
@@ -687,6 +756,26 @@ def _parse_agg(raw: dict) -> Aggregate:
         a.terms = AggTerms(field=t["field"], size=int(t.get("size", 10)),
                            order_key=str(okey), order_dir=str(odir).lower(),
                            missing=t.get("missing"))
+    if "multi_terms" in raw:
+        mt = raw["multi_terms"]
+        order = mt.get("order") or {"_count": "desc"}
+        (okey, odir), = order.items()
+        a.multi_terms = MultiTerms(
+            terms=[str(t["field"]) for t in mt.get("terms", [])],
+            size=int(mt.get("size", 10)),
+            order_key=str(okey), order_dir=str(odir).lower(),
+        )
+    if "auto_date_histogram" in raw:
+        ah = raw["auto_date_histogram"]
+        a.auto_date_histogram = AutoDateHistogram(
+            field=str(ah["field"]), buckets=int(ah.get("buckets", 10)),
+        )
+    if "percentile_ranks" in raw:
+        pr = raw["percentile_ranks"]
+        a.percentile_ranks = PercentileRanks(
+            field=str(pr["field"]),
+            values=[float(v) for v in pr.get("values", [])],
+        )
     if "composite" in raw:
         c = raw["composite"]
         sources = []
@@ -878,6 +967,34 @@ def parse_dsl(body: str | dict) -> Dsl:
         d.search_after = list(raw["search_after"])
     if raw.get("suggest") is not None:
         d.suggest = dict(raw["suggest"])
+    if raw.get("collapse") is not None:
+        d.collapse = Collapse(field=str(raw["collapse"]["field"]))
+    if raw.get("rescore") is not None:
+        rs = raw["rescore"]
+        if isinstance(rs, list):
+            if len(rs) != 1:
+                raise ValueError("only a single rescore stage is supported")
+            rs = rs[0]
+        rq = rs.get("query") or {}
+        if "rescore_query" not in rq:
+            raise ValueError("rescore requires query.rescore_query")
+        d.rescore = Rescore(
+            query=_parse_query(rq["rescore_query"]),
+            window_size=int(rs.get("window_size", 10)),
+            query_weight=float(rq.get("query_weight", 1.0)),
+            rescore_query_weight=float(rq.get("rescore_query_weight", 1.0)),
+            score_mode=str(rq.get("score_mode", "total")),
+        )
+    for name, sf in (raw.get("script_fields") or {}).items():
+        script = sf.get("script") if isinstance(sf, dict) else sf
+        if isinstance(script, dict):
+            script = script.get("source", "")
+        d.script_fields[str(name)] = str(script)
+    for name, rm in (raw.get("runtime_mappings") or {}).items():
+        script = (rm or {}).get("script", "")
+        if isinstance(script, dict):
+            script = script.get("source", "")
+        d.runtime_mappings[str(name)] = str(script)
     if "_source" in raw:
         src = raw["_source"]
         if isinstance(src, dict):

@@ -1824,7 +1824,7 @@ def test_bucket_script_and_selector(engine, duck):
 
 
 def test_bucket_script_rejects_unsafe(engine):
-    with pytest.raises(ValueError, match="bucket script"):
+    with pytest.raises(ValueError, match="unsupported script"):
         engine.search("events", {"size": 0, "aggs": {"h": {
             "date_histogram": {"field": "ts", "fixed_interval": "1h"},
             "aggs": {"x": {"bucket_script": {

@@ -431,3 +431,47 @@ def test_cosine_topk_norms_precomputed_below_join(spark):
     below = "\n".join(lines[ji:]).upper()
     assert "SQRT" not in above, plan  # no norm math above the join
     assert "SQRT" in below, plan  # norms live in the per-side projects
+
+
+def test_rescore_window_joins_stay_broadcast(spark, docs_small, index_small):
+    """The rescore secondary relation is restricted by a broadcast of
+    the BOUNDED window ids and the outer combine join broadcasts the
+    (window-sized) right side — no sort-merge shuffle of posting
+    relations anywhere in the two-phase ranking plan."""
+    from gopensearch_spark.dsl import Engine
+
+    e = Engine(spark)
+    e.create_index("docs", docs_small, text_field="text", index_dir=index_small)
+    hits, _, _ = e.search_df("docs", {
+        "query": {"match": {"text": "data"}},
+        "rescore": {
+            "window_size": 20,
+            "query": {"rescore_query": {"match_phrase": {"text": "spark join"}}},
+        },
+        "size": 10,
+    })
+    plan = _plan(hits)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_collapse_single_exchange_on_key(spark):
+    """Field collapsing costs exactly one shuffle — the window over the
+    collapse key; no extra exchange appears after it."""
+    import os
+
+    from gopensearch_spark.dsl import Engine
+
+    sf = os.path.join(os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata"),
+                      "sf0.001")
+    e = Engine(spark)
+    e.create_index("events", spark.read.parquet(os.path.join(sf, "events.parquet")),
+                   json_col="props", id_col="event_id")
+    hits, _, _ = e.search_df("events", {
+        "query": {"range": {"value": {"gte": 100}}},
+        "collapse": {"field": "user_id"},
+        "size": 100000,
+    })
+    plan = _plan(hits)
+    assert "Window" in plan
+    assert plan.count("Exchange") == 1

@@ -1,0 +1,302 @@
+"""Round-5 search-surface features: collapse, rescore, script_fields,
+runtime_mappings, multi_terms, auto_date_histogram, percentile_ranks —
+value-checked against DuckDB on the same parquet and the FTS5 oracle
+for the rescore two-phase ranking."""
+
+import math
+import os
+
+import duckdb
+import pytest
+
+from gopensearch_spark.dsl import Engine
+
+SF = os.path.join(os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata"), "sf0.001")
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in ["events", "documents"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.fixture(scope="module")
+def engine(spark, docs_small, index_small):
+    e = Engine(spark)
+    e.create_index("events", spark.read.parquet(os.path.join(SF, "events.parquet")),
+                   json_col="props", id_col="event_id")
+    e.create_index("docs", docs_small, text_field="text", index_dir=index_small)
+    return e
+
+
+# --- collapse -------------------------------------------------------------
+
+def test_collapse_keeps_best_hit_per_key(engine, duck):
+    body = {
+        "query": {"match_all": {}},
+        "collapse": {"field": "event_type"},
+        "sort": [{"value": {"order": "desc"}}],
+        "size": 100,
+    }
+    r = engine.search("events", body)
+    exp = duck.execute("""
+        SELECT event_id FROM (
+          SELECT event_id, value,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY value DESC, event_id ASC) AS rn
+          FROM events
+        ) WHERE rn = 1 ORDER BY value DESC
+    """).fetchall()
+    assert [int(h["_source"]["event_id"]) for h in r["hits"]["hits"]] == \
+        [int(x[0]) for x in exp]
+    # one hit per distinct event_type
+    types = [h["_source"]["event_type"] for h in r["hits"]["hits"]]
+    assert len(types) == len(set(types))
+
+
+def test_collapse_with_filter_and_default_order(engine, duck):
+    # no sort, not scored -> collapse keeps the lowest-id hit per key
+    body = {
+        "query": {"range": {"value": {"gte": 100}}},
+        "collapse": {"field": "user_id"},
+        "size": 10000,
+    }
+    r = engine.search("events", body)
+    exp = duck.execute("""
+        SELECT count(DISTINCT user_id) FROM events WHERE value >= 100
+    """).fetchone()[0]
+    assert len(r["hits"]["hits"]) == exp
+    first = duck.execute("""
+        SELECT min(event_id) FROM events WHERE value >= 100 GROUP BY user_id
+    """).fetchall()
+    assert {int(h["_source"]["event_id"]) for h in r["hits"]["hits"]} == \
+        {int(x[0]) for x in first}
+
+
+# --- rescore --------------------------------------------------------------
+
+def _expected_rescore(oracle, terms, phrase_expr, window, qw, rw, mode, size):
+    prim = oracle.match(terms, k=100000, mode="or")
+    ph = dict(oracle.match_raw(phrase_expr, k=100000))
+    win = sorted(prim, key=lambda t: (-t[1], t[0]))[:window]
+    out = []
+    for doc_id, p in win:
+        if doc_id in ph:
+            a, b = qw * p, rw * ph[doc_id]
+            c = {"total": a + b, "multiply": a * b, "avg": (a + b) / 2,
+                 "max": max(a, b), "min": min(a, b)}[mode]
+        else:
+            c = qw * p
+        out.append((doc_id, c))
+    out.sort(key=lambda t: (-t[1], t[0]))
+    return out[:size]
+
+
+@pytest.mark.parametrize("mode", ["total", "multiply", "max"])
+def test_rescore_phrase_over_match_window(engine, oracle_small, mode):
+    qw, rw, window, size = 0.7, 1.3, 30, 8
+    body = {
+        "query": {"match": {"text": "data"}},
+        "rescore": {
+            "window_size": window,
+            "query": {
+                "rescore_query": {"match_phrase": {"text": "spark join"}},
+                "query_weight": qw,
+                "rescore_query_weight": rw,
+                "score_mode": mode,
+            },
+        },
+        "size": size,
+    }
+    r = engine.search("docs", body)
+    exp = _expected_rescore(
+        oracle_small, ["data"], '"spark join"', window, qw, rw, mode, size)
+    got = [(int(h["_id"]), h["_score"]) for h in r["hits"]["hits"]]
+    assert [d for d, _ in got] == [d for d, _ in exp]
+    for (_, a), (_, b) in zip(got, exp):
+        assert math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-12)
+
+
+def test_rescore_unmatched_window_docs_keep_weighted_original(engine, oracle_small):
+    # a rescore phrase that matches nothing still reweights the window
+    body = {
+        "query": {"match": {"text": "data"}},
+        "rescore": {
+            "window_size": 20,
+            "query": {
+                "rescore_query": {"match_phrase": {"text": "data data data data"}},
+                "query_weight": 2.0,
+            },
+        },
+        "size": 5,
+    }
+    r = engine.search("docs", body)
+    prim = sorted(oracle_small.match(["data"], k=100000, mode="or"),
+                  key=lambda t: (-t[1], t[0]))[:20]
+    exp = [(d, 2.0 * s) for d, s in prim][:5]
+    got = [(int(h["_id"]), h["_score"]) for h in r["hits"]["hits"]]
+    assert [d for d, _ in got] == [d for d, _ in exp]
+    for (_, a), (_, b) in zip(got, exp):
+        assert math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-12)
+
+
+def test_rescore_rejects_sort_and_small_window(engine):
+    with pytest.raises(ValueError, match="sort"):
+        engine.search("docs", {
+            "query": {"match": {"text": "data"}},
+            "sort": [{"doc_id": {"order": "asc"}}],
+            "rescore": {"window_size": 20,
+                        "query": {"rescore_query": {"match_phrase": {"text": "spark join"}}}},
+        })
+    with pytest.raises(ValueError, match="window_size"):
+        engine.search("docs", {
+            "query": {"match": {"text": "data"}},
+            "rescore": {"window_size": 3,
+                        "query": {"rescore_query": {"match_phrase": {"text": "spark join"}}}},
+            "size": 10,
+        })
+
+
+# --- script_fields / runtime_mappings --------------------------------------
+
+def test_script_fields_computed_and_source_suppressed(engine, duck):
+    body = {
+        "query": {"term": {"event_type": "error"}},
+        "script_fields": {
+            "boosted": {"script": {"source": "doc['value'].value * 2 + 1"}},
+        },
+        "sort": [{"event_id": {"order": "asc"}}],
+        "size": 5,
+    }
+    r = engine.search("events", body)
+    exp = duck.execute("""
+        SELECT value * 2 + 1 FROM events WHERE event_type = 'error'
+        ORDER BY event_id ASC LIMIT 5
+    """).fetchall()
+    got = [h["fields"]["boosted"][0] for h in r["hits"]["hits"]]
+    assert got == pytest.approx([x[0] for x in exp])
+    # ES: _source suppressed when script_fields present and not requested
+    assert all("_source" not in h for h in r["hits"]["hits"])
+
+
+def test_script_fields_with_explicit_source(engine):
+    body = {
+        "query": {"match_all": {}},
+        "script_fields": {"x": {"script": "doc['value'].value % 7"}},
+        "_source": ["event_type"],
+        "size": 3,
+    }
+    r = engine.search("events", body)
+    for h in r["hits"]["hits"]:
+        assert set(h["_source"]) == {"event_type"}
+        assert "x" in h["fields"]
+
+
+def test_runtime_mapping_queryable_and_sortable(engine, duck):
+    body = {
+        "query": {"range": {"v10": {"gte": 1500}}},
+        "runtime_mappings": {
+            "v10": {"type": "double", "script": "doc['value'].value * 10"},
+        },
+        "sort": [{"v10": {"order": "desc"}}],
+        "size": 10000,
+    }
+    r = engine.search("events", body)
+    exp = duck.execute("""
+        SELECT event_id FROM events WHERE value * 10 >= 1500
+        ORDER BY value * 10 DESC
+    """).fetchall()
+    assert [int(h["_source"]["event_id"]) for h in r["hits"]["hits"]] == \
+        [int(x[0]) for x in exp]
+
+
+def test_runtime_mapping_aggregatable(engine, duck):
+    body = {
+        "size": 0,
+        "runtime_mappings": {"vk": {"script": "doc['user_id'].value % 3"}},
+        "aggs": {"t": {"terms": {"field": "vk", "size": 100}}},
+    }
+    r = engine.search("events", body)
+    exp = dict(duck.execute(
+        "SELECT fmod(user_id, 3), count(*) FROM events GROUP BY 1"
+    ).fetchall())
+    got = {float(b["key"]): b["doc_count"]
+           for b in r["aggregations"]["t"]["buckets"]}
+    assert got == {float(k): v for k, v in exp.items()}
+
+
+def test_doc_script_rejects_unsafe(engine):
+    with pytest.raises(ValueError):
+        engine.search("events", {
+            "script_fields": {"x": {"script": "__import__('os')"}},
+            "size": 1,
+        })
+
+
+# --- multi_terms / auto_date_histogram / percentile_ranks ------------------
+
+def test_multi_terms_two_field_buckets(engine, duck):
+    body = {"size": 0, "aggs": {"mt": {
+        "multi_terms": {
+            "terms": [{"field": "event_type"}, {"field": "user_id"}],
+            "size": 7,
+        },
+        "aggs": {"v": {"avg": {"field": "value"}}},
+    }}}
+    r = engine.search("events", body)
+    exp = duck.execute("""
+        SELECT event_type || '|' || CAST(user_id AS VARCHAR) AS key,
+               count(*) AS doc_count, avg(value) AS v
+        FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+        GROUP BY 1 ORDER BY doc_count DESC, key ASC LIMIT 7
+    """).fetchall()
+    got = r["aggregations"]["mt"]["buckets"]
+    assert [(b["key"], b["doc_count"]) for b in got] == \
+        [(k, int(c)) for k, c, _ in exp]
+    assert [b["v"]["value"] for b in got] == pytest.approx([v for _, _, v in exp])
+
+
+def test_auto_date_histogram_fits_target_buckets(engine, duck):
+    body = {"size": 0, "aggs": {"ah": {
+        "auto_date_histogram": {"field": "ts", "buckets": 12},
+    }}}
+    r = engine.search("events", body)
+    buckets = r["aggregations"]["ah"]["buckets"]
+    assert 0 < len(buckets) <= 12
+    total = duck.execute("SELECT count(*) FROM events WHERE ts IS NOT NULL").fetchone()[0]
+    assert sum(b["doc_count"] for b in buckets) == total
+    # keys are aligned epoch-millis on a single ladder interval
+    keys = [int(b["key"]) for b in buckets]
+    assert keys == sorted(keys)
+    lo, hi = duck.execute(
+        "SELECT epoch_ms(min(ts)), epoch_ms(max(ts)) FROM events").fetchone()
+    from gopensearch_spark.dsl.aggs import _auto_dh_interval, fixed_interval_ms
+    fixed, cal = _auto_dh_interval(int(lo), int(hi), 12)
+    assert fixed, "sf0.001 events span should pick a fixed ladder step"
+    iv = fixed_interval_ms(fixed)
+    assert all(k % iv == 0 for k in keys)
+    exp = duck.execute(f"""
+        SELECT CAST(floor(epoch_ms(ts) / {iv}) * {iv} AS BIGINT) AS key, count(*)
+        FROM events WHERE ts IS NOT NULL GROUP BY 1 ORDER BY 1
+    """).fetchall()
+    assert [(k, b["doc_count"]) for k, b in zip(keys, buckets)] == \
+        [(int(k), int(c)) for k, c in exp]
+
+
+def test_percentile_ranks_exact(engine, duck):
+    body = {"size": 0, "aggs": {"pr": {
+        "percentile_ranks": {"field": "value", "values": [50.0, 150.0]},
+    }}}
+    r = engine.search("events", body)
+    vals = r["aggregations"]["pr"]["values"]
+    for v in (50.0, 150.0):
+        exp = duck.execute(
+            "SELECT 100.0 * avg(CASE WHEN value <= ? THEN 1.0 ELSE 0.0 END) "
+            "FROM events WHERE value IS NOT NULL", [v],
+        ).fetchone()[0]
+        assert vals[str(v)] == pytest.approx(exp)
