@@ -2017,6 +2017,104 @@ ORDER BY round(score, {_ROUND}) DESC, doc_id ASC LIMIT 10
 """
 
 
+def _qc_c4_rules(spark, sf_dir):
+    """C4 line-level cleaning (Raffel et al. 2020 §2.2) with
+    deterministically injected line structure (the synthetic corpus is
+    one space-joined line): terminal-punct + min-words + boilerplate
+    line filters, lorem-ipsum/'{' page drops, >=3-kept-lines verdict —
+    ONE whole-stage projection of array HOFs, no UDF, no shuffle."""
+    from gopensearch_spark.datapipe import c4_rules
+
+    d = F.col("doc_id")
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 50), F.lit("."),
+            F.lit("\ntiny."),
+            F.lit("\n"), F.substring("text", 51, 60), F.lit("?"),
+            F.when(d % 11 == 0, F.lit("\nlorem ipsum here."))
+            .otherwise(F.lit("\nclosing sentence with five and more words!")),
+        ).alias("text"),
+    )
+    return c4_rules(docs)
+
+
+def _qc_c4_rules_oracle() -> str:
+    return r"""
+WITH t AS (
+  SELECT doc_id,
+    substr(text, 1, 50) || '.' || chr(10) || 'tiny.' || chr(10) ||
+    substr(text, 51, 60) || '?' ||
+    CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'lorem ipsum here.'
+         ELSE chr(10) || 'closing sentence with five and more words!'
+    END AS text
+  FROM documents
+), s AS (
+  SELECT doc_id, text, string_split(text, chr(10)) AS lines,
+    list_filter(string_split(text, chr(10)), x ->
+      regexp_matches(x, '[.!?"]\s*$')
+      AND len(string_split_regex(trim(x), '\s+')) >= 5
+      AND NOT regexp_matches(lower(x),
+          'javascript|cookie|privacy policy|terms of use')
+    ) AS kept
+  FROM t
+)
+SELECT doc_id, len(lines) AS n_lines, len(kept) AS n_kept,
+       coalesce(list_aggregate(kept, 'string_agg', chr(10)), '') AS text_clean,
+       (NOT (contains(lower(text), 'lorem ipsum') OR contains(text, '{'))
+        AND len(kept) >= 3) AS passes
+FROM s
+"""
+
+
+def _qc_normalize(spark, sf_dir):
+    """Web-typography normalization (curly quotes/dashes/NBSP/minus ->
+    ASCII, ellipsis -> '...', control chars stripped, whitespace runs
+    collapsed) over deterministically uglified text — one shuffle-free
+    translate + chained-regexp projection; identical semantics in the
+    DuckDB oracle."""
+    from gopensearch_spark.datapipe import normalize_text
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.lit("“"), F.substring("text", 1, 40), F.lit("”"),
+            F.lit(" —\t"), F.substring("text", 41, 30),
+            F.lit("…\x07"),
+        ).alias("text"),
+    )
+    return normalize_text(docs)
+
+
+def _qc_normalize_oracle() -> str:
+    from gopensearch_spark.datapipe.scrub import (
+        _NORM_TRANSLATE_DST,
+        _NORM_TRANSLATE_SRC,
+    )
+
+    src = _NORM_TRANSLATE_SRC.replace("'", "''")
+    dst = _NORM_TRANSLATE_DST.replace("'", "''")
+    return rf"""
+WITH t AS (
+  SELECT doc_id,
+    chr(8220) || substr(text, 1, 40) || chr(8221) || chr(160) || chr(8212)
+      || chr(9) || substr(text, 41, 30) || chr(8230) || chr(7) AS text
+  FROM documents
+), n AS (
+  SELECT doc_id, text,
+    trim(regexp_replace(regexp_replace(regexp_replace(
+      translate(text, '{src}', '{dst}'),
+      chr(8230), '...', 'g'),
+      '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+      '\s+', ' ', 'g')) AS text_norm
+  FROM t
+)
+SELECT doc_id, text_norm,
+       CAST(len(text) - len(text_norm) AS BIGINT) AS n_chars_removed
+FROM n
+"""
+
+
 # --- driver contract ---------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2281,6 +2379,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pinned case-by-case in tests/test_datapipe.py. Full
         # value-exact spec oracle below.
         "dedup_url_canonical": _dedup_url_canonical,
+        # qc_c4_rules / qc_normalize (round 5c): same shuffle-free
+        # JVM-projection scrub family as in-window scrub_pii and
+        # qc_gopher_rules (chained regexp/translate + array HOFs); both
+        # spec-pinned case-by-case in tests/test_datapipe.py with full
+        # value-exact oracles below for replica runs
+        "qc_c4_rules": _qc_c4_rules,
+        "qc_normalize": _qc_normalize,
         "qc_fingerprint": _qc_fingerprint,
         "bm25_near2": _near2("spark", "data", 6, 25),
         "dsl_wildcard_query": _dsl_wildcard_query,
@@ -2598,6 +2703,8 @@ ORDER BY (fg.c*1.0/ft - bg.c*1.0/bt)
             " GROUP BY 1 ORDER BY doc_count DESC, key ASC LIMIT 12)"
         ),
         "dsl_auto_date_histogram": _dsl_auto_dh_oracle(12),
+        "qc_c4_rules": _qc_c4_rules_oracle(),
+        "qc_normalize": _qc_normalize_oracle(),
         "dsl_histogram": (
             "WITH d AS (SELECT floor(value / 50) * 50 AS bucket, count(*) AS n "
             "FROM events GROUP BY 1), "

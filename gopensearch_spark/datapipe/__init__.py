@@ -12,7 +12,9 @@ from gopensearch_spark.datapipe.dedup import (  # noqa: F401
     url_dedup,
 )
 from gopensearch_spark.datapipe.scrub import (  # noqa: F401
+    c4_rules,
     gopher_rules,
+    normalize_text,
     scrub_pii,
     scrub_pii_col,
 )

@@ -134,3 +134,88 @@ def gopher_rules(
         & (F.col("stop_hits") >= p["min_stop_hits"])
     )
     return out.withColumn("passes", passes)
+
+
+# C4 line-level cleaning (Raffel et al. 2020 §2.2) — the classic
+# Common-Crawl page cleaner. Thresholds are the paper's; callers tune.
+C4_DEFAULTS = dict(
+    min_words_per_line=5,    # retain lines with >= 5 words
+    min_kept_lines=3,        # drop pages with < 3 surviving "sentences"
+    # pages containing these are dropped outright
+    page_drop_substrings=("lorem ipsum", "{"),
+    # lines mentioning these are dropped (boilerplate/policy lines)
+    line_drop_pattern=r"javascript|cookie|privacy policy|terms of use",
+)
+
+
+def c4_rules(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    line_sep: str = "\n", **overrides,
+) -> DataFrame:
+    """(id, n_lines, n_kept, text_clean, passes): the C4 cleaning rules
+    as ONE whole-stage projection — no UDFs, no shuffle, no explode.
+
+    Line filter (keep iff ALL hold): ends in terminal punctuation
+    (. ! ? "), has >= min_words_per_line whitespace words, and does not
+    match the boilerplate pattern (case-insensitive). Page filter:
+    `passes` is false when the page contains any page_drop substring
+    (case-insensitive) or fewer than min_kept_lines lines survive.
+    All signals are array HOFs over the split lines — the identical
+    logic runs in DuckDB via list_filter for the oracle pair."""
+    p = {**C4_DEFAULTS, **overrides}
+    lines = F.split(F.col(text_col), line_sep)
+    drop_re = p["line_drop_pattern"]
+
+    def keep(line: Column) -> Column:
+        return (
+            line.rlike(r'[.!?"]\s*$')
+            & (F.size(F.split(F.trim(line), r"\s+")) >= p["min_words_per_line"])
+            & ~F.lower(line).rlike(drop_re)
+        )
+
+    kept = F.filter(lines, keep)
+    low = F.lower(F.col(text_col))
+    page_drop = F.lit(False)
+    for s in p["page_drop_substrings"]:
+        page_drop = page_drop | low.contains(s.lower())
+    return df.select(
+        F.col(id_col),
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_kept"),
+        F.array_join(kept, line_sep).alias("text_clean"),
+        (~page_drop & (F.size(kept) >= p["min_kept_lines"])).alias("passes"),
+    )
+
+
+# Unicode-punctuation normalization map (typographic -> ASCII), applied
+# via translate (1:1 chars) + regexp passes (multi-char): the
+# SQL-portable normalization subset every web-crawl pipeline needs
+# before tokenization/dedup. Full NFKC needs ICU; this covers the
+# high-frequency web typography without it.
+_NORM_TRANSLATE_SRC = "‘’“”–— −"
+_NORM_TRANSLATE_DST = "''\"\"-- -"
+
+
+def normalize_text(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    lowercase: bool = False,
+) -> DataFrame:
+    """(id, text_norm, n_chars_removed): canonicalize web typography —
+    curly quotes/dashes/NBSP/minus to ASCII (translate), ellipsis to
+    '...', control chars stripped, whitespace runs collapsed, ends
+    trimmed. One shuffle-free projection of chained builtin expressions
+    (translate + regexp_replace), identical semantics in the DuckDB
+    oracle."""
+    c = F.col(text_col)
+    c = F.translate(c, _NORM_TRANSLATE_SRC, _NORM_TRANSLATE_DST)
+    c = F.regexp_replace(c, "…", "...")
+    c = F.regexp_replace(c, r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", "")
+    c = F.regexp_replace(c, r"\s+", " ")
+    c = F.trim(c)
+    if lowercase:
+        c = F.lower(c)
+    return df.select(
+        F.col(id_col),
+        c.alias("text_norm"),
+        (F.length(F.col(text_col)) - F.length(c)).cast("long").alias("n_chars_removed"),
+    )

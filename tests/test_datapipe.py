@@ -963,3 +963,97 @@ def test_segment_dedup_token_window_vs_duckdb(docs_small, duck):
     assert got == exp
     # the fixture's planted near-dups share prefixes -> something dedups
     assert any(v[2] < v[1] for v in got.values())
+
+
+def test_c4_rules_line_and_page_filters(spark):
+    from gopensearch_spark.datapipe import c4_rules
+
+    good = "this line has enough words and ends well."
+    rows = [
+        (0, f"{good}\nanother proper line with terminal punctuation here!\nis this a valid question line?"),
+        (1, f"{good}\nno terminal punctuation on this line\ntiny line."),
+        (2, f"{good}\nwe use cookie consent banners everywhere here.\n{good}\n{good}"),
+        (3, f"{good}\n{good}\n{good} lorem ipsum dolor."),
+        (4, f"{good}\nvar x = {{}} in code.\n{good}"),
+        (5, "one good line only stands here."),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in c4_rules(df).collect()}
+    assert got[0]["passes"] is True and got[0]["n_kept"] == 3
+    # doc 1: only the first line survives (no punct / too short)
+    assert got[1]["n_kept"] == 1 and got[1]["passes"] is False
+    assert got[1]["text_clean"] == good
+    # doc 2: cookie line dropped, 3 good lines remain -> passes
+    assert got[2]["n_kept"] == 3 and got[2]["passes"] is True
+    # doc 3: lorem ipsum page-drop despite enough kept lines
+    assert got[3]["n_kept"] == 3 and got[3]["passes"] is False
+    # doc 4: '{' page-drop
+    assert got[4]["passes"] is False
+    # doc 5: fewer than 3 kept lines
+    assert got[5]["n_kept"] == 1 and got[5]["passes"] is False
+
+
+def test_c4_rules_matches_duckdb(spark, docs_small, duck):
+    """The identical line lambda in DuckDB list_filter over the real
+    corpus with injected line structure produces the same outputs."""
+    from gopensearch_spark.datapipe import c4_rules
+
+    df = docs_small.select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 50), F.lit("."),
+            F.lit("\ntiny."),
+            F.lit("\n"), F.substring("text", 51, 60), F.lit("?"),
+            F.when(F.col("doc_id") % 11 == 0, F.lit("\nlorem ipsum here."))
+            .otherwise(F.lit("\nclosing sentence with five and more words!")),
+        ).alias("text"),
+    )
+    got = {r["doc_id"]: (r["n_lines"], r["n_kept"], r["text_clean"], r["passes"])
+           for r in c4_rules(df).collect()}
+    exp = {r[0]: (r[1], r[2], r[3], r[4]) for r in duck.execute(r"""
+        WITH t AS (
+          SELECT doc_id,
+            substr(text, 1, 50) || '.' || chr(10) || 'tiny.' || chr(10) ||
+            substr(text, 51, 60) || '?' ||
+            CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'lorem ipsum here.'
+                 ELSE chr(10) || 'closing sentence with five and more words!'
+            END AS text
+          FROM documents
+        ), s AS (
+          SELECT doc_id, text, string_split(text, chr(10)) AS lines,
+            list_filter(string_split(text, chr(10)), x ->
+              regexp_matches(x, '[.!?"]\s*$')
+              AND len(string_split_regex(trim(x), '\s+')) >= 5
+              AND NOT regexp_matches(lower(x),
+                  'javascript|cookie|privacy policy|terms of use')
+            ) AS kept
+          FROM t
+        )
+        SELECT doc_id, len(lines), len(kept),
+               list_aggregate(kept, 'string_agg', chr(10)),
+               NOT (contains(lower(text), 'lorem ipsum')
+                    OR contains(text, '{')) AND len(kept) >= 3
+        FROM s
+    """).fetchall()}
+    # DuckDB string_agg of an empty list yields NULL; C4 join yields ''
+    exp = {k: (a, b, c or "", d) for k, (a, b, c, d) in exp.items()}
+    assert got == exp
+
+
+def test_normalize_text_typography(spark):
+    from gopensearch_spark.datapipe import normalize_text
+
+    rows = [
+        (0, "“quoted”  —  and… more here"),
+        (1, "  plain   text \t with\truns  "),
+        (2, "ctrl\x07chars\x1fgone"),
+        (3, "‘single’ – dash − minus"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: (r["text_norm"], r["n_chars_removed"])
+           for r in normalize_text(df).collect()}
+    assert got[0][0] == '"quoted" - and... more here'
+    assert got[1][0] == "plain text with runs"
+    assert got[2][0] == "ctrlcharsgone"
+    assert got[3][0] == "'single' - dash - minus"
+    assert got[2][1] == 2
