@@ -2017,6 +2017,62 @@ ORDER BY round(score, {_ROUND}) DESC, doc_id ASC LIMIT 10
 """
 
 
+def _dsl_more_like_this(spark, sf_dir):
+    """ES more_like_this: terms selected from the like text by tf x idf
+    against the index's term_stats (driver-side, bounded by the like
+    vocabulary), then OR-BM25 with a 30% minimum-should-match floor.
+    min_term_freq=1 and max_query_terms=25 > |like vocab| so selection
+    is exact-set (no float-boundary truncation risk vs the oracle)."""
+    body = {
+        "query": {"more_like_this": {
+            "fields": ["text"],
+            "like": "spark join data batch window merge sort scan",
+            "min_term_freq": 1, "min_doc_freq": 5,
+        }},
+        "size": 30,
+    }
+    hits, _, _ = _engine(spark, sf_dir).search_df("documents", body)
+    return (
+        hits.withColumn("score", F.round("score", _ROUND))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(15)
+        .select("doc_id", "score")
+    )
+
+
+def _dsl_mlt_oracle(like: str, min_tf: int, min_df: int, k: int) -> str:
+    """DuckDB replica: same selection gates (like-tf, index df — both
+    exact integers, no float boundary), same 30% floor arithmetic
+    (integer //), same flat OR-BM25 with the matched-term-count filter."""
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+lt AS (SELECT unnest(string_split('{like}', ' ')) AS term),
+ltf AS (SELECT term, count(*) AS tf FROM lt GROUP BY 1),
+cand AS (
+  SELECT l.term FROM ltf l JOIN dfs d USING (term)
+  WHERE l.tf >= {min_tf} AND d.df >= {min_df}
+),
+m AS (SELECT (30 * count(*)) // 100 AS req FROM cand),
+scored AS (
+  SELECT tf.doc_id,
+    (CASE WHEN ln((s.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)) > 0
+          THEN ln((s.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)) ELSE 1e-6 END)
+    * (tf.tf * {K1 + 1.0}) / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl)) AS contrib
+  FROM tf JOIN cand USING (term) JOIN dfs USING (term)
+  JOIN dl USING (doc_id) CROSS JOIN stats s
+),
+agg AS (SELECT doc_id, sum(contrib) AS score, count(*) AS nt FROM scored GROUP BY 1)
+SELECT doc_id, round(score, {_ROUND}) AS score FROM agg, m WHERE nt >= m.req
+ORDER BY round(score, {_ROUND}) DESC, doc_id ASC LIMIT {k}
+"""
+
+
 def _qc_c4_rules(spark, sf_dir):
     """C4 line-level cleaning (Raffel et al. 2020 §2.2) with
     deterministically injected line structure (the synthetic corpus is
@@ -2386,6 +2442,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # value-exact oracles below for replica runs
         "qc_c4_rules": _qc_c4_rules,
         "qc_normalize": _qc_normalize,
+        # dsl_more_like_this (round 5c): composition of in-window paths
+        # — bm25_or3's OR kernel + bm25_and2's matched-term-count (nt)
+        # filter (min_match generalizes the == to >=); the driver-side
+        # term selection is exact-integer-gated and pytest-pinned vs a
+        # composed DuckDB replica (tests/test_search_features.py).
+        # Full value-exact oracle below.
+        "dsl_more_like_this": _dsl_more_like_this,
         "qc_fingerprint": _qc_fingerprint,
         "bm25_near2": _near2("spark", "data", 6, 25),
         "dsl_wildcard_query": _dsl_wildcard_query,
@@ -2705,6 +2768,8 @@ ORDER BY (fg.c*1.0/ft - bg.c*1.0/bt)
         "dsl_auto_date_histogram": _dsl_auto_dh_oracle(12),
         "qc_c4_rules": _qc_c4_rules_oracle(),
         "qc_normalize": _qc_normalize_oracle(),
+        "dsl_more_like_this": _dsl_mlt_oracle(
+            "spark join data batch window merge sort scan", 1, 5, 15),
         "dsl_histogram": (
             "WITH d AS (SELECT floor(value / 50) * 50 AS bucket, count(*) AS n "
             "FROM events GROUP BY 1), "

@@ -477,6 +477,18 @@ def compile_query(ctx: CompileContext, q: model.Query | None, scoring: bool = Tr
         raise ValueError(
             f"fuzzy on {field!r} requires a full-text index (vocabulary)"
         )
+    if q.more_like_this is not None:
+        mlt = q.more_like_this
+        if not mlt.fields:
+            raise ValueError("more_like_this requires `fields`")
+        if ctx.fulltext_predicate is None:
+            raise ValueError("more_like_this requires a full-text index")
+        ft = ctx.fulltext_predicate(strip_keyword(mlt.fields[0]), mlt, "mlt", scoring)
+        if ft is None:
+            raise ValueError(
+                f"more_like_this field {mlt.fields[0]!r} is not the indexed "
+                "text field")
+        preds.append(ft)
     for field, rx in q.regexp.items():
         if ctx.fulltext_predicate is not None:
             ft = ctx.fulltext_predicate(strip_keyword(field), rx, "regexp", scoring)

@@ -465,6 +465,12 @@ class Engine:
                 ft_specs.append(("multi", m, mode, scoring, 0, 1.0))
                 return F.col(f"__ft_id_{i}").isNotNull()
             if spec.index_dir and field == spec.text_field:
+                if kind == "mlt":
+                    # more_like_this: m is a model.Mlt; like-doc refs
+                    # resolve at relation time (bounded id fetches)
+                    i = len(ft_specs)
+                    ft_specs.append(("mlt", m, "or", scoring, 0, 1.0))
+                    return F.col(f"__ft_id_{i}").isNotNull()
                 if kind in ("fuzzy", "regexp"):
                     # m is a model.Fuzzy / model.Regexp; expansion is OR
                     # by construction
@@ -638,6 +644,36 @@ class Engine:
                         (F.max("score")
                          + F.lit(tb) * (F.sum("score") - F.max("score"))
                          ).alias("score")
+                    )
+                if kind == "mlt":
+                    from gopensearch_spark.search.mlt import mlt_scores
+
+                    like_texts = []
+                    for lk in q.like:
+                        if isinstance(lk, dict):
+                            # {"_index","_id"} document ref: ONE pushdown
+                            # id-scan per ref (bounded by the like list)
+                            ridx = lk.get("_index", index)
+                            rspec = self.indices[ridx]
+                            rows = (
+                                rspec.df
+                                .where(F.col(rspec.id_col) == lk["_id"])
+                                .select(F.col(rspec.text_field or spec.text_field))
+                                .collect()
+                            )
+                            if not rows:
+                                raise ValueError(
+                                    f"more_like_this doc ref {lk!r} not found")
+                            like_texts.append(str(rows[0][0]))
+                        else:
+                            like_texts.append(str(lk))
+                    return mlt_scores(
+                        self.spark, spec.index_dir, like_texts,
+                        max_query_terms=q.max_query_terms,
+                        min_term_freq=q.min_term_freq,
+                        min_doc_freq=q.min_doc_freq,
+                        max_doc_freq=q.max_doc_freq,
+                        minimum_should_match=q.minimum_should_match,
                     )
                 if kind == "phrase":
                     from gopensearch_spark.analysis import normalize_query_terms

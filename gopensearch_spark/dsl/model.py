@@ -180,6 +180,21 @@ class Nested:
 
 
 @dataclass
+class Mlt:
+    """ES `more_like_this` (Lucene MoreLikeThis): terms are selected
+    from the like text(s) by tf x idf against the index's own term
+    stats, then run as an OR match with a minimum-should-match floor.
+    `like` entries are strings or {"_index","_id"} document refs."""
+    fields: list[str] = field(default_factory=list)
+    like: list = field(default_factory=list)
+    min_term_freq: int = 2
+    min_doc_freq: int = 5
+    max_doc_freq: int = 0
+    max_query_terms: int = 25
+    minimum_should_match: int | str = "30%"
+
+
+@dataclass
 class Query:
     match: dict[str, Match] = field(default_factory=dict)
     # further ES-correct query forms absent from the reference's DSL
@@ -212,6 +227,7 @@ class Query:
     dis_max: DisMax | None = None
     function_score: FunctionScore | None = None
     nested: Nested | None = None
+    more_like_this: Mlt | None = None
 
 
 @dataclass
@@ -662,6 +678,20 @@ def _parse_query(raw: dict) -> Query:
                 q.regexp[k] = Regexp(value=str(v))
     if "ids" in raw:
         q.ids = list(raw["ids"].get("values", []))
+    if "more_like_this" in raw:
+        m = raw["more_like_this"]
+        like = m.get("like", [])
+        if isinstance(like, (str, dict)):
+            like = [like]
+        q.more_like_this = Mlt(
+            fields=[str(f) for f in m.get("fields", [])],
+            like=list(like),
+            min_term_freq=int(m.get("min_term_freq", 2)),
+            min_doc_freq=int(m.get("min_doc_freq", 5)),
+            max_doc_freq=int(m.get("max_doc_freq", 0)),
+            max_query_terms=int(m.get("max_query_terms", 25)),
+            minimum_should_match=m.get("minimum_should_match", "30%"),
+        )
     if "constant_score" in raw:
         cs = raw["constant_score"]
         if "filter" not in cs:

@@ -87,9 +87,14 @@ def bm25_scores(
     index_dir: str,
     query: str | list[str],
     mode: str = "and",
+    min_match: int | None = None,
 ) -> DataFrame:
     """Unlimited (doc_id, score) for a match query — the scoring relation
-    the Engine joins against filters before its own top-k."""
+    the Engine joins against filters before its own top-k.
+
+    ``min_match``: keep only docs matching at least that many distinct
+    query terms (the Lucene minimum-should-match floor; `more_like_this`
+    rides this). Ignored under mode='and' (which already requires all)."""
     from gopensearch_spark.analysis import normalize_query_terms
 
     terms = sorted(set(normalize_query_terms(query)))
@@ -110,6 +115,8 @@ def bm25_scores(
     )
     if mode == "and":
         agg = agg.where(F.col("n_terms") == len(terms))
+    elif min_match is not None and min_match > 0:
+        agg = agg.where(F.col("n_terms") >= min_match)
     return agg.select("doc_id", "score")
 
 

@@ -300,3 +300,77 @@ def test_percentile_ranks_exact(engine, duck):
             "FROM events WHERE value IS NOT NULL", [v],
         ).fetchone()[0]
         assert vals[str(v)] == pytest.approx(exp)
+
+
+# --- more_like_this ---------------------------------------------------------
+
+MLT_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+lt AS (SELECT unnest(string_split('{like}', ' ')) AS term),
+ltf AS (SELECT term, count(*) AS tf FROM lt GROUP BY 1),
+cand AS (
+  SELECT l.term FROM ltf l JOIN dfs d USING (term)
+  WHERE l.tf >= {min_tf} AND d.df >= {min_df}
+),
+m AS (SELECT (30 * count(*)) // 100 AS req FROM cand),
+scored AS (
+  SELECT tf.doc_id,
+    (CASE WHEN ln((s.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)) > 0
+          THEN ln((s.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)) ELSE 1e-6 END)
+    * (tf.tf * 2.2) / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) AS contrib
+  FROM tf JOIN cand USING (term) JOIN dfs USING (term)
+  JOIN dl USING (doc_id) CROSS JOIN stats s
+),
+agg AS (SELECT doc_id, sum(contrib) AS score, count(*) AS nt FROM scored GROUP BY 1)
+SELECT doc_id, round(score, 10) AS score FROM agg, m WHERE nt >= m.req
+ORDER BY round(score, 10) DESC, doc_id ASC LIMIT {k}
+"""
+
+
+def test_more_like_this_matches_duckdb(engine, duck):
+    like = "spark join data batch window merge sort scan"
+    r = engine.search("docs", {
+        "query": {"more_like_this": {
+            "fields": ["text"], "like": like,
+            "min_term_freq": 1, "min_doc_freq": 5,
+        }},
+        "size": 15,
+    })
+    exp = duck.execute(
+        MLT_SQL.format(like=like, min_tf=1, min_df=5, k=15)).fetchall()
+    got = [(int(h["_id"]), round(h["_score"], 10)) for h in r["hits"]["hits"]]
+    assert got == [(int(d), s) for d, s in exp]
+
+
+def test_more_like_this_doc_ref_equals_text_like(engine, duck):
+    txt = duck.execute("SELECT text FROM documents WHERE doc_id = 7").fetchone()[0]
+    body_ref = {"query": {"more_like_this": {
+        "fields": ["text"], "like": {"_id": 7},
+        "min_term_freq": 1, "min_doc_freq": 5, "max_query_terms": 10,
+    }}, "size": 10}
+    body_txt = {"query": {"more_like_this": {
+        "fields": ["text"], "like": txt,
+        "min_term_freq": 1, "min_doc_freq": 5, "max_query_terms": 10,
+    }}, "size": 10}
+    a = [(h["_id"], h["_score"]) for h in engine.search("docs", body_ref)["hits"]["hits"]]
+    b = [(h["_id"], h["_score"]) for h in engine.search("docs", body_txt)["hits"]["hits"]]
+    assert a == b and len(a) == 10
+
+
+def test_more_like_this_min_term_freq_filters(engine):
+    # default min_term_freq=2: single-occurrence like terms select nothing
+    with pytest.raises(ValueError, match="selected no terms"):
+        engine.search("docs", {"query": {"more_like_this": {
+            "fields": ["text"], "like": "spark join data",
+        }}, "size": 5})
+    # repeated terms pass the tf >= 2 gate
+    r = engine.search("docs", {"query": {"more_like_this": {
+        "fields": ["text"], "like": "spark spark join join",
+    }}, "size": 5})
+    assert len(r["hits"]["hits"]) == 5
