@@ -1032,22 +1032,39 @@ class Engine:
 
     def search(self, index: str, body: str | dict) -> dict:
         """`POST /{index}/_search` -> ES-shaped response dict."""
-        from gopensearch_spark.dsl.response import shape_response
-
         t0 = time.time()
         index = index.split(",", 1)[0]  # multi-index degrades (server.go:38)
         hits, aggs_out, d = self.search_df(index, body)
+        prelimit, cached = self._last_prelimit, self._last_cached
+        # take OWNERSHIP of the compile's cache handles: the next
+        # search_df call must not release what this request still has to
+        # collect (msearch compiles all its requests first, then runs
+        # the collect phases concurrently)
+        self._last_prelimit = None
+        self._last_cached = None
+        return self._finish_search(index, hits, aggs_out, d, prelimit, cached, t0)
+
+    def _finish_search(
+        self, index: str, hits: DataFrame, aggs_out: dict, d: model.Dsl,
+        prelimit: DataFrame | None, cached: DataFrame | None, t0: float,
+    ) -> dict:
+        """Collect + shape ONE compiled search — the Spark-action phase.
+        Safe to run concurrently across requests: it reads only
+        immutable engine state and owns its cache handles."""
+        from gopensearch_spark.dsl.response import shape_response
+
         spec = self.indices[index]
-        rows = hits.collect()
-        agg_rows = {label: (kind, df.collect()) for label, (kind, df) in aggs_out.items()}
-        track = d.track_total_hits if d.track_total_hits is not None else self.track_total_hits
-        total = None
-        if track and self._last_prelimit is not None:
-            # counted while the agg cache (if any) is still live
-            total = int(self._last_prelimit.count())
-        if self._last_cached is not None:  # everything is collected now
-            self._last_cached.unpersist()
-            self._last_cached = None
+        try:
+            rows = hits.collect()
+            agg_rows = {label: (kind, df.collect()) for label, (kind, df) in aggs_out.items()}
+            track = d.track_total_hits if d.track_total_hits is not None else self.track_total_hits
+            total = None
+            if track and prelimit is not None:
+                # counted while the agg cache (if any) is still live
+                total = int(prelimit.count())
+        finally:
+            if cached is not None:  # everything is collected now
+                cached.unpersist()
         resp = shape_response(
             index=index,
             rows=rows,
@@ -1381,12 +1398,35 @@ class Engine:
             took_ms=int((time.time() - t0) * 1000),
         )
 
-    def msearch(self, lines: list[dict]) -> list[dict]:
+    def msearch(self, lines: list[dict], max_concurrency: int = 8) -> list[dict]:
         """`POST /_msearch`: alternating header/body pairs. Multi-index
         headers degrade to the first index like the reference
-        (server.go:407-410)."""
-        out = []
+        (server.go:407-410).
+
+        Round 5c: requests COMPILE serially (cheap driver-only Catalyst
+        work; the compile stage owns the engine's mutable cache slots)
+        and COLLECT concurrently — each request's Spark jobs overlap in
+        the scheduler, amortizing the fixed per-query driver fraction
+        (the Amdahl term BENCH.md's query-latency-scaling table
+        measures). Result order is preserved."""
+        reqs = []
         for header, body in zip(lines[::2], lines[1::2]):
             index = header.get("index") or (header.get("indices") or [None])[0]
-            out.append(self.search(index, body))
-        return out
+            index = index.split(",", 1)[0]
+            t0 = time.time()
+            hits, aggs_out, d = self.search_df(index, body)
+            reqs.append(
+                (index, hits, aggs_out, d,
+                 self._last_prelimit, self._last_cached, t0))
+            # ownership transfer, exactly like search(): the next
+            # compile must not release this request's cache
+            self._last_prelimit = None
+            self._last_cached = None
+        if len(reqs) <= 1:
+            return [self._finish_search(*r) for r in reqs]
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(
+            max_workers=min(max_concurrency, len(reqs))
+        ) as ex:
+            return list(ex.map(lambda r: self._finish_search(*r), reqs))

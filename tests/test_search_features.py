@@ -374,3 +374,36 @@ def test_more_like_this_min_term_freq_filters(engine):
         "fields": ["text"], "like": "spark spark join join",
     }}, "size": 5})
     assert len(r["hits"]["hits"]) == 5
+
+
+# --- msearch concurrent collect --------------------------------------------
+
+def test_msearch_concurrent_matches_serial(engine):
+    """msearch (compile-serial, collect-concurrent) returns exactly the
+    responses the same requests produce one-by-one — including aggs,
+    full-text scores, and exact totals."""
+    lines = [
+        {"index": "events"},
+        {"query": {"term": {"event_type": "error"}}, "size": 5,
+         "sort": [{"event_id": {"order": "asc"}}],
+         "aggs": {"t": {"terms": {"field": "event_type", "size": 5}}}},
+        {"index": "docs"},
+        {"query": {"match": {"text": "data"}}, "size": 5,
+         "track_total_hits": True},
+        {"index": "events"},
+        {"size": 0, "aggs": {"h": {
+            "date_histogram": {"field": "ts", "fixed_interval": "1d"},
+            "aggs": {"s": {"sum": {"field": "value"}}}}}},
+        {"index": "docs"},
+        {"query": {"match_phrase": {"text": "spark join"}}, "size": 3},
+    ]
+    got = engine.msearch(lines)
+    exp = [engine.search(h.get("index"), b)
+           for h, b in zip(lines[::2], lines[1::2])]
+
+    def strip_took(r):
+        r = dict(r)
+        r.pop("took", None)
+        return r
+
+    assert [strip_took(r) for r in got] == [strip_took(r) for r in exp]
