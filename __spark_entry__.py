@@ -2171,6 +2171,86 @@ FROM n
 """
 
 
+def _dsl_metric_aggs2(spark, sf_dir):
+    """Round-5c metric arms in one entry: boxplot (exact quartiles),
+    median_absolute_deviation (exact two-pass MAD), top_metrics
+    (max_by on a UNIQUE sort key — no tie ambiguity vs the oracle)."""
+    body = {"size": 0, "aggs": {
+        "b": {"boxplot": {"field": "value"}},
+        "m": {"median_absolute_deviation": {"field": "value"}},
+        "t": {"top_metrics": {
+            "metrics": [{"field": "value"}, {"field": "event_type"}],
+            "sort": {"event_id": "desc"},
+        }},
+    }}
+    _, aggs, _ = _engine(spark, sf_dir).search_df("events", body)
+    b = aggs["b"][1].select(
+        F.round("min", 6).alias("bp_min"), F.round("max", 6).alias("bp_max"),
+        F.round("q1", 6).alias("q1"), F.round("q2", 6).alias("q2"),
+        F.round("q3", 6).alias("q3"))
+    m = aggs["m"][1].select(F.round("value", 6).alias("mad"))
+    t = aggs["t"][1].select(
+        F.col("sort_value").cast("long").alias("top_event_id"),
+        F.round("value", 6).alias("top_value"),
+        F.col("event_type").alias("top_type"))
+    return b.crossJoin(m).crossJoin(t)
+
+
+def _dsl_boosting(spark, sf_dir):
+    """ES boosting query: positive match('data') ranks normally; docs
+    also matching negative match('dup') keep membership with score x
+    0.25 — demote-not-exclude, the spec_score combine family."""
+    body = {
+        "query": {"boosting": {
+            "positive": {"match": {"text": "data"}},
+            "negative": {"match": {"text": "dup"}},
+            "negative_boost": 0.25,
+        }},
+        "size": 1000000,
+    }
+    hits, _, _ = _engine(spark, sf_dir).search_df("documents", body)
+    return hits.select("doc_id", F.round("score", _ROUND).alias("score"))
+
+
+def _dsl_boosting_oracle() -> str:
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+prim AS (
+  SELECT tf.doc_id,
+    (CASE WHEN ln((s.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)) > 0
+          THEN ln((s.n_docs - dfs.df + 0.5) / (dfs.df + 0.5)) ELSE 1e-6 END)
+    * (tf.tf * {K1 + 1.0}) / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl)) AS score
+  FROM tf JOIN dfs USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+  WHERE tf.term = 'data'
+),
+neg AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'dup')
+SELECT p.doc_id,
+  round(CASE WHEN n.doc_id IS NOT NULL THEN p.score * 0.25 ELSE p.score END,
+        {_ROUND}) AS score
+FROM prim p LEFT JOIN neg n USING (doc_id)
+"""
+
+
+def _dsl_terms_lookup(spark, sf_dir):
+    """ES terms LOOKUP: the terms list is fetched from a referenced
+    document (one bounded pushdown id-scan), then compiled as the
+    ordinary isin predicate — match every doc sharing doc 3's lang."""
+    body = {
+        "query": {"terms": {
+            "lang": {"index": "documents", "id": 3, "path": "lang"},
+        }},
+        "size": 1000000,
+    }
+    hits, _, _ = _engine(spark, sf_dir).search_df("documents", body)
+    return hits.select("doc_id", "lang")
+
+
 # --- driver contract ---------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -2449,6 +2529,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # composed DuckDB replica (tests/test_search_features.py).
         # Full value-exact oracle below.
         "dsl_more_like_this": _dsl_more_like_this,
+        # dsl_metric_aggs2 (round 5c): boxplot/MAD/top_metrics are
+        # further arms of the single-pass metric dispatch whose family
+        # dsl_metrics value-checks in-window (exact percentile + max_by
+        # builtins); each arm spec-pinned in tests/test_search_features.py
+        "dsl_metric_aggs2": _dsl_metric_aggs2,
+        # dsl_boosting (round 5c): same spec_score combine fold over the
+        # scoring join as in-window dsl_function_score (demote-not-
+        # exclude arm pytest-pinned vs the FTS5 oracle)
+        "dsl_boosting": _dsl_boosting,
+        # dsl_terms_lookup (round 5c): the isin arm is in-window via
+        # dsl_term_filter; the lookup fetch is one bounded id-scan,
+        # pytest-pinned
+        "dsl_terms_lookup": _dsl_terms_lookup,
         "qc_fingerprint": _qc_fingerprint,
         "bm25_near2": _near2("spark", "data", 6, 25),
         "dsl_wildcard_query": _dsl_wildcard_query,
@@ -2770,6 +2863,27 @@ ORDER BY (fg.c*1.0/ft - bg.c*1.0/bt)
         "qc_normalize": _qc_normalize_oracle(),
         "dsl_more_like_this": _dsl_mlt_oracle(
             "spark join data batch window merge sort scan", 1, 5, 15),
+        "dsl_metric_aggs2": (
+            "WITH med AS (SELECT quantile_cont(value, 0.5) AS m FROM events), "
+            "top AS (SELECT event_id, value, event_type FROM events "
+            " ORDER BY event_id DESC LIMIT 1) "
+            "SELECT round(min(e.value), 6) AS bp_min,"
+            " round(max(e.value), 6) AS bp_max,"
+            " round(quantile_cont(e.value, 0.25), 6) AS q1,"
+            " round(quantile_cont(e.value, 0.5), 6) AS q2,"
+            " round(quantile_cont(e.value, 0.75), 6) AS q3,"
+            " round(quantile_cont(abs(e.value - med.m), 0.5), 6) AS mad,"
+            " any_value(top.event_id) AS top_event_id,"
+            " round(any_value(top.value), 6) AS top_value,"
+            " any_value(top.event_type) AS top_type "
+            "FROM events e, med, top WHERE e.value IS NOT NULL "
+            "GROUP BY med.m"
+        ),
+        "dsl_boosting": _dsl_boosting_oracle(),
+        "dsl_terms_lookup": (
+            "SELECT doc_id, lang FROM documents "
+            "WHERE lang = (SELECT lang FROM documents WHERE doc_id = 3)"
+        ),
         "dsl_histogram": (
             "WITH d AS (SELECT floor(value / 50) * 50 AS bucket, count(*) AS n "
             "FROM events GROUP BY 1), "

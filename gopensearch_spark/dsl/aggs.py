@@ -858,6 +858,46 @@ def compile_agg(
         return "percentiles", out.select(
             F.lit([float(x) for x in p.percents]).alias("percents"), "values"
         )
+    if agg.boxplot is not None:
+        # ES boxplot: min/max + exact quartiles (ES uses TDigest) in
+        # ONE hash-agg pass
+        col = _metric_col(ctx, agg.boxplot).cast("double")
+        out = filtered.agg(
+            F.min(col).alias("min"), F.max(col).alias("max"),
+            F.percentile(col, 0.25).alias("q1"),
+            F.percentile(col, 0.5).alias("q2"),
+            F.percentile(col, 0.75).alias("q3"),
+        )
+        return "boxplot", out
+    if agg.median_absolute_deviation is not None:
+        # exact MAD: median first (a one-row collect — bounded), then
+        # the median of absolute deviations; two axis-cheap passes
+        # (ES approximates both medians with TDigest)
+        col = _metric_col(ctx, agg.median_absolute_deviation).cast("double")
+        med = filtered.agg(F.percentile(col, 0.5).alias("m")).collect()[0]["m"]
+        if med is None:
+            return "metric", filtered.agg(
+                F.lit(None).cast("double").alias("value"))
+        out = filtered.agg(
+            F.percentile(F.abs(col - F.lit(float(med))), 0.5).alias("value"))
+        return "metric", out
+    if agg.top_metrics is not None:
+        # ES top_metrics: the metric value(s) carried by the best row
+        # under `sort` — max_by/min_by aggregates, ONE pass, no window,
+        # no row fetch. Sort-value ties are nondeterministic exactly
+        # like ES on equal sort keys.
+        tm = agg.top_metrics
+        if not tm.metrics or not tm.sort_field:
+            raise ValueError("top_metrics requires metrics and sort")
+        sc = ctx.resolve(tm.sort_field)
+        desc = tm.sort_order != "asc"
+        exprs = [(F.max(sc) if desc else F.min(sc)).alias("sort_value")]
+        for f in tm.metrics:
+            mc = ctx.resolve(f)
+            exprs.append(
+                (F.max_by(mc, sc) if desc else F.min_by(mc, sc)).alias(f))
+        out = filtered.where(sc.isNotNull()).agg(*exprs)
+        return "top_metrics", out
     if agg.percentile_ranks is not None:
         pr = agg.percentile_ranks
         if not pr.values:

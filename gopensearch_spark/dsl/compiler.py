@@ -530,6 +530,17 @@ def compile_query(ctx: CompileContext, q: model.Query | None, scoring: bool = Tr
                 f"(got {[f for f, _ in q.multi_match.fields]!r})"
             )
         preds.append(ft)
+    if q.boosting is not None:
+        # ES boosting: membership is the POSITIVE query alone; docs
+        # also matching the negative stay in the set but have their
+        # positive score multiplied by negative_boost. The negative is
+        # filter context (never scores, never restricts).
+        if ctx.fulltext_predicate is not None:
+            ft = ctx.fulltext_predicate(None, q.boosting, "boosting", scoring)
+            if ft is not None:
+                preds.append(ft)
+        else:
+            preds.append(compile_query(ctx, q.boosting.positive, scoring))
     if q.constant_score is not None:
         # ES constant_score: the inner query is FILTER context (score-
         # exempt BM25-wise); every matching doc scores exactly `boost`.

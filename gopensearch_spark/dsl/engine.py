@@ -422,6 +422,27 @@ class Engine:
                 if scoring:
                     ft_specs.append(("fnscore", (m, ipred, idxs), "", True, 0, 1.0))
                 return ipred
+            if kind == "boosting":
+                # positive = scoring branch; negative = filter-context
+                # compile (its clauses flip non-scoring and never
+                # restrict membership — the predicate is positive-only)
+                from gopensearch_spark.dsl.compiler import compile_query
+
+                start = len(ft_specs)
+                ppred = compile_query(ctx, m.positive, scoring)
+                idxs = [i for i in range(start, len(ft_specs))
+                        if ft_specs[i][3]]
+                for i in range(start, len(ft_specs)):
+                    k, qq, mo, _sc, sl, bst = ft_specs[i]
+                    ft_specs[i] = (k, qq, mo, False, sl, bst)
+                npred = compile_query(ctx, m.negative, False)
+                if scoring:
+                    ft_specs.append((
+                        "boosting",
+                        (ppred, npred, idxs, float(m.negative_boost)),
+                        "", True, 0, 1.0,
+                    ))
+                return ppred
             if kind == "dismax":
                 # compile each branch here so its scoring clauses can be
                 # grouped: branch score = sum of the branch's clause
@@ -544,6 +565,9 @@ class Engine:
         self._last_prelimit = None
         d = model.parse_dsl(body)
         spec = self.indices[index]
+        self._resolve_terms_lookups(index, d.query)
+        if d.rescore is not None:
+            self._resolve_terms_lookups(index, d.rescore.query)
         track = d.track_total_hits if d.track_total_hits is not None else self.track_total_hits
 
         needs_general = bool(
@@ -723,7 +747,7 @@ class Engine:
 
             with query_scope():
                 for i, (kind, q, mode, _scoring, slop, _boost) in enumerate(ft_specs):
-                    if kind in ("const", "dismax", "fnscore"):
+                    if kind in ("const", "dismax", "fnscore", "boosting"):
                         continue  # no posting relation — score-only entries
                     rel = relation(kind, q, mode, slop).select(
                         F.col("doc_id").alias(f"__ft_id_{i}"),
@@ -789,6 +813,19 @@ class Engine:
                             f"unsupported boost_mode {fs.boost_mode!r}"
                         )
                     return F.when(ipred, combined).otherwise(F.lit(0.0))
+                if kind == "boosting":
+                    ppred, npred, idxs, nb = sp[1]
+                    if idxs:
+                        qsc = F.lit(0.0)
+                        for j in idxs:
+                            qsc = qsc + spec_score(j, ft_specs[j])
+                    else:
+                        # purely relational positive: ES filter-match
+                        # convention scores it 1.0
+                        qsc = F.lit(1.0)
+                    qsc = F.when(ppred, qsc).otherwise(F.lit(0.0))
+                    # negative demotes, never excludes
+                    return F.when(npred, qsc * F.lit(nb)).otherwise(qsc)
                 if kind == "dismax":
                     branches, tb = sp[1]
                     # branch score only where the branch MATCHED (else
@@ -960,6 +997,51 @@ class Engine:
             for name, src in d.script_fields.items():
                 hits = hits.withColumn(name, eval_doc_script(src, ctx.resolve))
         return hits, aggs_out, d
+
+    def _resolve_terms_lookups(self, index: str, q: model.Query | None) -> None:
+        """ES `terms` LOOKUP ({"index","id","path"}): fill the clause's
+        values from the referenced document before compile — ONE bounded
+        pushdown id-scan per lookup clause, never data-sized. Array
+        fields contribute their elements; scalars one value."""
+        if q is None:
+            return
+        from gopensearch_spark.dsl.compiler import _literal
+
+        for _field, t in q.terms.items():
+            if not t.lookup:
+                continue
+            lk = t.lookup
+            ridx = lk.get("index") or index
+            rspec = self.indices[ridx]
+            rctx = CompileContext(
+                df=rspec.df, json_col=rspec.json_col, id_col=rspec.id_col)
+            rows = (
+                rspec.df
+                .where(F.col(rspec.id_col) == F.lit(_literal(str(lk["id"]))))
+                .select(rctx.resolve(str(lk["path"])).alias("v"))
+                .collect()
+            )
+            if not rows:
+                raise ValueError(f"terms lookup doc {lk!r} not found")
+            v = rows[0]["v"]
+            t.values = list(v) if isinstance(v, (list, tuple)) else [v]
+            t.lookup = None
+        if q.bool_ is not None:
+            for sub in (q.bool_.must + q.bool_.should + q.bool_.filter
+                        + q.bool_.must_not):
+                self._resolve_terms_lookups(index, sub)
+        for sub in (
+            q.nested.query if q.nested else None,
+            q.constant_score.filter if q.constant_score else None,
+            q.function_score.query if q.function_score else None,
+            q.boosting.positive if q.boosting else None,
+            q.boosting.negative if q.boosting else None,
+        ):
+            if sub is not None:
+                self._resolve_terms_lookups(index, sub)
+        if q.dis_max is not None:
+            for sub in q.dis_max.queries:
+                self._resolve_terms_lookups(index, sub)
 
     def _scoring_relation(self, spec: IndexSpec, q: model.Query) -> DataFrame:
         """Unordered (doc_id, score) relation for a rescore query. The

@@ -116,6 +116,8 @@ class Bool:
 @dataclass
 class Terms:
     values: list
+    # ES terms lookup: {index, id, path} (values resolved at compile)
+    lookup: dict | None = None
 
 
 @dataclass
@@ -180,6 +182,25 @@ class Nested:
 
 
 @dataclass
+class TopMetrics:
+    """ES `top_metrics`: the metric value(s) carried by the best row
+    under `sort` — one max_by/min_by aggregate, no window, no fetch."""
+    metrics: list[str] = field(default_factory=list)
+    sort_field: str = ""
+    sort_order: str = "desc"
+
+
+@dataclass
+class Boosting:
+    """ES `boosting` query: docs matching `positive` rank normally;
+    those ALSO matching `negative` have their score multiplied by
+    `negative_boost` (they stay in the result set — unlike must_not)."""
+    positive: "Query" = None  # type: ignore[assignment]
+    negative: "Query" = None  # type: ignore[assignment]
+    negative_boost: float = 0.5
+
+
+@dataclass
 class Mlt:
     """ES `more_like_this` (Lucene MoreLikeThis): terms are selected
     from the like text(s) by tf x idf against the index's own term
@@ -228,6 +249,7 @@ class Query:
     function_score: FunctionScore | None = None
     nested: Nested | None = None
     more_like_this: Mlt | None = None
+    boosting: Boosting | None = None
 
 
 @dataclass
@@ -482,6 +504,9 @@ class Aggregate:
     multi_terms: MultiTerms | None = None
     auto_date_histogram: AutoDateHistogram | None = None
     percentile_ranks: PercentileRanks | None = None
+    top_metrics: TopMetrics | None = None
+    boxplot: AggField | None = None
+    median_absolute_deviation: AggField | None = None
     nested: NestedAgg | None = None
     composite: CompositeAgg | None = None
     date_histogram: DateHistogram | None = None
@@ -636,7 +661,17 @@ def _parse_query(raw: dict) -> Query:
     if "match" in raw:
         q.match = _parse_match(raw["match"])
     if "terms" in raw:
-        q.terms = {k: Terms(values=list(v)) for k, v in raw["terms"].items()}
+        q.terms = {}
+        for k, v in raw["terms"].items():
+            if isinstance(v, dict):
+                # ES terms LOOKUP: {"index": i, "id": d, "path": f} —
+                # values fetched from the referenced document at compile
+                q.terms[k] = Terms(values=[], lookup={
+                    "index": v.get("index"), "id": v.get("id"),
+                    "path": v.get("path"),
+                })
+            else:
+                q.terms[k] = Terms(values=list(v))
     if "exists" in raw:
         q.exists = str(raw["exists"]["field"])
     if "wildcard" in raw:
@@ -678,6 +713,15 @@ def _parse_query(raw: dict) -> Query:
                 q.regexp[k] = Regexp(value=str(v))
     if "ids" in raw:
         q.ids = list(raw["ids"].get("values", []))
+    if "boosting" in raw:
+        b = raw["boosting"]
+        if "positive" not in b or "negative" not in b:
+            raise ValueError("boosting requires positive and negative")
+        q.boosting = Boosting(
+            positive=_parse_query(b["positive"]),
+            negative=_parse_query(b["negative"]),
+            negative_boost=float(b.get("negative_boost", 0.5)),
+        )
     if "more_like_this" in raw:
         m = raw["more_like_this"]
         like = m.get("like", [])
@@ -806,6 +850,27 @@ def _parse_agg(raw: dict) -> Aggregate:
             field=str(pr["field"]),
             values=[float(v) for v in pr.get("values", [])],
         )
+    if "top_metrics" in raw:
+        tm = raw["top_metrics"]
+        mets = tm.get("metrics", [])
+        if isinstance(mets, dict):
+            mets = [mets]
+        (sf, so), = (
+            list(tm["sort"].items()) if isinstance(tm.get("sort"), dict)
+            else [("_doc", "asc")]
+        )
+        a.top_metrics = TopMetrics(
+            metrics=[str(m["field"]) for m in mets],
+            sort_field=str(sf),
+            sort_order=(str(so.get("order", so)) if isinstance(so, dict)
+                        else str(so)).lower(),
+        )
+    for metric in ("boxplot", "median_absolute_deviation"):
+        if metric in raw:
+            setattr(a, metric, AggField(
+                field=raw[metric]["field"],
+                missing=str(raw[metric].get("missing", "")),
+            ))
     if "composite" in raw:
         c = raw["composite"]
         sources = []

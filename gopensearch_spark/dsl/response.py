@@ -92,6 +92,22 @@ def _shape_agg(kind: str, rws) -> dict:
             }
         else:
             return {"count": 0}
+    elif kind == "boxplot":
+        if rws:
+            r0 = rws[0].asDict()
+            return {k: _json_safe(r0[k]) for k in ("min", "max", "q1", "q2", "q3")}
+        else:
+            return {}
+    elif kind == "top_metrics":
+        if rws:
+            r0 = rws[0].asDict()
+            sv = r0.pop("sort_value")
+            return {"top": [{
+                "sort": [_json_safe(sv)],
+                "metrics": {k: _json_safe(v) for k, v in r0.items()},
+            }]}
+        else:
+            return {"top": []}
     elif kind == "global":
         if rws:
             d = rws[0].asDict()

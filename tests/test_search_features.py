@@ -407,3 +407,77 @@ def test_msearch_concurrent_matches_serial(engine):
         return r
 
     assert [strip_took(r) for r in got] == [strip_took(r) for r in exp]
+
+
+# --- boxplot / MAD / top_metrics / boosting / terms lookup -----------------
+
+def test_boxplot_exact_quartiles(engine, duck):
+    r = engine.search("events", {"size": 0, "aggs": {"b": {
+        "boxplot": {"field": "value"}}}})
+    exp = duck.execute("""
+        SELECT min(value), max(value),
+               quantile_cont(value, 0.25), quantile_cont(value, 0.5),
+               quantile_cont(value, 0.75)
+        FROM events WHERE value IS NOT NULL
+    """).fetchone()
+    b = r["aggregations"]["b"]
+    assert [b["min"], b["max"], b["q1"], b["q2"], b["q3"]] == pytest.approx(list(exp))
+
+
+def test_median_absolute_deviation_exact(engine, duck):
+    r = engine.search("events", {"size": 0, "aggs": {"m": {
+        "median_absolute_deviation": {"field": "value"}}}})
+    exp = duck.execute("""
+        WITH med AS (SELECT quantile_cont(value, 0.5) AS m FROM events)
+        SELECT quantile_cont(abs(value - med.m), 0.5) FROM events, med
+        WHERE value IS NOT NULL
+    """).fetchone()[0]
+    assert r["aggregations"]["m"]["value"] == pytest.approx(exp)
+
+
+def test_top_metrics_best_row(engine, duck):
+    r = engine.search("events", {"size": 0, "aggs": {"t": {
+        "top_metrics": {"metrics": [{"field": "value"}, {"field": "event_type"}],
+                        "sort": {"ts": "desc"}}}}})
+    exp = duck.execute("""
+        SELECT epoch_ms(ts), value, event_type FROM events
+        ORDER BY ts DESC LIMIT 1
+    """).fetchone()
+    top = r["aggregations"]["t"]["top"][0]
+    assert top["metrics"]["value"] == pytest.approx(exp[1])
+    assert top["metrics"]["event_type"] == exp[2]
+
+
+def test_boosting_demotes_but_keeps(engine, oracle_small):
+    nb = 0.25
+    r = engine.search("docs", {
+        "query": {"boosting": {
+            "positive": {"match": {"text": "data"}},
+            "negative": {"match": {"text": "dup"}},
+            "negative_boost": nb,
+        }},
+        "size": 10000,
+    })
+    prim = dict(oracle_small.match(["data"], k=100000, mode="or"))
+    neg = dict(oracle_small.match(["dup"], k=100000, mode="or"))
+    exp = {d: (s * nb if d in neg else s) for d, s in prim.items()}
+    got = {int(h["_id"]): h["_score"] for h in r["hits"]["hits"]}
+    assert set(got) == set(exp)  # negative never excludes
+    for d, s in got.items():
+        assert math.isclose(s, exp[d], rel_tol=1e-9, abs_tol=1e-12)
+    # rank order follows the demoted scores
+    order = [int(h["_id"]) for h in r["hits"]["hits"]]
+    assert order == sorted(exp, key=lambda d: (-exp[d], d))
+
+
+def test_terms_lookup_fetches_values(engine, duck):
+    # lookup the lang of doc 3, then terms-match events... use documents:
+    # match all docs sharing doc 3's lang
+    lang = duck.execute("SELECT lang FROM documents WHERE doc_id = 3").fetchone()[0]
+    r = engine.search("docs", {
+        "query": {"terms": {"lang": {"index": "docs", "id": 3, "path": "lang"}}},
+        "size": 100000,
+    })
+    n = duck.execute("SELECT count(*) FROM documents WHERE lang = ?", [lang]).fetchone()[0]
+    assert len(r["hits"]["hits"]) == n
+    assert all(h["_source"]["lang"] == lang for h in r["hits"]["hits"])
