@@ -209,3 +209,31 @@ def test_positions_optional_profile(spark, docs_small, oracle_small, tmp_path):
         phrase_match(spark, idx, "spark join", k=5).collect()
     with pytest.raises(ValueError, match="without positions"):
         near_match(spark, idx, [("term", "spark"), ("term", "data")], n=5, k=5).collect()
+
+
+def test_query_job_end_to_end(spark, index_small, oracle_small, tmp_path, capsys):
+    """spark-submit query entrypoint: both engines, batch file, JSON
+    lines out, rank-identical to the FTS5 oracle."""
+    import json as _json
+
+    qf = tmp_path / "queries.txt"
+    qf.write_text("spark join\nmerge sort\n")
+
+    from gopensearch_spark.jobs.query_job import main
+
+    rc = main(["--index", index_small, "--queries-file", str(qf),
+               "--mode", "and", "--k", "5", "--engine", "wand"])
+    assert rc == 0
+    lines = [_json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    assert lines[-1]["job"] == "query" and lines[-1]["n_queries"] == 2
+    assert lines[-1]["p50_sec"] > 0
+    for ln, q in zip(lines[:-1], ["spark join", "merge sort"]):
+        ref = oracle_small.match(q.split(), k=5, mode="and")
+        assert [h["doc_id"] for h in ln["hits"]] == [d for d, _ in ref]
+
+    rc = main(["--index", index_small, "--query", "data",
+               "--mode", "or", "--k", "3", "--engine", "flat"])
+    assert rc == 0
+    out = [_json.loads(l) for l in capsys.readouterr().out.strip().splitlines()]
+    ref = oracle_small.match(["data"], k=3, mode="or")
+    assert [h["doc_id"] for h in out[0]["hits"]] == [d for d, _ in ref]
