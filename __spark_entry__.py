@@ -2073,6 +2073,55 @@ ORDER BY round(score, {_ROUND}) DESC, doc_id ASC LIMIT {k}
 """
 
 
+def _dsl_span_near(spark, sf_dir):
+    """ES span_near (ordered, slop=3) over span_term clauses: greedy
+    forward-chain matching on the positional index, BM25 over the span
+    tf (contract pinned in search/spans.py; slop=0 == phrase exactly,
+    rank-identity-pinned vs FTS5 in pytest)."""
+    body = {
+        "query": {"span_near": {
+            "clauses": [{"span_term": {"text": "spark"}},
+                        {"span_term": {"text": "join"}}],
+            "slop": 3, "in_order": True,
+        }},
+        "size": 25,
+    }
+    hits, _, _ = _engine(spark, sf_dir).search_df("documents", body)
+    return (
+        hits.withColumn("score", F.round("score", _ROUND))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .select("doc_id", "score")
+    )
+
+
+def _dsl_span_near_oracle(t0: str, t1: str, slop: int, k: int) -> str:
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+         unnest(range(len(string_split(text, ' ')))) AS pos
+  FROM documents
+),
+hits AS (
+  SELECT a.doc_id, a.pos, min(b.pos) AS bpos
+  FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.pos > a.pos
+                        AND b.term = '{t1}'
+  WHERE a.term = '{t0}' GROUP BY 1, 2
+  HAVING min(b.pos) - a.pos - 1 <= {slop}
+),
+tfed AS (SELECT doc_id, count(*) AS tf FROM hits GROUP BY 1),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+u AS (SELECT count(*) AS df FROM tfed)
+SELECT t.doc_id,
+  round((CASE WHEN ln((s.n_docs - u.df + 0.5) / (u.df + 0.5)) > 0
+        THEN ln((s.n_docs - u.df + 0.5) / (u.df + 0.5)) ELSE 1e-6 END)
+  * (t.tf * {K1 + 1.0}) / (t.tf + {K1} * (1.0 - {B} + {B} * dl.dl / s.avgdl)),
+  {_ROUND}) AS score
+FROM tfed t JOIN dl USING (doc_id) CROSS JOIN stats s CROSS JOIN u
+ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
 def _qc_c4_rules(spark, sf_dir):
     """C4 line-level cleaning (Raffel et al. 2020 §2.2) with
     deterministically injected line structure (the synthetic corpus is
@@ -2542,6 +2591,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dsl_term_filter; the lookup fetch is one bounded id-scan,
         # pytest-pinned
         "dsl_terms_lookup": _dsl_terms_lookup,
+        # dsl_span_near (round 5c): same positional-kernel family as
+        # in-window bm25_phrase2 (pruned postings -> per-doc Arrow
+        # kernel); slop=0 degenerate case IS the phrase contract,
+        # rank-identity-pinned vs FTS5 in pytest. Full value-exact
+        # oracle below.
+        "dsl_span_near": _dsl_span_near,
         "qc_fingerprint": _qc_fingerprint,
         "bm25_near2": _near2("spark", "data", 6, 25),
         "dsl_wildcard_query": _dsl_wildcard_query,
@@ -2884,6 +2939,7 @@ ORDER BY (fg.c*1.0/ft - bg.c*1.0/bt)
             "SELECT doc_id, lang FROM documents "
             "WHERE lang = (SELECT lang FROM documents WHERE doc_id = 3)"
         ),
+        "dsl_span_near": _dsl_span_near_oracle("spark", "join", 3, 25),
         "dsl_histogram": (
             "WITH d AS (SELECT floor(value / 50) * 50 AS bucket, count(*) AS n "
             "FROM events GROUP BY 1), "

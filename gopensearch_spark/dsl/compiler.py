@@ -477,6 +477,15 @@ def compile_query(ctx: CompileContext, q: model.Query | None, scoring: bool = Tr
         raise ValueError(
             f"fuzzy on {field!r} requires a full-text index (vocabulary)"
         )
+    if q.span_near is not None:
+        sn = q.span_near
+        if ctx.fulltext_predicate is None:
+            raise ValueError("span_near requires a full-text index")
+        ft = ctx.fulltext_predicate(strip_keyword(sn.field), sn, "span_near", scoring)
+        if ft is None:
+            raise ValueError(
+                f"span_near field {sn.field!r} is not the indexed text field")
+        preds.append(ft)
     if q.more_like_this is not None:
         mlt = q.more_like_this
         if not mlt.fields:

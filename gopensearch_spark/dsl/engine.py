@@ -486,6 +486,10 @@ class Engine:
                 ft_specs.append(("multi", m, mode, scoring, 0, 1.0))
                 return F.col(f"__ft_id_{i}").isNotNull()
             if spec.index_dir and field == spec.text_field:
+                if kind == "span_near":
+                    i = len(ft_specs)
+                    ft_specs.append(("span_near", m, "or", scoring, 0, 1.0))
+                    return F.col(f"__ft_id_{i}").isNotNull()
                 if kind == "mlt":
                     # more_like_this: m is a model.Mlt; like-doc refs
                     # resolve at relation time (bounded id fetches)
@@ -669,6 +673,12 @@ class Engine:
                          + F.lit(tb) * (F.sum("score") - F.max("score"))
                          ).alias("score")
                     )
+                if kind == "span_near":
+                    from gopensearch_spark.search.spans import span_near_match
+
+                    return span_near_match(
+                        self.spark, spec.index_dir, q.terms,
+                        slop=q.slop, in_order=q.in_order, k=None)
                 if kind == "mlt":
                     from gopensearch_spark.search.mlt import mlt_scores
 

@@ -201,6 +201,19 @@ class Boosting:
 
 
 @dataclass
+class SpanNear:
+    """ES `span_near` over `span_term` clauses (single field): ordered
+    (in_order) or two-clause unordered proximity with explicit slop.
+    Matching/scoring contract pinned in search/spans.py."""
+    terms: list[str] = field(default_factory=list)
+    slop: int = 0
+    in_order: bool = True
+    # declared LAST: this attribute shadows dataclasses.field in the
+    # class body, so every field(...) call must precede it
+    field: str = ""
+
+
+@dataclass
 class Mlt:
     """ES `more_like_this` (Lucene MoreLikeThis): terms are selected
     from the like text(s) by tf x idf against the index's own term
@@ -250,6 +263,7 @@ class Query:
     nested: Nested | None = None
     more_like_this: Mlt | None = None
     boosting: Boosting | None = None
+    span_near: SpanNear | None = None
 
 
 @dataclass
@@ -713,6 +727,28 @@ def _parse_query(raw: dict) -> Query:
                 q.regexp[k] = Regexp(value=str(v))
     if "ids" in raw:
         q.ids = list(raw["ids"].get("values", []))
+    if "span_term" in raw:
+        # a lone span_term scores exactly like a single-term match
+        # (one clause, one unit) — route through the match machinery
+        (f, v), = raw["span_term"].items()
+        val = v.get("value") if isinstance(v, dict) else v
+        q.match[f] = Match(query=str(val))
+    if "span_near" in raw:
+        sn = raw["span_near"]
+        fields, terms = [], []
+        for c in sn.get("clauses", []):
+            if "span_term" not in c:
+                raise ValueError("span_near clauses must be span_term")
+            (f, v), = c["span_term"].items()
+            fields.append(f)
+            terms.append(str(v.get("value") if isinstance(v, dict) else v))
+        if len(set(fields)) != 1:
+            raise ValueError("span_near clauses must target one field")
+        q.span_near = SpanNear(
+            field=fields[0], terms=terms,
+            slop=int(sn.get("slop", 0)),
+            in_order=bool(sn.get("in_order", True)),
+        )
     if "boosting" in raw:
         b = raw["boosting"]
         if "positive" not in b or "negative" not in b:

@@ -481,3 +481,136 @@ def test_terms_lookup_fetches_values(engine, duck):
     n = duck.execute("SELECT count(*) FROM documents WHERE lang = ?", [lang]).fetchone()[0]
     assert len(r["hits"]["hits"]) == n
     assert all(h["_source"]["lang"] == lang for h in r["hits"]["hits"])
+
+
+# --- span queries -----------------------------------------------------------
+
+def test_span_near_slop0_equals_phrase(spark, index_small, oracle_small):
+    """span_near(in_order, slop=0) over two terms IS the phrase
+    contract: identical docs AND scores to phrase_match / FTS5."""
+    from gopensearch_spark.search.spans import span_near_match
+
+    got = [(int(r["doc_id"]), float(r["score"])) for r in
+           span_near_match(spark, index_small, ["spark", "join"],
+                           slop=0, in_order=True, k=25).collect()]
+    ref = oracle_small.match_raw('"spark join"', k=25)
+    assert [d for d, _ in got] == [d for d, _ in ref]
+    for (_, a), (_, b) in zip(got, ref):
+        assert math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-12)
+
+
+def test_span_near_ordered_matches_duckdb(engine, duck):
+    """Ordered slop>0: greedy forward chain — nearest 'join' after each
+    'spark' within the gap window; BM25 over that tf, value-exact."""
+    slop, k = 3, 25
+    r = engine.search("docs", {
+        "query": {"span_near": {
+            "clauses": [{"span_term": {"text": "spark"}},
+                        {"span_term": {"text": "join"}}],
+            "slop": slop, "in_order": True,
+        }},
+        "size": k,
+    })
+    exp = duck.execute(f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+         unnest(range(len(string_split(text, ' ')))) AS pos
+  FROM documents
+),
+hits AS (
+  SELECT a.doc_id, a.pos, min(b.pos) AS bpos
+  FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.pos > a.pos
+                        AND b.term = 'join'
+  WHERE a.term = 'spark' GROUP BY 1, 2
+  HAVING min(b.pos) - a.pos - 1 <= {slop}
+),
+tfed AS (SELECT doc_id, count(*) AS tf FROM hits GROUP BY 1),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+u AS (SELECT count(*) AS df FROM tfed)
+SELECT t.doc_id,
+  (CASE WHEN ln((s.n_docs - u.df + 0.5) / (u.df + 0.5)) > 0
+        THEN ln((s.n_docs - u.df + 0.5) / (u.df + 0.5)) ELSE 1e-6 END)
+  * (t.tf * 2.2) / (t.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) AS score
+FROM tfed t JOIN dl USING (doc_id) CROSS JOIN stats s CROSS JOIN u
+ORDER BY score DESC, doc_id ASC LIMIT {k}
+""").fetchall()
+    got = [(int(h["_id"]), h["_score"]) for h in r["hits"]["hits"]]
+    assert [d for d, _ in got] == [int(d) for d, _ in exp]
+    for (_, a), (_, b) in zip(got, exp):
+        assert math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-12)
+
+
+def test_span_near_unordered_matches_duckdb(engine, duck):
+    slop, k = 2, 25
+    r = engine.search("docs", {
+        "query": {"span_near": {
+            "clauses": [{"span_term": {"text": "merge"}},
+                        {"span_term": {"text": "sort"}}],
+            "slop": slop, "in_order": False,
+        }},
+        "size": k,
+    })
+    exp = duck.execute(f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+         unnest(range(len(string_split(text, ' ')))) AS pos
+  FROM documents
+),
+hits AS (
+  SELECT a.doc_id, a.pos, min(abs(b.pos - a.pos)) AS d
+  FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.term = 'sort'
+  WHERE a.term = 'merge' GROUP BY 1, 2
+  HAVING min(abs(b.pos - a.pos)) - 1 <= {slop}
+),
+tfed AS (SELECT doc_id, count(*) AS tf FROM hits GROUP BY 1),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+u AS (SELECT count(*) AS df FROM tfed)
+SELECT t.doc_id,
+  (CASE WHEN ln((s.n_docs - u.df + 0.5) / (u.df + 0.5)) > 0
+        THEN ln((s.n_docs - u.df + 0.5) / (u.df + 0.5)) ELSE 1e-6 END)
+  * (t.tf * 2.2) / (t.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) AS score
+FROM tfed t JOIN dl USING (doc_id) CROSS JOIN stats s CROSS JOIN u
+ORDER BY score DESC, doc_id ASC LIMIT {k}
+""").fetchall()
+    got = [(int(h["_id"]), h["_score"]) for h in r["hits"]["hits"]]
+    assert [d for d, _ in got] == [int(d) for d, _ in exp]
+    for (_, a), (_, b) in zip(got, exp):
+        assert math.isclose(a, b, rel_tol=1e-9, abs_tol=1e-12)
+
+
+def test_span_near_three_clause_ordered(engine, duck):
+    """Three ordered clauses: greedy chain spark -> join -> data."""
+    r = engine.search("docs", {
+        "query": {"span_near": {
+            "clauses": [{"span_term": {"text": "spark"}},
+                        {"span_term": {"text": "join"}},
+                        {"span_term": {"text": "data"}}],
+            "slop": 8, "in_order": True,
+        }},
+        "size": 10000,
+    })
+    exp = duck.execute("""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+         unnest(range(len(string_split(text, ' ')))) AS pos
+  FROM documents
+),
+c2 AS (
+  SELECT a.doc_id, a.pos AS p1, min(b.pos) AS p2
+  FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.pos > a.pos
+                        AND b.term = 'join'
+  WHERE a.term = 'spark' GROUP BY 1, 2
+),
+c3 AS (
+  SELECT c2.doc_id, c2.p1, min(c.pos) AS p3
+  FROM c2 JOIN tok c ON c.doc_id = c2.doc_id AND c.pos > c2.p2
+                     AND c.term = 'data'
+  GROUP BY 1, 2
+  HAVING min(c.pos) - c2.p1 - 2 <= 8
+)
+SELECT DISTINCT doc_id FROM c3 ORDER BY doc_id
+""").fetchall()
+    assert sorted(int(h["_id"]) for h in r["hits"]["hits"]) == \
+        [int(d[0]) for d in exp]
