@@ -2122,6 +2122,33 @@ ORDER BY score DESC, doc_id ASC LIMIT {k}
 """
 
 
+def _dsl_adjacency_matrix(spark, sf_dir):
+    """ES adjacency_matrix: named filters + pairwise intersections in
+    ONE conditional-count pass (the filters-agg core with pair keys);
+    empty intersections omitted, key-ordered buckets."""
+    body = {"size": 0, "aggs": {"am": {"adjacency_matrix": {"filters": {
+        "err": {"term": {"event_type": "error"}},
+        "big": {"range": {"value": {"gte": 150}}},
+        "hiu": {"range": {"user_id": {"gte": 10}}},
+    }}}}}
+    _, aggs, _ = _engine(spark, sf_dir).search_df("events", body)
+    return aggs["am"][1]
+
+
+def _dsl_sampler_diversified(spark, sf_dir):
+    """ES diversified_sampler: metric sub-agg over the top shard_size
+    docs after capping docs per user_id — window cap + bounded sample,
+    deterministic lowest-id order for the unscored query."""
+    body = {"size": 0, "aggs": {"s": {
+        "diversified_sampler": {"shard_size": 200, "field": "user_id",
+                                "max_docs_per_value": 3},
+        "aggs": {"v": {"avg": {"field": "value"}}},
+    }}}
+    _, aggs, _ = _engine(spark, sf_dir).search_df("events", body)
+    return aggs["s"][1].select(
+        "doc_count", F.round("v", 6).alias("v"))
+
+
 def _qc_c4_rules(spark, sf_dir):
     """C4 line-level cleaning (Raffel et al. 2020 §2.2) with
     deterministically injected line structure (the synthetic corpus is
@@ -2597,6 +2624,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rank-identity-pinned vs FTS5 in pytest. Full value-exact
         # oracle below.
         "dsl_span_near": _dsl_span_near,
+        # dsl_adjacency_matrix (round 5c): the same one-pass
+        # conditional-count + unpivot core as in-window dsl_filters_agg,
+        # with pair-AND conditions; spec-pinned in pytest. Oracle below.
+        "dsl_adjacency_matrix": _dsl_adjacency_matrix,
+        # dsl_sampler_diversified (round 5c): window per-key cap (the
+        # in-window dsl_top_hits/dsl_collapse row_number family) +
+        # bounded sample + the dsl_metrics one-pass metric core.
+        "dsl_sampler_diversified": _dsl_sampler_diversified,
         "qc_fingerprint": _qc_fingerprint,
         "bm25_near2": _near2("spark", "data", 6, 25),
         "dsl_wildcard_query": _dsl_wildcard_query,
@@ -2940,6 +2975,32 @@ ORDER BY (fg.c*1.0/ft - bg.c*1.0/bt)
             "WHERE lang = (SELECT lang FROM documents WHERE doc_id = 3)"
         ),
         "dsl_span_near": _dsl_span_near_oracle("spark", "join", 3, 25),
+        "dsl_adjacency_matrix": (
+            "WITH c AS (SELECT"
+            " sum(CASE WHEN value >= 150 THEN 1 ELSE 0 END) AS big,"
+            " sum(CASE WHEN value >= 150 AND event_type = 'error' THEN 1 ELSE 0 END) AS big_err,"
+            " sum(CASE WHEN value >= 150 AND user_id >= 10 THEN 1 ELSE 0 END) AS big_hiu,"
+            " sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS err,"
+            " sum(CASE WHEN event_type = 'error' AND user_id >= 10 THEN 1 ELSE 0 END) AS err_hiu,"
+            " sum(CASE WHEN user_id >= 10 THEN 1 ELSE 0 END) AS hiu"
+            " FROM events) "
+            "SELECT key, CAST(doc_count AS BIGINT) AS doc_count FROM ("
+            " SELECT 'big' AS key, big AS doc_count FROM c UNION ALL"
+            " SELECT 'big&err', big_err FROM c UNION ALL"
+            " SELECT 'big&hiu', big_hiu FROM c UNION ALL"
+            " SELECT 'err', err FROM c UNION ALL"
+            " SELECT 'err&hiu', err_hiu FROM c UNION ALL"
+            " SELECT 'hiu', hiu FROM c) WHERE doc_count > 0 ORDER BY key"
+        ),
+        "dsl_sampler_diversified": (
+            "SELECT CAST(count(*) AS BIGINT) AS doc_count,"
+            " round(avg(value), 6) AS v FROM ("
+            " SELECT event_id, value FROM ("
+            "  SELECT event_id, value,"
+            "  row_number() OVER (PARTITION BY user_id"
+            "   ORDER BY event_id ASC) AS rn FROM events"
+            " ) WHERE rn <= 3 ORDER BY event_id ASC LIMIT 200)"
+        ),
         "dsl_histogram": (
             "WITH d AS (SELECT floor(value / 50) * 50 AS bucket, count(*) AS n "
             "FROM events GROUP BY 1), "

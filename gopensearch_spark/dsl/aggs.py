@@ -820,6 +820,70 @@ def compile_agg(
             .select("kv.key", "kv.doc_count")
         )
         return "filters", out
+    if agg.adjacency_matrix is not None:
+        import dataclasses
+
+        from gopensearch_spark.dsl.compiler import compile_query
+
+        # named filters + every pairwise intersection in the SAME
+        # single conditional-count pass as `filters`; ES omits empty
+        # buckets and keys intersections "a&b" in name order
+        plain = dataclasses.replace(ctx, fulltext_predicate=None)
+        names = sorted(agg.adjacency_matrix.filters)
+        preds = {n: compile_query(plain, agg.adjacency_matrix.filters[n], False)
+                 for n in names}
+        keys, conds = [], []
+        for i, a in enumerate(names):
+            keys.append(a)
+            conds.append(preds[a])
+            for b in names[i + 1:]:
+                keys.append(f"{a}&{b}")
+                conds.append(preds[a] & preds[b])
+        cnts = [
+            F.coalesce(F.sum(F.when(c, 1).otherwise(0)), F.lit(0))
+            .cast("long").alias(f"__c{i}")
+            for i, c in enumerate(conds)
+        ]
+        pairs = [
+            F.struct(F.lit(k).alias("key"), F.col(f"__c{i}").alias("doc_count"))
+            for i, k in enumerate(keys)
+        ]
+        out = (
+            filtered.agg(*cnts)
+            .select(F.explode(F.array(*pairs)).alias("kv"))
+            .select("kv.key", "kv.doc_count")
+            .where(F.col("doc_count") > 0)
+            .orderBy("key")
+        )
+        # ES shapes adjacency_matrix buckets as an ARRAY (filters uses
+        # a name-keyed object) — the generic buckets shape fits
+        return "buckets", out
+    if agg.sampler is not None:
+        from pyspark.sql.window import Window
+
+        # sampler / diversified_sampler: metric sub-aggs over the top
+        # shard_size docs — by score for scored queries, else lowest-id
+        # (deterministic); diversified first caps docs per key value.
+        # The sample is BOUNDED (shard_size rows) before any sub-agg.
+        sp = agg.sampler
+        order = []
+        if "score" in filtered.columns:
+            order.append(F.desc("score"))
+        tiebreak = ctx.id_col if ctx.id_col in (filtered.columns or []) else filtered.columns[0]
+        order.append(F.asc(F.col(tiebreak)))
+        sample = filtered
+        if sp.field is not None:
+            w = Window.partitionBy(ctx.resolve(sp.field)).orderBy(*order)
+            sample = (
+                sample.withColumn("__samp_rn", F.row_number().over(w))
+                .where(F.col("__samp_rn") <= sp.max_docs_per_value)
+                .drop("__samp_rn")
+            )
+        sample = sample.orderBy(*order).limit(sp.shard_size)
+        out = sample.agg(
+            F.count("*").alias("doc_count"), *_metric_exprs(ctx, agg.aggs)
+        )
+        return "global", out
     if agg.stats is not None:
         col = _metric_col(ctx, agg.stats).cast("double")
         out = filtered.agg(

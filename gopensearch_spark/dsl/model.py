@@ -462,6 +462,17 @@ class SiblingPipeline:
 
 
 @dataclass
+class Sampler:
+    """ES `sampler` / `diversified_sampler`: sub-aggregations computed
+    over the top `shard_size` docs (by score for scored queries, else
+    lowest-id — deterministic); the diversified form first caps docs
+    per distinct `field` value."""
+    shard_size: int = 100
+    field: str | None = None          # diversified dedupe key
+    max_docs_per_value: int = 1
+
+
+@dataclass
 class RareTerms:
     field: str
     max_doc_count: int = 1
@@ -544,6 +555,10 @@ class Aggregate:
     # ES `rare_terms`: buckets with doc_count <= max_doc_count
     rare_terms: "RareTerms | None" = None
     filters: FiltersAgg | None = None
+    # ES `adjacency_matrix`: named filters + their pairwise
+    # intersections, one conditional-count pass
+    adjacency_matrix: FiltersAgg | None = None
+    sampler: Sampler | None = None
     top_hits: TopHits | None = None
     significant_terms: SignificantTerms | None = None
     significant_text: SignificantText | None = None
@@ -995,6 +1010,20 @@ def _parse_agg(raw: dict) -> Aggregate:
     if "filters" in raw:
         a.filters = FiltersAgg(
             filters={k: _parse_query(v) for k, v in raw["filters"]["filters"].items()}
+        )
+    if "adjacency_matrix" in raw:
+        a.adjacency_matrix = FiltersAgg(
+            filters={k: _parse_query(v)
+                     for k, v in raw["adjacency_matrix"]["filters"].items()}
+        )
+    if "sampler" in raw:
+        a.sampler = Sampler(shard_size=int(raw["sampler"].get("shard_size", 100)))
+    if "diversified_sampler" in raw:
+        ds = raw["diversified_sampler"]
+        a.sampler = Sampler(
+            shard_size=int(ds.get("shard_size", 100)),
+            field=str(ds["field"]),
+            max_docs_per_value=int(ds.get("max_docs_per_value", 1)),
         )
     if "global" in raw:
         a.global_ = True

@@ -614,3 +614,68 @@ SELECT DISTINCT doc_id FROM c3 ORDER BY doc_id
 """).fetchall()
     assert sorted(int(h["_id"]) for h in r["hits"]["hits"]) == \
         [int(d[0]) for d in exp]
+
+
+# --- adjacency_matrix / sampler ---------------------------------------------
+
+def test_adjacency_matrix_counts(engine, duck):
+    r = engine.search("events", {"size": 0, "aggs": {"am": {
+        "adjacency_matrix": {"filters": {
+            "err": {"term": {"event_type": "error"}},
+            "big": {"range": {"value": {"gte": 150}}},
+            "odd": {"range": {"user_id": {"gte": 10}}},
+        }},
+    }}})
+    exp = duck.execute("""
+        SELECT
+          sum(CASE WHEN value >= 150 THEN 1 ELSE 0 END),
+          sum(CASE WHEN value >= 150 AND user_id >= 10 THEN 1 ELSE 0 END),
+          sum(CASE WHEN value >= 150 AND event_type = 'error' THEN 1 ELSE 0 END),
+          sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END),
+          sum(CASE WHEN event_type = 'error' AND user_id >= 10 THEN 1 ELSE 0 END),
+          sum(CASE WHEN user_id >= 10 THEN 1 ELSE 0 END)
+        FROM events
+    """).fetchone()
+    got = {b["key"]: b["doc_count"] for b in r["aggregations"]["am"]["buckets"]}
+    keys = ["big", "big&odd", "big&err", "err", "err&odd", "odd"]
+    expmap = {k: int(v) for k, v in zip(keys, exp) if v}
+    assert got == expmap
+    # buckets come back key-ordered, empty intersections omitted
+    assert [b["key"] for b in r["aggregations"]["am"]["buckets"]] == sorted(expmap)
+
+
+def test_sampler_metric_over_top_ids(engine, duck):
+    r = engine.search("events", {"size": 0,
+        "query": {"range": {"value": {"gte": 50}}},
+        "aggs": {"s": {
+            "sampler": {"shard_size": 40},
+            "aggs": {"v": {"avg": {"field": "value"}}},
+        }}})
+    exp = duck.execute("""
+        SELECT count(*), avg(value) FROM (
+          SELECT value FROM events WHERE value >= 50
+          ORDER BY event_id ASC LIMIT 40)
+    """).fetchone()
+    s = r["aggregations"]["s"]
+    assert s["doc_count"] == int(exp[0])
+    assert s["v"]["value"] == pytest.approx(exp[1])
+
+
+def test_diversified_sampler_caps_per_key(engine, duck):
+    r = engine.search("events", {"size": 0, "aggs": {"s": {
+        "diversified_sampler": {"shard_size": 30, "field": "user_id",
+                                "max_docs_per_value": 2},
+        "aggs": {"v": {"sum": {"field": "value"}}},
+    }}})
+    exp = duck.execute("""
+        SELECT count(*), sum(value) FROM (
+          SELECT value FROM (
+            SELECT event_id, value,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY event_id ASC) AS rn
+            FROM events
+          ) WHERE rn <= 2 ORDER BY event_id ASC LIMIT 30)
+    """).fetchone()
+    s = r["aggregations"]["s"]
+    assert s["doc_count"] == int(exp[0])
+    assert s["v"]["value"] == pytest.approx(exp[1])
