@@ -876,6 +876,37 @@ def _dedup_url_canonical(spark, sf_dir):
     return url_dedup(docs, url_col="url", id_col="event_id")
 
 
+def _dedup_domain_stats(spark, sf_dir):
+    """Per-domain crawl statistics (round 5c): registered-domain
+    (eTLD+1 heuristic with www-strip and common-SLD handling) grouping
+    with page counts, distinct canonical URLs, and size sums — ONE
+    hash-agg. URL noise is injected deterministically; the oracle
+    constructs the KNOWN domains/canonicals directly, pinning the
+    extractor against its spec."""
+    from gopensearch_spark.datapipe import domain_stats
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    k = (F.col("event_id") % 23).cast("string")
+    variant = F.col("event_id") % 3
+    host = (
+        F.when(variant == 0, F.concat(F.lit("WWW.SITE"), k, F.lit(".net")))
+        .when(variant == 1, F.concat(F.lit("site"), k, F.lit(".CO.UK")))
+        .otherwise(F.concat(F.lit("site"), k, F.lit(".net")))
+    )
+    url = F.concat(
+        F.lit("https://"), host, F.lit("/p/"), k,
+        F.when(F.col("event_id") % 2 == 0, F.lit("?utm_source=x"))
+        .otherwise(F.lit("")),
+    )
+    docs = ev.select(url.alias("url"), "value")
+    out = domain_stats(docs, size_col="value")
+    return out.select(
+        "domain", "n_pages", "n_canonical_urls",
+        F.round("sum_value", 4).alias("sum_value"),
+        F.round("avg_value", 6).alias("avg_value"),
+    )
+
+
 def _dsl_nested_agg(spark, sf_dir):
     """ES `nested` AGGREGATION (round 5): terms facet over the elements
     of the tags array<struct> — one row per element via a row-local
@@ -2591,6 +2622,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pinned case-by-case in tests/test_datapipe.py. Full
         # value-exact spec oracle below.
         "dedup_url_canonical": _dedup_url_canonical,
+        # dedup_domain_stats (round 5c): same one-hash-agg group core
+        # as in-window dedup_exact over the registered-domain key; the
+        # extractor is pure JVM expressions spec-pinned in
+        # tests/test_datapipe.py. Full value-exact spec oracle below.
+        "dedup_domain_stats": _dedup_domain_stats,
         # qc_c4_rules / qc_normalize (round 5c): same shuffle-free
         # JVM-projection scrub family as in-window scrub_pii and
         # qc_gopher_rules (chained regexp/translate + array HOFs); both
@@ -2975,6 +3011,23 @@ ORDER BY (fg.c*1.0/ft - bg.c*1.0/bt)
             "WHERE lang = (SELECT lang FROM documents WHERE doc_id = 3)"
         ),
         "dsl_span_near": _dsl_span_near_oracle("spark", "join", 3, 25),
+        "dedup_domain_stats": (
+            "WITH t AS (SELECT event_id, value,"
+            " CASE WHEN event_id % 3 = 1"
+            "  THEN 'site' || (event_id % 23) || '.co.uk'"
+            "  ELSE 'site' || (event_id % 23) || '.net' END AS domain,"
+            " CASE WHEN event_id % 3 = 0"
+            "  THEN 'https://www.site' || (event_id % 23) || '.net/p/' || (event_id % 23)"
+            "  WHEN event_id % 3 = 1"
+            "  THEN 'https://site' || (event_id % 23) || '.co.uk/p/' || (event_id % 23)"
+            "  ELSE 'https://site' || (event_id % 23) || '.net/p/' || (event_id % 23)"
+            " END AS canon FROM events) "
+            "SELECT domain, count(*) AS n_pages,"
+            " count(DISTINCT canon) AS n_canonical_urls,"
+            " round(sum(value), 4) AS sum_value,"
+            " round(avg(value), 6) AS avg_value "
+            "FROM t GROUP BY domain"
+        ),
         "dsl_adjacency_matrix": (
             "WITH c AS (SELECT"
             " sum(CASE WHEN value >= 150 THEN 1 ELSE 0 END) AS big,"

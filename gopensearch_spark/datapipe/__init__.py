@@ -2,11 +2,13 @@ from gopensearch_spark.datapipe.dedup import (  # noqa: F401
     assign_dup_clusters,
     canonical_url,
     connected_components,
+    domain_stats,
     decontaminate,
     embedding_neardup_pairs,
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
+    registered_domain,
     segment_dedup,
     simhash_pairs,
     url_dedup,

@@ -116,6 +116,47 @@ def url_dedup(
     )
 
 
+_COMMON_SLDS = ["co", "com", "net", "org", "gov", "ac", "edu"]
+
+
+def registered_domain(col: Column) -> Column:
+    """Registered domain (eTLD+1 heuristic) of a URL: lowercased host,
+    `www.` stripped, last two labels — or three when the second-last is
+    a common second-level suffix (`bbc.co.uk`). A real public-suffix
+    list is a data file away; this pure-expression heuristic covers the
+    dominant cases and stays SQL-portable for the oracle pair."""
+    host = F.lower(F.regexp_extract(
+        col, r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]*)", 1))
+    host = F.regexp_replace(host, r"^www\.", "")
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    dom3 = F.concat_ws(".", F.element_at(parts, -3),
+                       F.element_at(parts, -2), F.element_at(parts, -1))
+    dom2 = F.concat_ws(".", F.element_at(parts, -2), F.element_at(parts, -1))
+    take3 = (n >= 3) & F.element_at(parts, -2).isin(_COMMON_SLDS)
+    return F.when(n <= 1, host).when(take3, dom3).otherwise(dom2)
+
+
+def domain_stats(
+    df: DataFrame, url_col: str = "url", size_col: str | None = None,
+) -> DataFrame:
+    """Per-domain crawl statistics — the grouping every web-pipeline
+    domain filter/blocklist decision runs on: (domain, n_pages,
+    n_canonical_urls[, sum/avg of size_col]). ONE hash-agg over the
+    registered domain; the canonical-URL distinct count rides the same
+    pass (partial aggregation map-side, no extra shuffle)."""
+    dom = registered_domain(F.col(url_col)).alias("domain")
+    aggs = [
+        F.count("*").alias("n_pages"),
+        F.countDistinct(canonical_url(F.col(url_col))).alias("n_canonical_urls"),
+    ]
+    if size_col is not None:
+        c = F.col(size_col).cast("double")
+        aggs += [F.sum(c).alias(f"sum_{size_col}"),
+                 F.avg(c).alias(f"avg_{size_col}")]
+    return df.groupBy(dom).agg(*aggs)
+
+
 def segment_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     separator: str | None = "\n", token_window: int | None = None,

@@ -1192,6 +1192,15 @@ class Engine:
                         h["highlight"] = {     # hits matched via other clauses
                             spec.text_field: [rendered]
                         }
+        if d.fields:
+            # ES `fields` option: values surfaced per-hit alongside
+            # _source (from the FINAL unmarshaled source; missing
+            # fields are omitted, ES contract)
+            for h in resp["hits"]["hits"]:
+                src = h.get("_source", {})
+                got = {f: [src[f]] for f in d.fields if f in src}
+                if got:
+                    h.setdefault("fields", {}).update(got)
         if d.sort:
             # ES parity: every hit carries its `sort` value tuple (what
             # clients feed back as search_after); built from the FULL

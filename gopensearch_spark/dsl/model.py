@@ -642,6 +642,9 @@ class Dsl:
     # ES `runtime_mappings`: script-defined fields resolvable by the
     # query/sort/agg compilers exactly like stored columns
     runtime_mappings: dict[str, str] = field(default_factory=dict)
+    # ES `fields` retrieval option (7.10+): per-hit "fields" dict
+    # alongside _source
+    fields: list[str] = field(default_factory=list)
 
 
 def _parse_match(raw: dict) -> dict[str, Match]:
@@ -1150,6 +1153,8 @@ def parse_dsl(body: str | dict) -> Dsl:
         if isinstance(script, dict):
             script = script.get("source", "")
         d.script_fields[str(name)] = str(script)
+    for f in raw.get("fields") or []:
+        d.fields.append(str(f["field"] if isinstance(f, dict) else f))
     for name, rm in (raw.get("runtime_mappings") or {}).items():
         script = (rm or {}).get("script", "")
         if isinstance(script, dict):

@@ -1057,3 +1057,44 @@ def test_normalize_text_typography(spark):
     assert got[2][0] == "ctrlcharsgone"
     assert got[3][0] == "'single' - dash - minus"
     assert got[2][1] == 2
+
+
+def test_registered_domain_cases(spark):
+    from gopensearch_spark.datapipe import registered_domain
+
+    rows = [
+        (0, "https://www.example.com/a"),
+        (1, "HTTP://News.BBC.co.uk:80/x?y=1"),
+        (2, "https://a.b.cdn.example.org/z"),
+        (3, "https://user:pw@Sub.Site.NET/p"),
+        (4, "https://localhost/x"),
+        (5, "https://deep.ac.uk/y"),
+    ]
+    df = spark.createDataFrame(rows, ["i", "url"])
+    got = {r["i"]: r["d"] for r in df.select(
+        "i", registered_domain(F.col("url")).alias("d")).collect()}
+    assert got[0] == "example.com"
+    assert got[1] == "bbc.co.uk"
+    assert got[2] == "example.org"
+    assert got[3] == "site.net"
+    assert got[4] == "localhost"
+    assert got[5] == "deep.ac.uk"
+
+
+def test_domain_stats_one_pass(spark):
+    from gopensearch_spark.datapipe import domain_stats
+
+    rows = [
+        (0, "https://a.com/x", 10.0),
+        (1, "https://www.a.com/x#frag", 20.0),   # same canonical as next
+        (2, "https://a.com/x?utm_source=z", 30.0),
+        (3, "https://b.co.uk/y", 40.0),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "url", "n_chars"])
+    got = {r["domain"]: r for r in
+           domain_stats(df, size_col="n_chars").collect()}
+    assert got["a.com"]["n_pages"] == 3
+    # canonical forms: a.com/x (ids 0, 2) vs www.a.com/x (id 1) -> 2
+    assert got["a.com"]["n_canonical_urls"] == 2
+    assert got["a.com"]["sum_n_chars"] == 60.0
+    assert got["b.co.uk"]["n_pages"] == 1

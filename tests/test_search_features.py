@@ -679,3 +679,16 @@ def test_diversified_sampler_caps_per_key(engine, duck):
     s = r["aggregations"]["s"]
     assert s["doc_count"] == int(exp[0])
     assert s["v"]["value"] == pytest.approx(exp[1])
+
+
+def test_fields_option_surfaces_values(engine):
+    r = engine.search("events", {
+        "query": {"term": {"event_type": "error"}},
+        "fields": ["event_type", {"field": "value"}, "not_a_field"],
+        "size": 3,
+    })
+    for h in r["hits"]["hits"]:
+        assert h["fields"]["event_type"] == ["error"]
+        assert h["fields"]["value"] == [h["_source"]["value"]]
+        assert "not_a_field" not in h["fields"]
+        assert "_source" in h  # fields does NOT suppress _source
