@@ -370,6 +370,19 @@ def compile_agg(
         else:
             # ES default: docs without the field produce NO bucket
             filtered = filtered.where(kc.isNotNull())
+        # ES include/exclude: value filtering BEFORE the top-size
+        # truncation — regex (whole-key anchored) or exact-value list
+        ks = kc.cast("string")
+        if agg.terms.include is not None:
+            inc = agg.terms.include
+            filtered = filtered.where(
+                ks.isin([str(v) for v in inc]) if isinstance(inc, list)
+                else ks.rlike(f"^(?:{inc})$"))
+        if agg.terms.exclude is not None:
+            exc = agg.terms.exclude
+            filtered = filtered.where(
+                ~ks.isin([str(v) for v in exc]) if isinstance(exc, list)
+                else ~ks.rlike(f"^(?:{exc})$"))
         key = kc.alias("key")
         # ES `order`: _count (default) / _key / a metric sub-agg label —
         # the sort rides the same single groupBy; ties break by key asc
@@ -802,12 +815,22 @@ def compile_agg(
         # into per-bucket counts (match_phrase raises its clear error).
         plain = dataclasses.replace(ctx, fulltext_predicate=None)
         names = list(agg.filters.filters)
+        preds = [compile_query(plain, q, False)
+                 for q in agg.filters.filters.values()]
+        if agg.filters.other_bucket_key:
+            # ES other_bucket: docs matching NONE of the named filters —
+            # one more conditional count in the SAME pass, appended last
+            other = None
+            for pr in preds:
+                other = pr if other is None else (other | pr)
+            preds.append(~F.coalesce(other, F.lit(False)))
+            names.append(agg.filters.other_bucket_key)
         cnts = [
             F.coalesce(
-                F.sum(F.when(compile_query(plain, q, False), 1).otherwise(0)),
+                F.sum(F.when(pr, 1).otherwise(0)),
                 F.lit(0),
             ).cast("long").alias(f"__f{i}")
-            for i, q in enumerate(agg.filters.filters.values())
+            for i, pr in enumerate(preds)
         ]
         pairs = [
             F.struct(F.lit(name).alias("key"), F.col(f"__f{i}").alias("doc_count"))

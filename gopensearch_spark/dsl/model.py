@@ -276,6 +276,10 @@ class AggTerms:
     # ES `missing`: bucket docs lacking the field under this key
     # (None = ES default, null keys drop from the buckets)
     missing: object = None
+    # ES `include`/`exclude`: regex (whole-key anchored, Java dialect)
+    # or exact-value list filtering the buckets BEFORE top-size
+    include: object = None
+    exclude: object = None
 
 
 @dataclass
@@ -483,6 +487,9 @@ class RareTerms:
 class FiltersAgg:
     """ES `filters` bucket agg: one named bucket per sub-query."""
     filters: dict[str, "Query"] = field(default_factory=dict)
+    # ES other_bucket/other_bucket_key: a bucket counting docs that
+    # match NONE of the named filters (None = off)
+    other_bucket_key: str | None = None
 
 
 @dataclass
@@ -883,7 +890,8 @@ def _parse_agg(raw: dict) -> Aggregate:
         (okey, odir), = order.items()
         a.terms = AggTerms(field=t["field"], size=int(t.get("size", 10)),
                            order_key=str(okey), order_dir=str(odir).lower(),
-                           missing=t.get("missing"))
+                           missing=t.get("missing"),
+                           include=t.get("include"), exclude=t.get("exclude"))
     if "multi_terms" in raw:
         mt = raw["multi_terms"]
         order = mt.get("order") or {"_count": "desc"}
@@ -1011,8 +1019,12 @@ def _parse_agg(raw: dict) -> Aggregate:
             missing=r.get("missing"),
         )
     if "filters" in raw:
+        fr = raw["filters"]
+        ob = fr.get("other_bucket_key") or (
+            "_other_" if fr.get("other_bucket") else None)
         a.filters = FiltersAgg(
-            filters={k: _parse_query(v) for k, v in raw["filters"]["filters"].items()}
+            filters={k: _parse_query(v) for k, v in fr["filters"].items()},
+            other_bucket_key=ob,
         )
     if "adjacency_matrix" in raw:
         a.adjacency_matrix = FiltersAgg(

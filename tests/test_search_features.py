@@ -692,3 +692,45 @@ def test_fields_option_surfaces_values(engine):
         assert h["fields"]["value"] == [h["_source"]["value"]]
         assert "not_a_field" not in h["fields"]
         assert "_source" in h  # fields does NOT suppress _source
+
+
+def test_terms_include_exclude(engine, duck):
+    r = engine.search("events", {"size": 0, "aggs": {
+        "rx": {"terms": {"field": "event_type", "size": 10,
+                         "include": "e.*|p.*", "exclude": "purchase"}},
+        "lst": {"terms": {"field": "event_type", "size": 10,
+                          "include": ["error", "signup"]}},
+    }})
+    exp = dict(duck.execute("""
+        SELECT event_type, count(*) FROM events
+        WHERE regexp_matches(event_type, '^(e.*|p.*)$')
+          AND event_type <> 'purchase' GROUP BY 1
+    """).fetchall())
+    got = {b["key"]: b["doc_count"] for b in r["aggregations"]["rx"]["buckets"]}
+    assert got == {k: int(v) for k, v in exp.items()}
+    got2 = {b["key"] for b in r["aggregations"]["lst"]["buckets"]}
+    assert got2 == {"error", "signup"}
+
+
+def test_filters_other_bucket(engine, duck):
+    r = engine.search("events", {"size": 0, "aggs": {"f": {
+        "filters": {
+            "other_bucket_key": "rest",
+            "filters": {
+                "err": {"term": {"event_type": "error"}},
+                "big": {"range": {"value": {"gte": 150}}},
+            },
+        },
+    }}})
+    exp = duck.execute("""
+        SELECT sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END),
+               sum(CASE WHEN value >= 150 THEN 1 ELSE 0 END),
+               sum(CASE WHEN NOT (coalesce(event_type = 'error', FALSE)
+                                  OR coalesce(value >= 150, FALSE))
+                        THEN 1 ELSE 0 END)
+        FROM events
+    """).fetchone()
+    b = r["aggregations"]["f"]["buckets"]
+    assert b["err"]["doc_count"] == int(exp[0])
+    assert b["big"]["doc_count"] == int(exp[1])
+    assert b["rest"]["doc_count"] == int(exp[2])
