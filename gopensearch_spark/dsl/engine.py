@@ -1439,6 +1439,112 @@ class Engine:
             "_shards": {"total": 1, "successful": 1, "skipped": 0, "failed": 0},
         }
 
+    def _fetch_doc_text(self, index: str, doc_id) -> tuple[object, str | None]:
+        """One pushdown id-scan: (raw id value row found?, text)."""
+        from gopensearch_spark.dsl.compiler import _literal
+
+        spec = self.indices[index]
+        if not spec.text_field:
+            raise ValueError(f"index {index!r} has no text field")
+        rows = (
+            spec.df.where(F.col(spec.id_col) == F.lit(_literal(str(doc_id))))
+            .select(spec.text_field).collect()
+        )
+        return (len(rows) > 0), (str(rows[0][0]) if rows else None)
+
+    def termvectors(self, index: str, doc_id, fields: list[str] | None = None) -> dict:
+        """`GET /{index}/_termvectors/{id}`: per-field term vectors —
+        term_freq + token positions from the index analyzer (exact FTS5
+        unicode61 parity, the same tokens the index stores) plus each
+        term's index doc_freq from the partition-pruned term_stats
+        lookup. ONE bounded id-scan + one pruned stats lookup."""
+        from gopensearch_spark.analysis import term_positions
+        from gopensearch_spark.search.readers import term_dfs
+
+        spec = self.indices[index]
+        found, text = self._fetch_doc_text(index, doc_id)
+        resp = {"_index": index, "_id": str(doc_id), "found": found,
+                "term_vectors": {}}
+        if not found:
+            return resp
+        pos = term_positions(text)
+        stats = {}
+        if spec.index_dir:
+            stats = term_dfs(self.spark, spec.index_dir, sorted(pos))
+        terms = {}
+        for t, ps in sorted(pos.items()):
+            entry = {
+                "term_freq": len(ps),
+                "tokens": [{"position": int(p)} for p in ps],
+            }
+            if t in stats:
+                entry["doc_freq"] = int(stats[t])
+            terms[t] = entry
+        resp["term_vectors"][spec.text_field] = {"terms": terms}
+        return resp
+
+    def explain(self, index: str, doc_id, body: str | dict) -> dict:
+        """`GET /{index}/_explain/{id}`: the BM25 score breakdown of a
+        `match` query against ONE document — per-term tf (analyzer
+        parity), df/idf from the index stats, the exact contribution
+        formula the scoring engines use. The total equals the doc's
+        search score bit-for-bit (pinned in pytest)."""
+        import math as _math
+
+        from gopensearch_spark.analysis import normalize_query_terms, term_freqs
+        from gopensearch_spark.search.bm25 import B, K1, idf
+        from gopensearch_spark.search.readers import corpus_stats, term_dfs
+
+        d = model.parse_dsl(body)
+        spec = self.indices[index]
+        if not (d.query and len(d.query.match) == 1 and not d.query.bool_):
+            raise ValueError("explain supports a single match query")
+        (field, m), = d.query.match.items()
+        if strip_keyword(field) != spec.text_field or not spec.index_dir:
+            raise ValueError(
+                f"explain requires the indexed text field {spec.text_field!r}")
+        terms = sorted(set(normalize_query_terms(m.query)))
+        mode_and = m.operator.upper() == "AND"
+        found, text = self._fetch_doc_text(index, doc_id)
+        resp = {"_index": index, "_id": str(doc_id), "matched": False}
+        if not found:
+            resp["explanation"] = {"value": 0.0, "description": "document not found",
+                                   "details": []}
+            return resp
+        tfs = term_freqs(text)
+        dl = sum(tfs.values())
+        stats = corpus_stats(spec.index_dir)
+        n_docs, avgdl = stats["n_docs"], stats["avg_doc_len"]
+        dfs = term_dfs(self.spark, spec.index_dir, terms)
+        details, total = [], 0.0
+        n_matched = 0
+        for t in terms:
+            tf = tfs.get(t, 0)
+            if tf == 0:
+                details.append({"value": 0.0,
+                                "description": f"no occurrence of {t!r}"})
+                continue
+            n_matched += 1
+            df_t = dfs.get(t, 0)
+            i = idf(n_docs, df_t)
+            w = tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / avgdl))
+            c = i * w
+            total += c
+            details.append({
+                "value": c,
+                "description": (
+                    f"weight(text:{t}) tf={tf} df={df_t} "
+                    f"idf={i:.10g} dl={dl} avgdl={avgdl:.10g} "
+                    f"k1={K1} b={B}"),
+            })
+        resp["matched"] = (n_matched == len(terms)) if mode_and else (n_matched > 0)
+        resp["explanation"] = {
+            "value": total if resp["matched"] else 0.0,
+            "description": f"sum of ({'AND' if mode_and else 'OR'} over query terms):",
+            "details": details,
+        }
+        return resp
+
     def mget(self, body: dict, index: str | None = None) -> dict:
         """`POST /_mget` / `POST /{index}/_mget`: batch doc fetch. One
         `ids` query PER DISTINCT INDEX (not per id) — n requested ids

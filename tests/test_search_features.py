@@ -734,3 +734,38 @@ def test_filters_other_bucket(engine, duck):
     assert b["err"]["doc_count"] == int(exp[0])
     assert b["big"]["doc_count"] == int(exp[1])
     assert b["rest"]["doc_count"] == int(exp[2])
+
+
+# --- _termvectors / _explain -------------------------------------------------
+
+def test_termvectors_matches_analyzer(engine, duck):
+    txt = duck.execute("SELECT text FROM documents WHERE doc_id = 5").fetchone()[0]
+    r = engine.termvectors("docs", 5)
+    assert r["found"] is True
+    tv = r["term_vectors"]["text"]["terms"]
+    toks = txt.split(" ")
+    from collections import Counter
+    exp = Counter(toks)
+    assert {t: v["term_freq"] for t, v in tv.items()} == dict(exp)
+    # positions are the analyzer's token positions
+    first = toks[0]
+    assert tv[first]["tokens"][0]["position"] == 0
+    # df present and sane for an indexed field
+    assert all(v.get("doc_freq", 1) >= 1 for v in tv.values())
+    assert engine.termvectors("docs", 10**9)["found"] is False
+
+
+def test_explain_matches_search_score(engine):
+    # take a top hit from the real search, explain it, compare scores
+    r = engine.search("docs", {"query": {"match": {"text": "spark join"}}, "size": 1})
+    h = r["hits"]["hits"][0]
+    ex = engine.explain("docs", h["_id"], {"query": {"match": {"text": "spark join"}}})
+    assert ex["matched"] is True
+    assert math.isclose(ex["explanation"]["value"], h["_score"],
+                        rel_tol=1e-12, abs_tol=1e-15)
+    assert len(ex["explanation"]["details"]) == 2
+    # AND-mode mismatch: a doc without one term doesn't match
+    ex2 = engine.explain("docs", h["_id"],
+                         {"query": {"match": {"text": {"query": "spark zzzznotaterm",
+                                                       "operator": "AND"}}}})
+    assert ex2["matched"] is False and ex2["explanation"]["value"] == 0.0
