@@ -576,6 +576,7 @@ class Engine:
 
         needs_general = bool(
             d.collapse or d.rescore or d.script_fields or d.runtime_mappings
+            or d.min_score is not None
         )
         m = None if needs_general else self._pure_match(d, spec)
         if m is not None:
@@ -872,6 +873,9 @@ class Engine:
                 *[f"__ft_id_{i}" for i in range(len(ft_specs))],
                 *[f"__ft_score_{i}" for i in range(len(ft_specs))],
             )
+            if d.min_score is not None:
+                # ES min_score: filters the hit set BEFORE aggregations
+                filtered = filtered.where(F.col("score") >= F.lit(float(d.min_score)))
 
         # aggs see the filtered relation (reference re-scans per agg,
         # sql.go:39-58; we cache once instead; released by the NEXT
@@ -1295,6 +1299,71 @@ class Engine:
             "indices": indices,
         }
 
+    def _phrase_suggest(self, spec: IndexSpec, s: dict) -> list[dict]:
+        """ES `phrase` suggester ("did you mean"), this engine's pinned
+        contract: per analyzed token the candidates are the token itself
+        plus its term-suggester corrections; whole-phrase candidates are
+        enumerated with at most `max_errors` corrected positions and
+        scored by sum(log1p(df) + log(similarity)) — a unigram
+        frequency model with a similarity penalty (ES smooths a shingle
+        LM; documented divergence, deterministic and oracle-checkable).
+        All lookups are bounded by the input's token count."""
+        import math as _math
+
+        from gopensearch_spark.analysis import tokenize_with_offsets
+        from gopensearch_spark.search.fuzzy import term_suggest
+        from gopensearch_spark.search.readers import term_dfs
+
+        p = s["phrase"]
+        field = strip_keyword(str(p.get("field", "")))
+        if not spec.index_dir or field != spec.text_field:
+            raise ValueError(
+                f"phrase suggester field {p.get('field')!r} is not the "
+                f"indexed text field {spec.text_field!r}")
+        text = str(s.get("text", ""))
+        size = int(p.get("size", 5))
+        me = p.get("max_errors", 1.0)
+        per_tok = int(p.get("candidates_per_token", 3))
+        toks = [t for t, _, _ in tokenize_with_offsets(text)]
+        entry = {"text": text, "offset": 0, "length": len(text), "options": []}
+        if not toks:
+            return [entry]
+        budget = int(me) if float(me) >= 1 else max(1, int(float(me) * len(toks)))
+        dfs0 = term_dfs(self.spark, spec.index_dir, sorted(set(toks)))
+        cands = []
+        for tok in toks:
+            c = [(tok, 1.0, dfs0.get(tok, 0))]
+            for term, dist, df in term_suggest(
+                self.spark, spec.index_dir, tok,
+                size=per_tok, max_edits=2, prefix_length=1,
+            ):
+                c.append((term, 1.0 - dist / max(len(tok), 1), df))
+            cands.append(c)
+        results: list[tuple[str, float]] = []
+
+        def rec(i: int, errors: int, terms: list[str], score: float) -> None:
+            if len(results) >= 5000:  # combinatorial guard
+                return
+            if i == len(toks):
+                results.append((" ".join(terms), score))
+                return
+            for term, sim, df in cands[i]:
+                e = errors + (term != toks[i])
+                if e > budget:
+                    continue
+                rec(i + 1, e, terms + [term],
+                    score + _math.log1p(df) + _math.log(max(sim, 1e-9)))
+
+        rec(0, 0, [], 0.0)
+        orig = " ".join(toks)
+        best = sorted(
+            ((t, sc) for t, sc in results if t != orig),
+            key=lambda kv: (-kv[1], kv[0]),
+        )[:size]
+        entry["options"] = [
+            {"text": t, "score": round(sc, 6)} for t, sc in best]
+        return [entry]
+
     def _run_suggest(self, index: str, suggest_spec: dict) -> dict:
         """ES `term` suggester: per analyzed input token, vocabulary
         terms within max_edits ranked (distance ASC, doc freq DESC,
@@ -1309,9 +1378,13 @@ class Engine:
         spec = self.indices[index]
         out: dict = {}
         for label, s in suggest_spec.items():
+            if "phrase" in s:
+                out[label] = self._phrase_suggest(spec, s)
+                continue
             if "term" not in s:
                 raise ValueError(
-                    f"suggester {label!r}: only the `term` suggester is supported"
+                    f"suggester {label!r}: only the `term` and `phrase` "
+                    "suggesters are supported"
                 )
             t = s["term"]
             field = strip_keyword(str(t.get("field", "")))

@@ -652,6 +652,9 @@ class Dsl:
     # ES `fields` retrieval option (7.10+): per-hit "fields" dict
     # alongside _source
     fields: list[str] = field(default_factory=list)
+    # ES `min_score`: drop hits scoring below the threshold (applies
+    # before aggregations, the ES contract)
+    min_score: float | None = None
 
 
 def _parse_match(raw: dict) -> dict[str, Match]:
@@ -1136,6 +1139,8 @@ def parse_dsl(body: str | dict) -> Dsl:
         d.from_ = int(raw["from"])
     if raw.get("highlight") is not None:
         d.highlight = raw["highlight"]
+    if raw.get("min_score") is not None:
+        d.min_score = float(raw["min_score"])
     if raw.get("track_total_hits") is not None:
         d.track_total_hits = bool(raw["track_total_hits"])
     if raw.get("search_after") is not None:

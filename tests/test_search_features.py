@@ -769,3 +769,44 @@ def test_explain_matches_search_score(engine):
                          {"query": {"match": {"text": {"query": "spark zzzznotaterm",
                                                        "operator": "AND"}}}})
     assert ex2["matched"] is False and ex2["explanation"]["value"] == 0.0
+
+
+def test_min_score_filters_hits_and_aggs(engine, oracle_small):
+    scores = sorted((s for _, s in oracle_small.match(["data"], k=100000, mode="or")),
+                    reverse=True)
+    thr = scores[9]  # keep exactly the docs at/above the 10th score
+    r = engine.search("docs", {
+        "query": {"match": {"text": "data"}},
+        "min_score": thr, "size": 10000, "track_total_hits": True,
+        "aggs": {"n": {"value_count": {"field": "doc_id"}}},
+    })
+    n_exp = sum(1 for s in scores if s >= thr)
+    assert r["hits"]["total"]["value"] == n_exp
+    assert r["aggregations"]["n"]["value"] == n_exp
+    assert all(h["_score"] >= thr for h in r["hits"]["hits"])
+
+
+def test_phrase_suggester_corrects_two_tokens(engine):
+    r = engine.search("docs", {"size": 0, "suggest": {
+        "dym": {"text": "spak joib",
+                "phrase": {"field": "text", "size": 3, "max_errors": 2}},
+    }})
+    e = r["suggest"]["dym"][0]
+    assert e["text"] == "spak joib"
+    texts = [o["text"] for o in e["options"]]
+    assert "spark join" in texts
+    # scores strictly ordered desc, ties broken by text asc
+    scores = [o["score"] for o in e["options"]]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_phrase_suggester_respects_error_budget(engine):
+    r = engine.search("docs", {"size": 0, "suggest": {
+        "dym": {"text": "spak joib",
+                "phrase": {"field": "text", "size": 5, "max_errors": 1}},
+    }})
+    e = r["suggest"]["dym"][0]
+    for o in e["options"]:
+        # at most ONE corrected position vs the input tokens
+        diff = sum(1 for a, b in zip(o["text"].split(), ["spak", "joib"]) if a != b)
+        assert diff <= 1
