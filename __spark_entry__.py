@@ -1747,6 +1747,28 @@ def _qc_quality_score(spark, sf_dir):
     )
 
 
+def _qc_perplexity(spark, sf_dir):
+    """CCNet-style unigram-LM perplexity scoring (Wenzek et al. 2020
+    filter web text by LM perplexity and keep the low-ppl head; the
+    model class here is unigram so the full train+score pipeline stays
+    inside built-in expressions and is value-exact against the SQL
+    oracle). LM trained on the corpus itself: explode -> token hash-agg
+    (map-side combine) -> single-row totals broadcast; scoring: explode
+    -> broadcast LM join -> doc hash-agg. No corpus-sized driver state;
+    at web scale pass broadcast_lm=False and the token join shuffles
+    both sides."""
+    from gopensearch_spark.datapipe import doc_logprob, unigram_lm
+
+    docs = _docs(spark, sf_dir)
+    out = doc_logprob(docs, unigram_lm(docs))
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.round("avg_logprob", 6).alias("avg_logprob"),
+        F.round("ppl", 4).alias("ppl"),
+    )
+
+
 def _qc_lang_id(spark, sf_dir):
     from gopensearch_spark.datapipe import lang_id
 
@@ -2448,7 +2470,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_rrf": _hybrid_rrf,
         "ann_lsh_topk_valid": _ann_topk_valid("lsh"),
         "ann_ivf_topk_valid": _ann_topk_valid("ivf"),
-        "qc_quality_score": _qc_quality_score,
+        # round-5d: qc_perplexity IN (genuinely NEW path: corpus-trained
+        # unigram LM — explode→token agg→broadcast totals→LM join→doc
+        # agg; no other in-window entry exercises a token-level LM
+        # join). Displaced: qc_quality_score (its row-local band
+        # projection family stays represented by qc_gopher_rules, a
+        # strict superset of the band logic).
+        "qc_perplexity": _qc_perplexity,
         "qc_gopher_rules": _qc_gopher_rules,
         "scrub_pii": _scrub_pii,
         "segment_dedup": _segment_dedup,
@@ -2529,6 +2557,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsl_terms_query": _dsl_terms_query,
         "dsl_exists_query": _dsl_exists_query,
         "qc_repetition": _qc_repetition,
+        # round-5d displacement: band-projection family represented
+        # in-window by qc_gopher_rules
+        "qc_quality_score": _qc_quality_score,
         # dsl_date_histogram: STRICT SUBSET of in-window
         # dsl_pipeline_aggs (identical date-bucket expr + projection;
         # the superset adds the metric sibling and the two pipeline
@@ -3191,6 +3222,18 @@ SELECT query_id, vec_id, round(cos, 6) AS cosine FROM scored WHERE rn <= 5
             "len(list_distinct(string_split(text, ' '))) AS n_types, "
             "cast(ceil(length(text) / 4.0) AS bigint) AS bpe_est_tokens FROM documents"
         ),
+        "qc_perplexity": """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+cnt AS (SELECT token, count(*) AS c FROM toks GROUP BY token),
+tot AS (SELECT sum(c) AS total, count(*) AS vocab FROM cnt),
+lm AS (SELECT token, ln((c + 1.0) / (total + vocab)) AS logp FROM cnt, tot),
+d AS (SELECT t.doc_id, count(*) AS n_tokens, avg(lm.logp) AS avg_logp
+      FROM toks t JOIN lm USING (token) GROUP BY t.doc_id)
+SELECT doc_id, n_tokens, round(avg_logp, 6) AS avg_logprob,
+       round(exp(-avg_logp), 4) AS ppl
+FROM d
+""",
         "qc_quality_score": f"""
 WITH s AS (
   SELECT doc_id,

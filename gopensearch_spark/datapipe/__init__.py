@@ -2,6 +2,7 @@ from gopensearch_spark.datapipe.dedup import (  # noqa: F401
     assign_dup_clusters,
     canonical_url,
     connected_components,
+    domain_blocklist_filter,
     domain_stats,
     decontaminate,
     embedding_neardup_pairs,
@@ -34,9 +35,11 @@ from gopensearch_spark.datapipe.sampling import (  # noqa: F401
 )
 from gopensearch_spark.datapipe.similarity import ann_lsh_topk, cosine_topk, ivf_topk, rrf_fuse  # noqa: F401
 from gopensearch_spark.datapipe.textqc import (  # noqa: F401
+    doc_logprob,
     fingerprint,
     lang_id,
     quality_score,
     repetition_stats,
     token_stats,
+    unigram_lm,
 )

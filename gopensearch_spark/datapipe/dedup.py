@@ -157,6 +157,40 @@ def domain_stats(
     return df.groupBy(dom).agg(*aggs)
 
 
+def domain_blocklist_filter(
+    df: DataFrame,
+    blocklist: DataFrame | list[str],
+    url_col: str = "url",
+    keep: bool = False,
+) -> DataFrame:
+    """Drop (or with ``keep=True``, retain only) pages whose registered
+    domain appears in ``blocklist`` — the standard web-pipeline
+    domain-level filter (adult/spam/SEO-farm lists, or an allowlist of
+    curated sources). ``blocklist`` is a one-column DataFrame or a
+    plain list of registered domains.
+
+    Scale shape: blocklists are small relative to the crawl (10^4–10^7
+    domains vs 10^12 pages), so the filter is ONE broadcast
+    left-anti (or left-semi) join on the registered domain — no shuffle
+    of the corpus side, whole-stage-codegen'd domain extraction."""
+    if not isinstance(blocklist, DataFrame):
+        spark = df.sparkSession
+        blk = spark.createDataFrame(
+            [(d,) for d in blocklist], "domain string"
+        )
+    else:
+        c0 = blocklist.columns[0]
+        blk = blocklist.select(F.col(c0).alias("domain"))
+    blk = blk.select(F.lower("domain").alias("__blk_domain")).distinct()
+    with_dom = df.withColumn("__dom", registered_domain(F.col(url_col)))
+    joined = with_dom.join(
+        F.broadcast(blk),
+        F.col("__dom") == F.col("__blk_domain"),
+        "left_semi" if keep else "left_anti",
+    )
+    return joined.drop("__dom")
+
+
 def segment_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     separator: str | None = "\n", token_window: int | None = None,

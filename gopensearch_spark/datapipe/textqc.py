@@ -157,3 +157,74 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         F.col(id_col),
         F.md5(F.lower(F.col(text_col))).alias("fp"),
     )
+
+
+def unigram_lm(
+    df: DataFrame,
+    text_col: str = "text",
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """Train an add-k-smoothed unigram language model from a corpus:
+    ``(token, logp)`` with ``logp = ln((count + k) / (total + k*vocab))``.
+
+    This is the LM half of CCNet-style perplexity filtering (Wenzek et
+    al. 2020 score documents by LM perplexity and keep the low-ppl
+    head; they use a KenLM trained on Wikipedia — here the model class
+    is unigram so the whole pipeline stays inside built-in expressions
+    and is value-exact against a SQL oracle, and the training corpus is
+    whatever ``df`` you pass, e.g. a trusted high-quality slice).
+
+    Plan shape: one explode → one hash-agg keyed by token (map-side
+    combine makes the shuffle carry one row per (partition, token)),
+    then a single-row totals aggregate cross-joined back (broadcast, 1
+    row). Vocabulary-sized output — at web scale this is millions of
+    rows, not corpus-sized."""
+    toks = df.select(F.explode(F.split(F.col(text_col), " ")).alias("token"))
+    counts = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    totals = counts.agg(
+        F.sum("cnt").alias("total"), F.count("*").alias("vocab")
+    )
+    k = float(smoothing)
+    return counts.crossJoin(F.broadcast(totals)).select(
+        "token",
+        F.log(
+            (F.col("cnt") + F.lit(k))
+            / (F.col("total") + F.lit(k) * F.col("vocab"))
+        ).alias("logp"),
+    )
+
+
+def doc_logprob(
+    df: DataFrame,
+    lm: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    oov_logp: float = -20.0,
+    broadcast_lm: bool = True,
+) -> DataFrame:
+    """Score every document under a unigram LM (see ``unigram_lm``):
+    ``(doc_id, n_tokens, avg_logprob, ppl)`` where ``avg_logprob`` is
+    the mean token log-probability and ``ppl = exp(-avg_logprob)`` —
+    the CCNet filtering statistic (low ppl = LM-like = keep).
+
+    Tokens the LM never saw take ``oov_logp`` (irrelevant when the LM
+    was trained on the same corpus). Plan shape: explode → equi-join
+    on token → one hash-agg keyed by doc id. ``broadcast_lm=True``
+    broadcasts the vocabulary relation (right for an external
+    curated-corpus LM, typically ≤ a few million rows); at full
+    web-corpus vocabularies pass False and the join shuffles both
+    sides on token — still linear, no corpus-sized state on any single
+    node. The doc_id groupBy's map-side combine means the final
+    shuffle carries ~one row per document."""
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("token")
+    )
+    lm_side = F.broadcast(lm) if broadcast_lm else lm
+    scored = toks.join(lm_side, "token", "left").select(
+        id_col, F.coalesce("logp", F.lit(float(oov_logp))).alias("logp")
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"),
+        F.avg("logp").alias("avg_logprob"),
+        F.exp(-F.avg("logp")).alias("ppl"),
+    )

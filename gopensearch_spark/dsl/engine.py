@@ -1263,6 +1263,112 @@ class Engine:
             base += len(chunk) + 1
         return {"tokens": tokens}
 
+    def validate_query(self, index: str, body: str | dict,
+                       explain: bool = False) -> dict:
+        """`GET /{index}/_validate/query`: parse + compile the request
+        without running the fetch phase. "Compile" here means building
+        the full lazy DataFrame plan — field resolution, date coercion,
+        agg compilation and full-text relation wiring all happen at
+        plan-build time, so anything search() would reject, this
+        rejects, and anything this accepts, search() can execute. With
+        ``explain=True`` the per-index explanation is the normalized
+        parsed query (this engine's analog of ES's rewritten Lucene
+        query string)."""
+        import json as _json
+
+        raw = _json.loads(body) if isinstance(body, str) else body
+        unknown = (
+            model.unknown_query_clauses(raw["query"])
+            if isinstance(raw, dict) and isinstance(raw.get("query"), dict)
+            else []
+        )
+        try:
+            if unknown:
+                raise ValueError(f"unknown query clause(s): {unknown}")
+            _, _, d = self.search_df(index, body)
+        except Exception as exc:  # noqa: BLE001 — ES returns valid:false, not 500
+            resp: dict = {
+                "valid": False,
+                "_shards": {"total": 1, "successful": 1, "failed": 0},
+            }
+            if explain:
+                resp["explanations"] = [{
+                    "index": index, "valid": False, "error": str(exc),
+                }]
+            return resp
+        resp = {
+            "valid": True,
+            "_shards": {"total": 1, "successful": 1, "failed": 0},
+        }
+        if explain:
+            resp["explanations"] = [{
+                "index": index, "valid": True,
+                "explanation": repr(d.query),
+            }]
+        return resp
+
+    _ES_TYPE = {
+        "string": "keyword", "bigint": "long", "int": "integer",
+        "smallint": "short", "tinyint": "byte", "double": "double",
+        "float": "float", "boolean": "boolean", "binary": "binary",
+        "date": "date", "timestamp": "date", "timestamp_ntz": "date",
+    }
+
+    def field_caps(self, index: str, fields: str | list[str] = "*") -> dict:
+        """`GET /{index}/_field_caps?fields=...`: per-field type and
+        search/agg capabilities, the negotiation call Kibana/Grafana
+        issue before building panels. Typed columns come straight from
+        the DataFrame schema (Spark type -> ES type); full-text-indexed
+        columns report `text` (searchable, not aggregatable — the
+        Lucene contract); their `.keyword` sub-field reports `keyword`
+        like an ES default text mapping; template-mapped date fields on
+        doc-backed indices report `date`. ``fields`` accepts "*", exact
+        names, or trailing-* patterns."""
+        spec = self.indices[index]
+        caps: dict[str, dict] = {}
+
+        def put(name: str, es_type: str, searchable: bool, aggregatable: bool):
+            caps[name] = {es_type: {
+                "type": es_type, "metadata_field": False,
+                "searchable": searchable, "aggregatable": aggregatable,
+            }}
+
+        indexed = spec.indexed_fields()
+        for f_name, dtype in spec.df.dtypes:
+            if f_name == spec.json_col:
+                continue
+            if f_name in indexed:
+                continue
+            if dtype.startswith("array<struct") or dtype.startswith("struct"):
+                put(f_name, "nested" if dtype.startswith("array") else "object",
+                    True, False)
+            else:
+                es = self._ES_TYPE.get(dtype, "keyword")
+                put(f_name, es, True, True)
+        for f_name in indexed:
+            put(f_name, "text", True, False)
+            put(f_name + ".keyword", "keyword", True, True)
+        if spec.doc_backed:
+            for f_name in self._date_fields_for(index):
+                put(f_name, "date", True, True)
+
+        pats = ["*"] if fields == "*" else (
+            [fields] if isinstance(fields, str) else list(fields)
+        )
+
+        def wanted(name: str) -> bool:
+            for p in pats:
+                if p == "*" or name == p:
+                    return True
+                if p.endswith("*") and name.startswith(p[:-1]):
+                    return True
+            return False
+
+        return {
+            "indices": [index],
+            "fields": {k: v for k, v in sorted(caps.items()) if wanted(k)},
+        }
+
     def index_stats(self, index: str | None = None) -> dict:
         """`GET /{index}/_stats` (or all indices): doc counts + on-disk
         index bytes. Doc count is a count-only aggregate; store size
@@ -1364,6 +1470,43 @@ class Engine:
             {"text": t, "score": round(sc, 6)} for t, sc in best]
         return [entry]
 
+    def _completion_suggest(self, spec: IndexSpec, s: dict) -> list[dict]:
+        """ES `completion` suggester (search-as-you-type). Real ES backs
+        this with an in-memory FST over a dedicated completion-mapped
+        field; this engine serves prefix completion straight from the
+        SORTED term_dict side table of the requested indexed field —
+        min/max-pruned prefix range scan over O(distinct terms), never
+        postings — ranked doc-freq DESC / term ASC (hot suggestions
+        first). `skip_duplicates` is inherent: the vocabulary is
+        distinct. The prefix is analyzer-cased (unicode61 lowercases)
+        so completion agrees with what was indexed."""
+        from gopensearch_spark.search.fuzzy import prefix_suggest
+
+        c = s["completion"]
+        field = strip_keyword(str(c.get("field", "")))
+        indexed = spec.indexed_fields()
+        if field not in indexed:
+            raise ValueError(
+                f"completion suggester field {c.get('field')!r} is not an "
+                f"indexed text field (have {sorted(indexed)})"
+            )
+        prefix = str(s.get("prefix", s.get("text", ""))).strip().lower()
+        size = int(c.get("size", 5))
+        opts = (
+            [
+                {"text": term, "score": float(df)}
+                for term, df in prefix_suggest(
+                    self.spark, indexed[field], prefix, size=size
+                )
+            ]
+            if prefix
+            else []
+        )
+        return [{
+            "text": prefix, "offset": 0, "length": len(prefix),
+            "options": opts,
+        }]
+
     def _run_suggest(self, index: str, suggest_spec: dict) -> dict:
         """ES `term` suggester: per analyzed input token, vocabulary
         terms within max_edits ranked (distance ASC, doc freq DESC,
@@ -1381,10 +1524,13 @@ class Engine:
             if "phrase" in s:
                 out[label] = self._phrase_suggest(spec, s)
                 continue
+            if "completion" in s:
+                out[label] = self._completion_suggest(spec, s)
+                continue
             if "term" not in s:
                 raise ValueError(
-                    f"suggester {label!r}: only the `term` and `phrase` "
-                    "suggesters are supported"
+                    f"suggester {label!r}: only the `term`, `phrase` and "
+                    "`completion` suggesters are supported"
                 )
             t = s["term"]
             field = strip_keyword(str(t.get("field", "")))

@@ -698,6 +698,55 @@ def _parse_range(raw: dict) -> dict[str, Range]:
     return out
 
 
+# Every clause key _parse_query understands. Parsing itself stays
+# LENIENT (unknown keys are silently ignored — parity with the
+# reference's encoding/json unmarshal, which drops unknown fields);
+# `_validate/query` uses this set to report what a lenient parse would
+# have swallowed.
+KNOWN_QUERY_CLAUSES = frozenset({
+    "match", "terms", "exists", "wildcard", "match_all", "match_phrase",
+    "match_phrase_prefix", "prefix", "fuzzy", "regexp", "ids", "span_term",
+    "span_near", "boosting", "more_like_this", "constant_score",
+    "function_score", "dis_max", "nested", "term", "range", "bool",
+    "query_string", "multi_match",
+})
+
+
+def unknown_query_clauses(raw: dict, path: str = "query") -> list[str]:
+    """Dotted paths of clause keys a lenient parse would silently drop,
+    recursing through the composite clauses (bool occurrences, dis_max
+    branches, boosting sides, nested/constant_score/function_score
+    wrappers). Empty list = every clause is understood."""
+    out: list[str] = []
+    for k, v in raw.items():
+        here = f"{path}.{k}"
+        if k not in KNOWN_QUERY_CLAUSES:
+            out.append(here)
+            continue
+        if not isinstance(v, dict):
+            continue
+        if k == "bool":
+            for occ in ("must", "should", "filter", "must_not"):
+                sub = v.get(occ)
+                subs = sub if isinstance(sub, list) else ([sub] if sub else [])
+                for i, s in enumerate(subs):
+                    if isinstance(s, dict):
+                        out += unknown_query_clauses(s, f"{here}.{occ}[{i}]")
+        elif k == "dis_max":
+            for i, s in enumerate(v.get("queries", [])):
+                if isinstance(s, dict):
+                    out += unknown_query_clauses(s, f"{here}.queries[{i}]")
+        elif k == "boosting":
+            for side in ("positive", "negative"):
+                if isinstance(v.get(side), dict):
+                    out += unknown_query_clauses(v[side], f"{here}.{side}")
+        elif k in ("nested", "constant_score", "function_score"):
+            subkey = "filter" if k == "constant_score" else "query"
+            if isinstance(v.get(subkey), dict):
+                out += unknown_query_clauses(v[subkey], f"{here}.{subkey}")
+    return out
+
+
 def _parse_query(raw: dict) -> Query:
     q = Query()
     if "match" in raw:

@@ -243,3 +243,32 @@ def term_exists(spark: SparkSession, index_dir: str, token: str) -> bool:
         .limit(1)
         .collect()
     )
+
+
+def prefix_suggest(
+    spark: SparkSession,
+    index_dir: str,
+    prefix: str,
+    size: int = 5,
+) -> list[tuple[str, int]]:
+    """Completion-suggester candidates: vocabulary terms starting with
+    ``prefix``, ranked hot-first (doc freq DESC, term ASC), truncated
+    to ``size``. Returns [(term, df)].
+
+    Scale shape: the scan is the SORTED (term, df) side table — the
+    startswith predicate is a range predicate on the sort key, so
+    parquet min/max pruning skips every row group outside the prefix
+    range; postings are never touched and only ``size`` rows reach the
+    driver (real ES serves this from an in-memory FST on a dedicated
+    completion field; the sorted term_dict is this engine's equivalent
+    structure)."""
+    vocab = _vocabulary(spark, index_dir).where(
+        F.col("term").startswith(prefix)
+    )
+    rows = (
+        vocab.orderBy(F.desc("df"), F.asc("term"))
+        .limit(int(size))
+        .select("term", "df")
+        .collect()
+    )
+    return [(r["term"], int(r["df"])) for r in rows]

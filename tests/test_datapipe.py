@@ -1098,3 +1098,84 @@ def test_domain_stats_one_pass(spark):
     assert got["a.com"]["n_canonical_urls"] == 2
     assert got["a.com"]["sum_n_chars"] == 60.0
     assert got["b.co.uk"]["n_pages"] == 1
+
+
+# --- unigram LM perplexity (round 5d) --------------------------------------
+
+def test_unigram_lm_doc_logprob_vs_duckdb(docs_small, duck):
+    """CCNet-style self-trained unigram LM: avg token logprob and ppl
+    per doc must match the pure-SQL formulation exactly."""
+    from gopensearch_spark.datapipe import doc_logprob, unigram_lm
+
+    out = doc_logprob(docs_small, unigram_lm(docs_small))
+    got = {
+        int(r["doc_id"]): (int(r["n_tokens"]), round(float(r["avg_logprob"]), 6))
+        for r in out.collect()
+    }
+    want = {
+        int(d): (int(n), round(float(lp), 6))
+        for d, n, lp in duck.execute("""
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+cnt AS (SELECT token, count(*) AS c FROM toks GROUP BY token),
+tot AS (SELECT sum(c) AS total, count(*) AS vocab FROM cnt),
+lm AS (SELECT token, ln((c + 1.0) / (total + vocab)) AS logp FROM cnt, tot)
+SELECT t.doc_id, count(*), avg(lm.logp)
+FROM toks t JOIN lm USING (token) GROUP BY t.doc_id
+""").fetchall()
+    }
+    assert got == want
+
+
+def test_doc_logprob_oov_floor(spark):
+    """Tokens absent from the LM take the oov_logp floor; ppl is
+    exp(-avg_logprob)."""
+    from gopensearch_spark.datapipe import doc_logprob, unigram_lm
+
+    train = spark.createDataFrame(
+        [(0, "a a b")], "doc_id long, text string"
+    )
+    score = spark.createDataFrame(
+        [(1, "a zzz")], "doc_id long, text string"
+    )
+    lm = unigram_lm(train)  # p(a)=(2+1)/(3+2), p(b)=(1+1)/(3+2)
+    row = doc_logprob(score, lm, oov_logp=-20.0).collect()[0]
+    want_avg = (math.log(3 / 5) + (-20.0)) / 2
+    assert row["n_tokens"] == 2
+    assert abs(row["avg_logprob"] - want_avg) < 1e-9
+    assert abs(row["ppl"] - math.exp(-want_avg)) < 1e-6
+
+
+# --- domain blocklist filter (round 5d) -------------------------------------
+
+def test_domain_blocklist_filter_drops_and_keeps(spark):
+    from gopensearch_spark.datapipe import domain_blocklist_filter
+
+    pages = spark.createDataFrame(
+        [
+            (0, "https://www.spam.example.com/a"),
+            (1, "http://good.org/x?utm_source=t"),
+            (2, "https://sub.deep.spam.example.com:443/b"),
+            (3, "https://bbc.co.uk/news"),
+        ],
+        "doc_id long, url string",
+    )
+    # registered_domain of 0 and 2 is example.com
+    kept = domain_blocklist_filter(pages, ["example.com"]).collect()
+    assert sorted(r["doc_id"] for r in kept) == [1, 3]
+    only = domain_blocklist_filter(pages, ["example.com"], keep=True).collect()
+    assert sorted(r["doc_id"] for r in only) == [0, 2]
+    # blocklist as a DataFrame, case-insensitive
+    blk = spark.createDataFrame([("BBC.co.uk",)], "domain string")
+    kept2 = domain_blocklist_filter(pages, blk).collect()
+    assert sorted(r["doc_id"] for r in kept2) == [0, 1, 2]
+
+
+def test_domain_blocklist_filter_is_broadcast(spark):
+    from gopensearch_spark.datapipe import domain_blocklist_filter
+
+    pages = spark.createDataFrame(
+        [(0, "https://a.example.com/x")], "doc_id long, url string"
+    )
+    plan = domain_blocklist_filter(pages, ["example.com"])._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan

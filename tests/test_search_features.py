@@ -810,3 +810,77 @@ def test_phrase_suggester_respects_error_budget(engine):
         # at most ONE corrected position vs the input tokens
         diff = sum(1 for a, b in zip(o["text"].split(), ["spak", "joib"]) if a != b)
         assert diff <= 1
+
+
+# --- completion suggester / _validate/query / _field_caps (round 5d) -------
+
+def test_completion_suggester_prefix_hot_first(engine, oracle_small):
+    """Completion options = vocabulary terms under the prefix, hottest
+    (highest df) first; pinned against the FTS5 oracle's vocabulary."""
+    resp = engine.search("docs", {
+        "size": 0,
+        "suggest": {"c": {"prefix": "dat", "completion": {"field": "text", "size": 5}}},
+    })
+    entry = resp["suggest"]["c"][0]
+    assert entry["text"] == "dat"
+    opts = entry["options"]
+    assert 0 < len(opts) <= 5
+    oracle_small.con.execute(
+        "CREATE VIRTUAL TABLE IF NOT EXISTS fts_vocab USING fts5vocab(t, 'row')"
+    )
+    want = oracle_small.con.execute(
+        "SELECT term, doc FROM fts_vocab WHERE term LIKE 'dat%' "
+        "ORDER BY doc DESC, term ASC LIMIT 5"
+    ).fetchall()
+    assert [(o["text"], int(o["score"])) for o in opts] == \
+        [(t, int(d)) for t, d in want]
+    # skip_duplicates inherent + empty prefix yields no options
+    resp2 = engine.search("docs", {
+        "size": 0, "suggest": {"c": {"prefix": "", "completion": {"field": "text"}}},
+    })
+    assert resp2["suggest"]["c"][0]["options"] == []
+
+
+def test_completion_suggester_rejects_unindexed_field(engine):
+    with pytest.raises(ValueError, match="not an indexed text field"):
+        engine.search("docs", {
+            "size": 0,
+            "suggest": {"c": {"prefix": "x", "completion": {"field": "nope"}}},
+        })
+
+
+def test_validate_query_accepts_and_rejects(engine):
+    ok = engine.validate_query("events", {
+        "query": {"bool": {"filter": [{"term": {"status": 200}}]}},
+    }, explain=True)
+    assert ok["valid"] is True
+    assert ok["explanations"][0]["valid"] is True
+    assert "term" in ok["explanations"][0]["explanation"].lower()
+
+    bad = engine.validate_query("events", {
+        "query": {"range": {"ts": {"gte": "not-a-date-at-all {"}}},
+        "sort": [{"no_such_field": "asc"}],
+    }, explain=True)
+    # compilation must flag it, not throw
+    assert isinstance(bad["valid"], bool)
+
+    really_bad = engine.validate_query("events", {"query": {"made_up_clause": {}}})
+    assert really_bad["valid"] is False
+
+
+def test_field_caps_types_and_patterns(engine):
+    caps = engine.field_caps("docs")
+    assert caps["indices"] == ["docs"]
+    f = caps["fields"]
+    # full-text field: text (searchable, not aggregatable) + .keyword twin
+    assert f["text"]["text"] == {
+        "type": "text", "metadata_field": False,
+        "searchable": True, "aggregatable": False,
+    }
+    assert f["text.keyword"]["keyword"]["aggregatable"] is True
+    assert f["doc_id"]["long"]["type"] == "long"
+    # pattern filtering
+    only = engine.field_caps("docs", "text*")
+    assert set(only["fields"]) == {"text", "text.keyword"}
+    ev = engine.field_caps("events")["fields"]
+    assert "ts" in ev and "date" in ev["ts"]
