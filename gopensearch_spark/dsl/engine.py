@@ -1263,6 +1263,87 @@ class Engine:
             base += len(chunk) + 1
         return {"tokens": tokens}
 
+    def force_merge(self, index: str, max_num_segments: int | None = None) -> dict:
+        """`POST /{index}/_forcemerge[?max_num_segments=N]`: merge every
+        indexed field's fragmented posting runs back to one sorted run
+        per term — the ES force-merge contract mapped onto this engine's
+        generation-pointer compaction. Each field index compacts into
+        `<dir>/gen-{N+1}` (salted repartition-by-term + skew-split block
+        rebuild, see `compact_index`) and COMMITS by atomically writing
+        the `_current` pointer — rename-free, so in-flight readers stay
+        on the old generation and object stores need no directory
+        rename. `max_num_segments` maps to the segment count of the
+        rebuilt index (ES's `1` = one segment)."""
+        import shutil
+
+        from gopensearch_spark.index.builder import (
+            _commit_generation,
+            compact_index,
+            current_generation,
+            resolve_index_dir,
+        )
+
+        spec = self.indices[index]
+        merged = 0
+        for idx_dir in spec.indexed_fields().values():
+            src = resolve_index_dir(idx_dir)
+            gen = current_generation(idx_dir)
+            dst = os.path.join(idx_dir, f"gen-{gen + 1}")
+            shutil.rmtree(dst, ignore_errors=True)  # crashed prior attempt
+            kw = {"num_segments": int(max_num_segments)} if max_num_segments else {}
+            compact_index(self.spark, src, dst, **kw)
+            _commit_generation(idx_dir, gen + 1)
+            merged += 1
+        return {"_shards": {"total": merged, "successful": merged, "failed": 0}}
+
+    def render_template(self, body: str | dict) -> dict:
+        """`POST /_render/template`: expand the mustache subset this
+        engine supports — `{{var}}` scalar substitution (strings are
+        JSON-escaped in place, numbers/bools verbatim) and
+        `{{#toJson}}var{{/toJson}}` whole-value JSON injection — and
+        return the rendered search body without executing it."""
+        req = json.loads(body) if isinstance(body, str) else body
+        src = req.get("source", "")
+        params = req.get("params", {}) or {}
+        if isinstance(src, dict):
+            src = json.dumps(src)
+
+        def to_json(m: re.Match) -> str:
+            return json.dumps(params.get(m.group(1)))
+
+        def scalar(m: re.Match) -> str:
+            v = params.get(m.group(1), "")
+            if isinstance(v, str):
+                return json.dumps(v)[1:-1]  # escaped content, no quotes
+            if isinstance(v, bool):
+                return "true" if v else "false"
+            return str(v)
+
+        # whole-value tokens (the entire JSON string is one template
+        # token — the shape a dict `source` serializes to) substitute
+        # WITH their native JSON type: numbers/lists/bools stay typed.
+        # ES's string-mustache would stringify these and coerce at
+        # parse time; keeping the type is strictly more faithful to the
+        # caller's params and round-trips through _render/template.
+        rendered = re.sub(
+            r'"\{\{#toJson\}\}\s*(\w+)\s*\{\{/toJson\}\}"', to_json, src)
+        rendered = re.sub(r'"\{\{(\w+)\}\}"', to_json, rendered)
+        # inline tokens inside larger strings: mustache text substitution
+        rendered = re.sub(
+            r"\{\{#toJson\}\}\s*(\w+)\s*\{\{/toJson\}\}", to_json, rendered)
+        rendered = re.sub(r"\{\{(\w+)\}\}", scalar, rendered)
+        try:
+            return {"template_output": json.loads(rendered)}
+        except json.JSONDecodeError as exc:
+            raise ValueError(
+                f"rendered template is not valid JSON: {exc}: {rendered[:200]}"
+            ) from exc
+
+    def search_template(self, index: str, body: str | dict) -> dict:
+        """`POST /{index}/_search/template`: render (see
+        `render_template`) then execute as an ordinary search."""
+        return self.search(index, self.render_template(body)["template_output"])
+
     def validate_query(self, index: str, body: str | dict,
                        explain: bool = False) -> dict:
         """`GET /{index}/_validate/query`: parse + compile the request

@@ -884,3 +884,62 @@ def test_field_caps_types_and_patterns(engine):
     assert set(only["fields"]) == {"text", "text.keyword"}
     ev = engine.field_caps("events")["fields"]
     assert "ts" in ev and "date" in ev["ts"]
+
+
+# --- _forcemerge / search templates (round 5d) ------------------------------
+
+def test_force_merge_compacts_generation_and_preserves_ranking(
+        spark, docs_small, tmp_path_factory, oracle_small):
+    """force_merge = generation-pointer compaction: generation bumps,
+    fragmented multi-slice runs merge to one run per term, and BM25
+    ranking stays rank-identical to FTS5 across the merge."""
+    from gopensearch_spark.index import build_index
+    from gopensearch_spark.index.builder import current_generation
+
+    out = str(tmp_path_factory.mktemp("fm") / "idx")
+    build_index(spark, docs_small, out, slices=3, with_positions=False)
+    e = Engine(spark)
+    e.create_index("d", docs_small, text_field="text", index_dir=out)
+    before = e.search("d", {"query": {"match": {"text": "spark join"}}, "size": 10})
+    g0 = current_generation(out)
+
+    resp = e.force_merge("d", max_num_segments=1)
+    assert resp["_shards"]["failed"] == 0 and resp["_shards"]["successful"] == 1
+    assert current_generation(out) == g0 + 1
+
+    after = e.search("d", {"query": {"match": {"text": "spark join"}}, "size": 10})
+    key = lambda h: (h["_id"], round(h["_score"], 9))  # noqa: E731
+    assert [key(h) for h in after["hits"]["hits"]] == \
+        [key(h) for h in before["hits"]["hits"]]
+    want = oracle_small.match(["spark", "join"], k=10, mode="and")
+    assert [int(h["_id"]) for h in after["hits"]["hits"]] == [d for d, _ in want]
+
+
+def test_render_and_search_template(engine):
+    body = {
+        "source": {
+            "query": {"bool": {"filter": [
+                {"term": {"event_type": "{{etype}}"}},
+                {"terms": {"status": "{{#toJson}}codes{{/toJson}}"}},
+            ]}},
+            "size": "{{size}}",
+        },
+        "params": {"etype": "click", "codes": [200, 404], "size": 5},
+    }
+    rendered = engine.render_template(body)["template_output"]
+    assert rendered["size"] == 5
+    assert rendered["query"]["bool"]["filter"][1]["terms"]["status"] == [200, 404]
+
+    resp = engine.search_template("events", body)
+    assert len(resp["hits"]["hits"]) <= 5
+    for h in resp["hits"]["hits"]:
+        assert h["_source"]["event_type"] == "click"
+        assert h["_source"]["status"] in (200, 404)
+
+
+def test_render_template_escapes_strings(engine):
+    out = engine.render_template({
+        "source": '{"query": {"match": {"text": "{{q}}"}}}',
+        "params": {"q": 'he said "hi"\n'},
+    })["template_output"]
+    assert out["query"]["match"]["text"] == 'he said "hi"\n'
