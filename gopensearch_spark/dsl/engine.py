@@ -89,8 +89,15 @@ class Engine:
         # templates.json atomically and a fresh Engine reloads it, so
         # write-time date mappings survive a driver restart.
         self.meta_dir = meta_dir
+        # index aliases: alias -> ordered target list
+        # [{"index": str, "filter": dsl-dict|None, "is_write_index": bool}]
+        # (ES `_aliases` API; the reference has no alias layer, so the
+        # semantics here follow ES 7.17: filtered aliases inject a
+        # filter-context clause, write aliases require a unique target)
+        self.aliases: dict[str, list[dict]] = {}
         if meta_dir:
             self._load_templates()
+            self._load_aliases()
         self._last_cached: DataFrame | None = None  # agg-bearing search cache
         # document-backed indices (bulk / single-doc ingest): raw JSON
         # rows buffered driver-side, surfaced as a (doc_id, content)
@@ -227,6 +234,189 @@ class Engine:
             self._save_templates()
         return existed
 
+    # --- index aliases (ES `_aliases` surface; no reference analogue) -----
+    def _aliases_path(self) -> str:
+        return os.path.join(self.meta_dir, "aliases.json")
+
+    def _load_aliases(self) -> None:
+        path = self._aliases_path()
+        if os.path.exists(path):
+            with open(path) as f:
+                self.aliases = json.load(f)
+
+    def _save_aliases(self) -> None:
+        if not self.meta_dir:
+            return
+        os.makedirs(self.meta_dir, exist_ok=True)
+        tmp = self._aliases_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self.aliases, f)
+        os.replace(tmp, self._aliases_path())
+
+    def update_aliases(self, body: str | dict) -> dict:
+        """`POST /_aliases` atomic action list: add / remove /
+        remove_index. `add` accepts `filter` (a query DSL dict applied
+        in filter context to every read through the alias) and
+        `is_write_index`. The whole action list validates before any
+        mutation lands (ES's atomicity contract)."""
+        raw = json.loads(body) if isinstance(body, str) else body
+        actions = (raw or {}).get("actions", [])
+        staged = {a: [dict(t) for t in ts] for a, ts in self.aliases.items()}
+        removed_indices: list[str] = []
+        for act in actions:
+            if len(act) != 1:
+                raise ValueError(f"alias action must have exactly one verb: {act}")
+            (verb, spec), = act.items()
+            indices = spec.get("indices") or ([spec["index"]] if "index" in spec else [])
+            aliases = spec.get("aliases") or ([spec["alias"]] if "alias" in spec else [])
+            if verb == "add":
+                for ix in indices:
+                    if ix not in self.indices:
+                        raise KeyError(f"index_not_found_exception: {ix!r}")
+                    for al in aliases:
+                        if al in self.indices:
+                            raise ValueError(
+                                f"invalid_alias_name_exception: an index named "
+                                f"{al!r} already exists"
+                            )
+                        ts = staged.setdefault(al, [])
+                        ts[:] = [t for t in ts if t["index"] != ix]
+                        ts.append({
+                            "index": ix,
+                            "filter": spec.get("filter"),
+                            "is_write_index": bool(spec.get("is_write_index", False)),
+                        })
+            elif verb == "remove":
+                for ix in indices:
+                    for al in aliases:
+                        if al not in staged or all(
+                            t["index"] != ix for t in staged[al]
+                        ):
+                            must_exist = spec.get("must_exist", True)
+                            if must_exist:
+                                raise KeyError(
+                                    f"aliases_not_found_exception: [{al}/{ix}]"
+                                )
+                            continue
+                        staged[al] = [t for t in staged[al] if t["index"] != ix]
+                        if not staged[al]:
+                            del staged[al]
+            elif verb == "remove_index":
+                for ix in indices:
+                    if ix not in self.indices:
+                        raise KeyError(f"index_not_found_exception: {ix!r}")
+                    removed_indices.append(ix)
+            else:
+                raise ValueError(f"unknown alias action {verb!r}")
+        # commit (validation passed for every action)
+        for ix in removed_indices:
+            self.indices.pop(ix, None)
+            self._doc_rows.pop(ix, None)
+            for al in list(staged):
+                staged[al] = [t for t in staged[al] if t["index"] != ix]
+                if not staged[al]:
+                    del staged[al]
+        self.aliases = staged
+        self._save_aliases()
+        return {"acknowledged": True}
+
+    def put_alias(self, index: str, alias: str, filter: dict | None = None,
+                  is_write_index: bool = False) -> dict:
+        """`PUT /{index}/_alias/{alias}` convenience form."""
+        spec: dict = {"index": index, "alias": alias}
+        if filter is not None:
+            spec["filter"] = filter
+        if is_write_index:
+            spec["is_write_index"] = True
+        return self.update_aliases({"actions": [{"add": spec}]})
+
+    def delete_alias(self, index: str, alias: str) -> dict:
+        return self.update_aliases(
+            {"actions": [{"remove": {"index": index, "alias": alias}}]}
+        )
+
+    def get_alias(self, alias: str | None = None) -> dict:
+        """`GET /_alias` / `GET /_alias/{name}` ES shape:
+        {index: {"aliases": {alias: {filter?, is_write_index?}}}}.
+        `name` accepts a trailing-* pattern like ES."""
+        def wanted(a: str) -> bool:
+            if alias is None or alias == "*":
+                return True
+            if alias.endswith("*"):
+                return a.startswith(alias[:-1])
+            return a == alias
+        out: dict = {}
+        for a, targets in sorted(self.aliases.items()):
+            if not wanted(a):
+                continue
+            for t in targets:
+                meta: dict = {}
+                if t.get("filter") is not None:
+                    meta["filter"] = t["filter"]
+                if t.get("is_write_index"):
+                    meta["is_write_index"] = True
+                out.setdefault(t["index"], {"aliases": {}})["aliases"][a] = meta
+        if alias not in (None, "*") and not out:
+            raise KeyError(f"alias [{alias}] missing")
+        return out
+
+    def cat_aliases(self) -> str:
+        """`GET /_cat/aliases` text shape (alias<TAB>index<TAB>filter)."""
+        lines = []
+        for a, targets in sorted(self.aliases.items()):
+            for t in targets:
+                lines.append(
+                    f"{a}\t{t['index']}\t{'*' if t.get('filter') else '-'}\n"
+                )
+        return "".join(lines)
+
+    def _resolve_index(self, name: str) -> tuple[str, dict | None]:
+        """alias -> (concrete index, optional alias filter DSL).
+
+        A concrete index name always wins (ES forbids the collision at
+        alias-creation time; this makes stale persisted aliases
+        harmless). A multi-target read alias degrades to its FIRST
+        target, consistent with this engine's multi-index comma quirk
+        (search_df) — the reference's mux binds one index per request."""
+        if name in self.indices or name not in self.aliases:
+            return name, None
+        t = self.aliases[name][0]
+        return t["index"], t.get("filter")
+
+    def _resolve_write_index(self, name: str) -> str:
+        """Write-path alias resolution: a single target writes through;
+        multiple targets require exactly one `is_write_index` (ES)."""
+        if name in self.indices or name not in self.aliases:
+            return name
+        targets = self.aliases[name]
+        if len(targets) == 1:
+            return targets[0]["index"]
+        writers = [t for t in targets if t.get("is_write_index")]
+        if len(writers) == 1:
+            return writers[0]["index"]
+        raise ValueError(
+            f"no write index is defined for alias [{name}]: the alias "
+            f"points to {len(targets)} indices without a designated "
+            "write index"
+        )
+
+    def _spec(self, index: str) -> IndexSpec:
+        """Spec lookup with alias resolution (read path, filter ignored
+        — callers that honor alias filters resolve explicitly)."""
+        return self.indices[self._resolve_index(index)[0]]
+
+    @staticmethod
+    def _alias_filtered_body(body: str | dict | None, alias_filter: dict) -> dict:
+        """Inject an alias filter into a search body: the original query
+        becomes bool.must and the alias filter joins in FILTER context
+        (scoring-exempt, exactly ES's filtered-alias contract)."""
+        raw = dict(json.loads(body) if isinstance(body, str) else (body or {}))
+        bool_body: dict = {"filter": [alias_filter]}
+        if raw.get("query") is not None:
+            bool_body["must"] = [raw["query"]]
+        raw["query"] = {"bool": bool_body}
+        return raw
+
     def get_mapping(self, index: str | None = None) -> dict:
         """`GET /{index}/_mapping` (or all mappings without an index):
         the Grafana probe the reference answers from TemplateMappings
@@ -238,6 +428,7 @@ class Engine:
         mapping always agrees with search behavior."""
         if index is None:
             return {name: self.get_template(name) for name in self.templates}
+        index, _ = self._resolve_index(index)
         props: dict = {}
         patterns: list[str] = []
         for name, t in sorted(self.templates.items()):
@@ -325,6 +516,7 @@ class Engine:
         """Single-document ingest with implicit index creation (reference
         pkg/server/db.go:14-44 IndexDocument + CreateTable). Returns the
         assigned doc_id (the rowid analogue: 1-based insertion order)."""
+        index = self._resolve_write_index(index)
         if index in self.indices and index not in self._doc_rows:
             raise ValueError(
                 f"index {index!r} is DataFrame-backed; append via DataFrames"
@@ -561,6 +753,9 @@ class Engine:
             # like the reference's route capture (server.go:38: the mux
             # pattern binds {index} to the first comma segment only)
             index = index.split(",", 1)[0]
+        index, _alias_filter = self._resolve_index(index)
+        if _alias_filter is not None:
+            body = self._alias_filtered_body(body, _alias_filter)
         # release the previous search's agg cache FIRST — every exit path
         # (including the pure-match fast path below) must not leak it
         if self._last_cached is not None:
@@ -689,7 +884,7 @@ class Engine:
                             # {"_index","_id"} document ref: ONE pushdown
                             # id-scan per ref (bounded by the like list)
                             ridx = lk.get("_index", index)
-                            rspec = self.indices[ridx]
+                            rspec = self._spec(ridx)
                             rows = (
                                 rspec.df
                                 .where(F.col(rspec.id_col) == lk["_id"])
@@ -1026,7 +1221,7 @@ class Engine:
                 continue
             lk = t.lookup
             ridx = lk.get("index") or index
-            rspec = self.indices[ridx]
+            rspec = self._spec(ridx)
             rctx = CompileContext(
                 df=rspec.df, json_col=rspec.json_col, id_col=rspec.id_col)
             rows = (
@@ -1130,6 +1325,12 @@ class Engine:
         """`POST /{index}/_search` -> ES-shaped response dict."""
         t0 = time.time()
         index = index.split(",", 1)[0]  # multi-index degrades (server.go:38)
+        # resolve aliases HERE so hits report the concrete `_index`
+        # (ES's contract for reads through an alias); search_df's own
+        # resolution then no-ops
+        index, _af = self._resolve_index(index)
+        if _af is not None:
+            body = self._alias_filtered_body(body, _af)
         hits, aggs_out, d = self.search_df(index, body)
         prelimit, cached = self._last_prelimit, self._last_cached
         # take OWNERSHIP of the compile's cache handles: the next
@@ -1283,7 +1484,7 @@ class Engine:
             resolve_index_dir,
         )
 
-        spec = self.indices[index]
+        spec = self._spec(index)
         merged = 0
         for idx_dir in spec.indexed_fields().values():
             src = resolve_index_dir(idx_dir)
@@ -1405,7 +1606,7 @@ class Engine:
         like an ES default text mapping; template-mapped date fields on
         doc-backed indices report `date`. ``fields`` accepts "*", exact
         names, or trailing-* patterns."""
-        spec = self.indices[index]
+        spec = self._spec(index)
         caps: dict[str, dict] = {}
 
         def put(name: str, es_type: str, searchable: bool, aggregatable: bool):
@@ -1455,7 +1656,7 @@ class Engine:
         index bytes. Doc count is a count-only aggregate; store size
         walks the index directory (0 for purely DataFrame-backed
         indices with no built full-text index)."""
-        names = [index] if index else self.list_indices()
+        names = [self._resolve_index(index)[0]] if index else self.list_indices()
         indices = {}
         tot_docs, tot_bytes = 0, 0
         for name in names:
@@ -1599,7 +1800,7 @@ class Engine:
         from gopensearch_spark.analysis import tokenize_with_offsets
         from gopensearch_spark.search.fuzzy import term_exists, term_suggest
 
-        spec = self.indices[index]
+        spec = self._spec(index)
         out: dict = {}
         for label, s in suggest_spec.items():
             if "phrase" in s:
@@ -1667,7 +1868,7 @@ class Engine:
         import uuid
 
         raw = dict(json.loads(body) if isinstance(body, str) else (body or {}))
-        spec = self.indices[index]
+        spec = self._spec(index)
         if not raw.get("sort"):
             raw["sort"] = [{spec.id_col: "asc"}]
         else:
@@ -1743,7 +1944,7 @@ class Engine:
         """One pushdown id-scan: (raw id value row found?, text)."""
         from gopensearch_spark.dsl.compiler import _literal
 
-        spec = self.indices[index]
+        spec = self._spec(index)
         if not spec.text_field:
             raise ValueError(f"index {index!r} has no text field")
         rows = (
@@ -1761,7 +1962,7 @@ class Engine:
         from gopensearch_spark.analysis import term_positions
         from gopensearch_spark.search.readers import term_dfs
 
-        spec = self.indices[index]
+        spec = self._spec(index)
         found, text = self._fetch_doc_text(index, doc_id)
         resp = {"_index": index, "_id": str(doc_id), "found": found,
                 "term_vectors": {}}
@@ -1796,7 +1997,7 @@ class Engine:
         from gopensearch_spark.search.readers import corpus_stats, term_dfs
 
         d = model.parse_dsl(body)
-        spec = self.indices[index]
+        spec = self._spec(index)
         if not (d.query and len(d.query.match) == 1 and not d.query.bool_):
             raise ValueError("explain supports a single match query")
         (field, m), = d.query.match.items()
@@ -1884,7 +2085,7 @@ class Engine:
         from gopensearch_spark.dsl.response import shape_response
         from gopensearch_spark.search import match_expr_scores
 
-        spec = self.indices[index]
+        spec = self._spec(index)
         if not spec.index_dir:
             raise ValueError(f"index {index!r} has no full-text index")
         t0 = time.time()
@@ -1920,6 +2121,9 @@ class Engine:
         for header, body in zip(lines[::2], lines[1::2]):
             index = header.get("index") or (header.get("indices") or [None])[0]
             index = index.split(",", 1)[0]
+            index, _af = self._resolve_index(index)
+            if _af is not None:
+                body = self._alias_filtered_body(body, _af)
             t0 = time.time()
             hits, aggs_out, d = self.search_df(index, body)
             reqs.append(
