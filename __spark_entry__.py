@@ -197,6 +197,13 @@ def _engine(spark: SparkSession, sf_dir: str):
         ),
         id_col="event_id",
     )
+    # dense-vector surface for the ES 8.x `knn` section (typed
+    # array<float> column; the engine casts to double at query time)
+    e.create_index(
+        "embeddings",
+        spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")),
+        id_col="vec_id",
+    )
     _ENGINE_CACHE[key] = e
     return e
 
@@ -1593,6 +1600,42 @@ def _mm_sample_frames(spark, sf_dir):
     )
 
 
+def _dsl_knn(spark, sf_dir):
+    """ES 8.x `knn` search section through the DSL engine: exact cosine
+    top-k over the dense-vector column with an ES pre-filter
+    (label >= 3). Score = (1 + cosine) / 2, the ES dense_vector cosine
+    formulation. The query vector is a stored corpus vector (vec_id 7)
+    so Spark and the oracle derive it from the same parquet bytes; the
+    lookup is one bounded single-row collect."""
+    e = _engine(spark, sf_dir)
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 7).head()["embedding"]]
+    hits, _aggs, _d = e.search_df("embeddings", {
+        "knn": {
+            "field": "embedding",
+            "query_vector": qv,
+            "k": 8,
+            "num_candidates": 100,
+            "filter": {"range": {"label": {"gte": 3}}},
+        },
+        "size": 8,
+    })
+    return hits.select("vec_id", F.round("score", 6).alias("score"))
+
+
+def _dsl_knn_oracle() -> str:
+    return """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 7),
+sc AS (
+  SELECT vec_id,
+         (1 + list_cosine_similarity(embedding::DOUBLE[], (SELECT qv FROM q))) / 2 AS score
+  FROM embeddings WHERE label >= 3
+)
+SELECT vec_id, round(score, 6) AS score
+FROM sc ORDER BY score DESC, vec_id ASC LIMIT 8
+"""
+
+
 def _ann_cosine_topk(spark, sf_dir):
     from gopensearch_spark.datapipe import cosine_topk
 
@@ -2466,7 +2509,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_chunks": _pack_chunks,
         "mm_extract_features": _mm_extract_features,
         "dedup_decontaminate": _dedup_decontaminate,
-        "ann_cosine_topk": _ann_cosine_topk,
+        # round-5e: dsl_knn IN (genuinely NEW path: the engine's ES 8.x
+        # `knn` section — dense-vector resolve + pre-filter + ES
+        # (1+cos)/2 scoring inside search_df; no other entry exercises
+        # the DSL vector path). Displaced: ann_cosine_topk (its exact
+        # cosine ranking stays value-checked in-window through
+        # hybrid_rrf's oracle, which reproduces the full cosine top-50
+        # ordering; the shared _dot/_norm kernels are value-exact
+        # in-window via dsl_knn itself).
+        "dsl_knn": _dsl_knn,
         "hybrid_rrf": _hybrid_rrf,
         "ann_lsh_topk_valid": _ann_topk_valid("lsh"),
         "ann_ivf_topk_valid": _ann_topk_valid("ivf"),
@@ -2592,6 +2643,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # displaced by qc_repetition, the NEW sorted-array max-run
         # aggregate path)
         "dedup_embedding_cosine": _dedup_embedding_cosine,
+        # round-5e displacement: ann_cosine_topk (r4-green) — exact
+        # cosine ranking value-checked in-window via hybrid_rrf's
+        # oracle; the _dot/_norm kernels value-exact in-window via
+        # dsl_knn; stays here (with its full oracle) as a bench row and
+        # for replica runs
+        "ann_cosine_topk": _ann_cosine_topk,
         "dsl_sort_limit": _dsl_sort_limit,
         "dsl_percentiles": _dsl_percentiles,
         "qc_lang_id": _qc_lang_id,
@@ -2824,6 +2881,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dsl_dis_max": _dis_max_oracle("spark", "data", 0.4, 50),
         "dsl_function_score": _function_score_oracle("spark", 50),
+        "dsl_knn": _dsl_knn_oracle(),
         "hybrid_rrf": _hybrid_rrf_oracle(),
         "pack_chunks": """
 WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts,

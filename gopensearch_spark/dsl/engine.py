@@ -746,6 +746,64 @@ class Engine:
                 return m
         return None
 
+    def _knn_search(
+        self, index: str, d: model.Dsl
+    ) -> tuple[DataFrame, dict, model.Dsl]:
+        """ES 8.x `knn` section: exact cosine top-k over a dense-vector
+        column. One corpus scan; the per-pair math is built-in
+        zip_with/aggregate (JVM-side, codegen'd); ordering is a
+        TakeOrderedAndProject (per-partition partial top-k, driver
+        merges k rows per partition — no corpus-wide sort shuffle).
+        `knn.filter` restricts candidates BEFORE the vector math (ES
+        pre-filter semantics), so Catalyst pushes it into the scan.
+        Score = boost * (1 + cosine) / 2, the ES dense_vector cosine
+        formulation. Approximate variants (SRP-LSH, IVF) live in
+        datapipe.similarity and compose via rrf_fuse."""
+        import math
+
+        from gopensearch_spark.datapipe.similarity import _dot, _norm
+
+        kn = d.knn
+        spec, ctx, ft_specs = self._context(index)
+        base = ctx.df
+        if kn.filter is not None:
+            fpred = compile_query(ctx, kn.filter, scoring=False)
+            if ft_specs:
+                raise ValueError(
+                    "knn.filter must be relational (term/range/bool/...); "
+                    "full-text clauses are not supported as knn pre-filters"
+                )
+            base = base.where(fpred)
+        vec = ctx.resolve(kn.field).cast("array<double>")
+        qnorm = math.sqrt(sum(x * x for x in kn.query_vector)) or 1.0
+        qv = F.array(*[F.lit(float(x)) for x in kn.query_vector])
+        cos = _dot(vec, qv) / (_norm(vec) * F.lit(qnorm))
+        scored = base.withColumn(
+            "score",
+            (F.lit(1.0) + cos) / F.lit(2.0) * F.lit(float(kn.boost)),
+        )
+        top = scored.orderBy(F.desc("score"), F.asc(spec.id_col)).limit(kn.k)
+        aggs_out = {}
+        if d.aggs:
+            # ES computes aggs over the k retrieved knn hits (a bounded
+            # relation), not the whole candidate set
+            top = top.cache()
+            self._last_cached = top
+            agg_ctx = CompileContext(
+                df=top, json_col=ctx.json_col,
+                date_fields=ctx.date_fields, id_col=ctx.id_col,
+            )
+            aggs_out = compile_aggs(agg_ctx, top, d.aggs,
+                                    background=spec.df, index_spec=spec)
+        # hits.total under track_total_hits counts the knn result set
+        # (<= k), the ES contract for a knn-only search
+        self._last_prelimit = top
+        size = 10 if d.size is None else d.size
+        hits = top
+        if d.from_:
+            hits = hits.offset(d.from_)
+        return hits.limit(size), aggs_out, d
+
     def search_df(self, index: str, body: str | dict) -> tuple[DataFrame, dict, model.Dsl]:
         """Compile to DataFrames without collecting: (hits, {label: (kind, df)})."""
         if "," in index:
@@ -768,6 +826,15 @@ class Engine:
         if d.rescore is not None:
             self._resolve_terms_lookups(index, d.rescore.query)
         track = d.track_total_hits if d.track_total_hits is not None else self.track_total_hits
+
+        if d.knn is not None:
+            if d.query is not None:
+                raise ValueError(
+                    "knn cannot be combined with a query section; fuse the "
+                    "two rankings externally (datapipe.rrf_fuse) or move the "
+                    "restriction into knn.filter"
+                )
+            return self._knn_search(index, d)
 
         needs_general = bool(
             d.collapse or d.rescore or d.script_fields or d.runtime_mappings

@@ -613,6 +613,24 @@ class Rescore:
 
 
 @dataclass
+class Knn:
+    """ES 8.x top-level `knn` search section: exact cosine top-k over a
+    dense-vector column. `num_candidates` is accepted for API parity
+    but has no effect — this engine's in-DSL path is exact brute-force
+    (one corpus scan, partial top-k per partition via
+    TakeOrderedAndProject, no corpus-wide sort shuffle); the
+    approximate scale paths live in datapipe.similarity (SRP-LSH /
+    IVF) and compose with the DSL via rrf_fuse. `filter` restricts the
+    candidate set BEFORE the vector scan (ES pre-filter semantics)."""
+    field: str
+    query_vector: list[float]
+    k: int = 10
+    num_candidates: int = 100
+    filter: "Query | None" = None
+    boost: float = 1.0
+
+
+@dataclass
 class Dsl:
     query: Query | None = None
     size: int | None = None  # None -> default 10 at limit time (sql.go:326-332)
@@ -655,6 +673,10 @@ class Dsl:
     # ES `min_score`: drop hits scoring below the threshold (applies
     # before aggregations, the ES contract)
     min_score: float | None = None
+    # ES 8.x `knn` section: exact cosine top-k over a dense-vector
+    # column (pre-filter supported; approximate variants live in
+    # datapipe.similarity)
+    knn: Knn | None = None
 
 
 def _parse_match(raw: dict) -> dict[str, Match]:
@@ -1198,6 +1220,20 @@ def parse_dsl(body: str | dict) -> Dsl:
         d.suggest = dict(raw["suggest"])
     if raw.get("collapse") is not None:
         d.collapse = Collapse(field=str(raw["collapse"]["field"]))
+    if raw.get("knn") is not None:
+        kn = raw["knn"]
+        if isinstance(kn, list):
+            if len(kn) != 1:
+                raise ValueError("only a single knn section is supported")
+            kn = kn[0]
+        d.knn = Knn(
+            field=str(kn["field"]),
+            query_vector=[float(x) for x in kn["query_vector"]],
+            k=int(kn.get("k", 10)),
+            num_candidates=int(kn.get("num_candidates", 100)),
+            filter=_parse_query(kn["filter"]) if kn.get("filter") else None,
+            boost=float(kn.get("boost", 1.0)),
+        )
     if raw.get("rescore") is not None:
         rs = raw["rescore"]
         if isinstance(rs, list):
