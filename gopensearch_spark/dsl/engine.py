@@ -579,6 +579,134 @@ class Engine:
             self._rebuild_doc_index(idx)
         return {"took": 1, "errors": False, "items": items}
 
+    # --- document management (_delete_by_query etc.) ----------------------
+    def _matching_relation(
+        self, index: str, query: dict | None
+    ) -> tuple[str, "IndexSpec", DataFrame]:
+        """Full matching relation for the mutation APIs. The query runs
+        through the SAME compile path as `_search` (full-text clauses
+        included) but wrapped in bool.filter context — no scoring work,
+        and the un-limited relation stays a lazy DataFrame (nothing is
+        collected here). Returns (resolved index, spec, hits)."""
+        resolved, _af = self._resolve_index(index)
+        spec = self.indices[resolved]
+        q = {"bool": {"filter": [query]}} if query else {"match_all": {}}
+        hits, _aggs, _d = self.search_df(index, {"query": q, "size": (1 << 30)})
+        return resolved, spec, hits
+
+    def delete_by_query(self, index: str, body: str | dict | None = None) -> dict:
+        """`POST /{index}/_delete_by_query`. DataFrame-backed indices
+        delete via a left_anti join on the id relation (distributed —
+        the deletion set never reaches the driver); doc-backed indices
+        filter their driver-resident row list. Like ES before a merge,
+        the on-disk inverted index is untouched: deleted docs drop out
+        of every hit set through the doc join, while corpus-level df/
+        avgdl stats reflect the pre-delete corpus until a rebuild."""
+        import dataclasses
+
+        raw = json.loads(body) if isinstance(body, str) else (body or {})
+        resolved, spec, hits = self._matching_relation(index, raw.get("query"))
+        ids = hits.select(spec.id_col).distinct()
+        if resolved in self._doc_rows:
+            idset = {r[0] for r in ids.collect()}
+            self._doc_rows[resolved] = [
+                r for r in self._doc_rows[resolved] if r[0] not in idset
+            ]
+            self._rebuild_doc_index(resolved)
+            n = len(idset)
+        else:
+            n = ids.count()
+            self.indices[resolved] = dataclasses.replace(
+                spec, df=spec.df.join(ids, on=spec.id_col, how="left_anti")
+            )
+        return {"took": 1, "total": n, "deleted": n, "failures": []}
+
+    _UPDATE_SCRIPT = re.compile(
+        r"\s*ctx\._source\.([A-Za-z_][\w]*)\s*=\s*(.+?);?\s*$", re.S
+    )
+
+    def update_by_query(self, index: str, body: str | dict) -> dict:
+        """`POST /{index}/_update_by_query` with a painless-subset
+        script `ctx._source.field = <expr>` where <expr> is doc-value
+        arithmetic (`doc['f'].value` or `ctx._source.f` references).
+        The assignment compiles to ONE Catalyst when/otherwise
+        projection gated on the match-id relation — row-local, no
+        Python in the data path, numeric targets stored as double.
+        DataFrame-backed indices only (doc-backed sources carry opaque
+        JSON strings; reindex them into a typed relation first)."""
+        raw = json.loads(body) if isinstance(body, str) else body
+        script = raw.get("script", "")
+        if isinstance(script, dict):
+            script = script.get("source", "")
+        m = self._UPDATE_SCRIPT.match(str(script))
+        if not m:
+            raise ValueError(
+                "update_by_query script must be of the form "
+                "'ctx._source.field = <doc-value expression>'"
+            )
+        target, rhs = m.group(1), m.group(2)
+        rhs = re.sub(r"ctx\._source\.([A-Za-z_][\w]*)", r"doc['\1'].value", rhs)
+        resolved, spec, hits = self._matching_relation(index, raw.get("query"))
+        if resolved in self._doc_rows:
+            raise ValueError(
+                "update_by_query requires a DataFrame-backed index"
+            )
+        import dataclasses
+
+        from gopensearch_spark.dsl.compiler import eval_doc_script
+
+        _, ctx, _ = self._context(resolved)
+        expr = eval_doc_script(rhs, ctx.resolve)
+        n = hits.count()
+        marker = hits.select(spec.id_col).distinct().withColumn(
+            "__upd", F.lit(True)
+        )
+        old = (
+            F.col(target).cast("double")
+            if target in spec.df.columns
+            else F.lit(None).cast("double")
+        )
+        new_df = (
+            spec.df.join(marker, on=spec.id_col, how="left")
+            .withColumn(target, F.when(F.col("__upd"), expr).otherwise(old))
+            .drop("__upd")
+        )
+        self.indices[resolved] = dataclasses.replace(spec, df=new_df)
+        return {"took": 1, "total": n, "updated": n, "failures": []}
+
+    def reindex(self, body: str | dict) -> dict:
+        """`POST /_reindex`: copy (optionally query-filtered) documents
+        from source.index into dest.index. DataFrame-backed sources
+        register the filtered relation as the destination (zero data
+        movement — the copy is a lazy plan; dest carries the source's
+        json/date metadata but NOT its inverted index, exactly like an
+        ES reindex which leaves dest unanalyzed until reindexing its
+        own mappings). Doc-backed sources copy their matching rows,
+        preserving ids. The destination must not already exist."""
+        import dataclasses
+
+        raw = json.loads(body) if isinstance(body, str) else body
+        src = raw["source"]
+        dest = raw["dest"]["index"]
+        if dest in self.indices or dest in self._doc_rows:
+            raise ValueError(f"reindex destination {dest!r} already exists")
+        resolved, spec, hits = self._matching_relation(
+            str(src["index"]), src.get("query")
+        )
+        if resolved in self._doc_rows:
+            keep = {r[0] for r in hits.select(spec.id_col).collect()}
+            self._doc_rows[dest] = [
+                r for r in self._doc_rows[resolved] if r[0] in keep
+            ]
+            self._rebuild_doc_index(dest)
+            return {"took": 1, "created": len(keep), "failures": []}
+        out = hits.select(*spec.df.columns)  # drop any scoring column
+        self.indices[dest] = dataclasses.replace(
+            spec, df=out, index_dir=None, text_field=None,
+            extra_text_fields={},
+        )
+        return {"took": 1, "created": out.count(), "failures": []}
+
     # --- search ----------------------------------------------------------
     def _context(self, index: str) -> tuple[IndexSpec, CompileContext, list]:
         spec = self.indices[index]
