@@ -1040,6 +1040,39 @@ def _dsl_constant_score(spark, sf_dir):
     return hits.select("event_id", "score")
 
 
+def _dsl_rank_feature(spark, sf_dir):
+    """rank_feature (saturation) + distance_feature in one bool should:
+    the Column-valued "const" scoring entries (pure Catalyst arithmetic,
+    no posting relation) added over a filter-context membership."""
+    body = {
+        "query": {"bool": {
+            "filter": [{"term": {"event_type": "error"}}],
+            "should": [
+                {"rank_feature": {"field": "value", "boost": 2.0,
+                                  "saturation": {"pivot": 100.0}}},
+                {"distance_feature": {"field": "value", "origin": 200,
+                                      "pivot": 10, "boost": 3.0}},
+            ],
+        }},
+        "size": 25,
+    }
+    hits, _, _ = _engine(spark, sf_dir).search_df("events", body)
+    return hits.select("event_id", F.round("score", 9).alias("score"))
+
+
+_DSL_RANK_FEATURE_ORACLE = """
+WITH sc AS (
+  SELECT event_id,
+         (value / (value + 100.0)) * 2.0
+         + (3.0 * 10.0) / (10.0 + abs(value - 200.0)) AS s
+  FROM events
+  WHERE event_type = 'error' AND value IS NOT NULL
+)
+SELECT event_id, round(s, 9) AS score
+FROM sc ORDER BY s DESC, event_id ASC LIMIT 25
+"""
+
+
 def _dsl_dis_max(spark, sf_dir):
     """dis_max over two match branches: per-doc score = best branch +
     tie_breaker x the other matched branch, rank order on the exact
@@ -2691,6 +2724,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   (in-window dsl_bool_must_filter) + spec-score combine family
         #   (in-window dsl_function_score, dsl_dis_max)
         "dsl_constant_score": _dsl_constant_score,
+        # round-5e tail: rank_feature + distance_feature (Column-valued
+        # const scoring entries) — value-exact oracle, replica-verified;
+        # the const gating machinery itself is in-window via
+        # dsl_function_score's gated combine and the literal-const arm
+        # is covered by pytest (tests/test_feature_queries.py)
+        "dsl_rank_feature": _dsl_rank_feature,
         # - dsl_composite_agg: cursor predicate = in-window
         #   dsl_search_after's tuple_after machinery; the bucket walk =
         #   in-window dsl_terms_agg/dsl_subagg groupBy
@@ -2882,6 +2921,7 @@ def oracle_sql() -> dict[str, str]:
         "dsl_dis_max": _dis_max_oracle("spark", "data", 0.4, 50),
         "dsl_function_score": _function_score_oracle("spark", 50),
         "dsl_knn": _dsl_knn_oracle(),
+        "dsl_rank_feature": _DSL_RANK_FEATURE_ORACLE,
         "hybrid_rrf": _hybrid_rrf_oracle(),
         "pack_chunks": """
 WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts,

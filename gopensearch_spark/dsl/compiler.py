@@ -561,6 +561,42 @@ def compile_query(ctx: CompileContext, q: model.Query | None, scoring: bool = Tr
                 None, (inner, q.constant_score.boost), "const", scoring
             )
         preds.append(inner)
+    if q.rank_feature is not None:
+        # score-only clause: membership = feature present; the score
+        # expression (pure Catalyst arithmetic over the column) rides a
+        # "const" scoring entry exactly like constant_score, just with
+        # a Column instead of a literal.
+        rf = q.rank_feature
+        col = ctx.resolve(rf.field).cast("double")
+        pred = col.isNotNull()
+        if scoring and ctx.fulltext_predicate is not None:
+            if rf.log_scaling is not None:
+                s = F.log(F.lit(rf.log_scaling) + col)
+            elif rf.sigmoid_pivot is not None:
+                xe = F.pow(col, F.lit(rf.sigmoid_exponent))
+                s = xe / (xe + F.lit(rf.sigmoid_pivot ** rf.sigmoid_exponent))
+            else:
+                if rf.saturation_pivot is None:
+                    raise ValueError(
+                        "rank_feature saturation requires an explicit pivot "
+                        "(this engine does not derive the index-statistics "
+                        "default)"
+                    )
+                s = col / (col + F.lit(rf.saturation_pivot))
+            ctx.fulltext_predicate(
+                None, (pred, s * F.lit(rf.boost)), "const", scoring
+            )
+        preds.append(pred)
+    if q.distance_feature is not None:
+        dfq = q.distance_feature
+        col = ctx.resolve(dfq.field).cast("double")
+        pred = col.isNotNull()
+        if scoring and ctx.fulltext_predicate is not None:
+            s = F.lit(dfq.boost) * F.lit(dfq.pivot) / (
+                F.lit(dfq.pivot) + F.abs(col - F.lit(dfq.origin))
+            )
+            ctx.fulltext_predicate(None, (pred, s), "const", scoring)
+        preds.append(pred)
     if q.function_score is not None:
         fs = q.function_score
         if ctx.fulltext_predicate is not None:

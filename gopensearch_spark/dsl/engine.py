@@ -719,7 +719,11 @@ class Engine:
                 # literal gated on the (already compiled) inner predicate
                 if scoring:
                     pred, boost = m
-                    ft_specs.append(("const", (pred, float(boost)), "", True, 0, 1.0))
+                    # boost is a literal float (constant_score) or a
+                    # Catalyst Column (rank_feature/distance_feature)
+                    if not isinstance(boost, Column):
+                        boost = float(boost)
+                    ft_specs.append(("const", (pred, boost), "", True, 0, 1.0))
                 return None  # compiler already has the predicate
             if kind == "fnscore":
                 # compile the inner query, remember which clause entries
@@ -1164,7 +1168,8 @@ class Engine:
                 kind = sp[0]
                 if kind == "const":
                     cpred, boost = sp[1]
-                    return F.when(cpred, F.lit(boost)).otherwise(F.lit(0.0))
+                    bexpr = boost if isinstance(boost, Column) else F.lit(boost)
+                    return F.when(cpred, bexpr).otherwise(F.lit(0.0))
                 if kind == "fnscore":
                     fs, ipred, idxs = sp[1]
                     if idxs:

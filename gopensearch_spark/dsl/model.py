@@ -19,6 +19,7 @@ pkg/dsl/agg.go:3-39). Normalization rules reproduced:
 from __future__ import annotations
 
 import json
+import re
 from dataclasses import dataclass, field
 
 
@@ -264,6 +265,37 @@ class Query:
     more_like_this: Mlt | None = None
     boosting: Boosting | None = None
     span_near: SpanNear | None = None
+    rank_feature: "RankFeature | None" = None
+    distance_feature: "DistanceFeature | None" = None
+
+
+@dataclass
+class RankFeature:
+    """ES `rank_feature`: matches docs that HAVE the feature field;
+    score = boost * f(value). Functions: saturation (default,
+    x/(x+pivot); an explicit pivot is required — this engine does not
+    derive ES's index-statistics default), log (ln(scaling+x)),
+    sigmoid (x^e/(x^e+pivot^e)). Pure Catalyst arithmetic — the score
+    rides a "const"-style scoring entry, no posting-list relation."""
+    field: str
+    boost: float = 1.0
+    saturation_pivot: float | None = None
+    log_scaling: float | None = None
+    sigmoid_pivot: float | None = None
+    sigmoid_exponent: float = 1.0
+
+
+@dataclass
+class DistanceFeature:
+    """ES `distance_feature`: matches docs that HAVE the field;
+    score = boost * pivot / (pivot + |value - origin|). Numeric
+    columns (dates as epoch millis); origin accepts a number or an
+    RFC3339 UTC string, pivot a number or a duration string
+    ("500ms"/"30s"/"5m"/"2h"/"7d")."""
+    field: str
+    origin: float = 0.0
+    pivot: float = 1.0
+    boost: float = 1.0
 
 
 @dataclass
@@ -730,8 +762,34 @@ KNOWN_QUERY_CLAUSES = frozenset({
     "match_phrase_prefix", "prefix", "fuzzy", "regexp", "ids", "span_term",
     "span_near", "boosting", "more_like_this", "constant_score",
     "function_score", "dis_max", "nested", "term", "range", "bool",
-    "query_string", "multi_match",
+    "query_string", "multi_match", "match_bool_prefix", "rank_feature",
+    "distance_feature",
 })
+
+
+_DURATION_MS = {"ms": 1, "s": 1000, "m": 60_000, "h": 3_600_000,
+                "d": 86_400_000}
+
+
+def _time_scalar(v, what: str) -> float:
+    """Number, RFC3339 UTC string, or duration string -> a numeric
+    scalar (epoch/duration millis for the string forms)."""
+    if isinstance(v, (int, float)) and not isinstance(v, bool):
+        return float(v)
+    s = str(v)
+    m = re.fullmatch(r"(\d+(?:\.\d+)?)(ms|s|m|h|d)", s)
+    if m:
+        return float(m.group(1)) * _DURATION_MS[m.group(2)]
+    try:
+        from datetime import datetime, timezone
+
+        return (
+            datetime.strptime(s, "%Y-%m-%dT%H:%M:%SZ")
+            .replace(tzinfo=timezone.utc)
+            .timestamp() * 1000
+        )
+    except ValueError:
+        raise ValueError(f"unparseable {what}: {v!r}") from None
 
 
 def unknown_query_clauses(raw: dict, path: str = "query") -> list[str]:
@@ -798,6 +856,44 @@ def _parse_query(raw: dict) -> Query:
         q.match_phrase = _parse_match(raw["match_phrase"])
     if "match_phrase_prefix" in raw:
         q.match_phrase_prefix = _parse_match(raw["match_phrase_prefix"])
+    if "match_bool_prefix" in raw:
+        # ES match_bool_prefix decomposes at parse time into its
+        # documented bool equivalent: should(match t1, ..., match tn-1,
+        # prefix tn), minimum_should_match 1. Scoring is this engine's
+        # native FTS5-pinned term/prefix scoring (ES uses Lucene's).
+        fld, v = next(iter(raw["match_bool_prefix"].items()))
+        text = v["query"] if isinstance(v, dict) else str(v)
+        toks = str(text).split()
+        if not toks:
+            raise ValueError("match_bool_prefix requires a non-empty query")
+        subs = [Query(match={fld: Match(query=t)}) for t in toks[:-1]]
+        subs.append(Query(prefix={fld: Term(value=toks[-1])}))
+        q.bool_ = Bool(should=subs, minimum_should_match=1)
+    if "rank_feature" in raw:
+        rf = raw["rank_feature"]
+        sat = rf.get("saturation") or {}
+        logf = rf.get("log") or {}
+        sig = rf.get("sigmoid") or {}
+        q.rank_feature = RankFeature(
+            field=str(rf["field"]),
+            boost=float(rf.get("boost", 1.0)),
+            saturation_pivot=(
+                float(sat["pivot"]) if "pivot" in sat else None
+            ),
+            log_scaling=(
+                float(logf["scaling_factor"]) if logf else None
+            ),
+            sigmoid_pivot=float(sig["pivot"]) if sig else None,
+            sigmoid_exponent=float(sig.get("exponent", 1.0)),
+        )
+    if "distance_feature" in raw:
+        dfq = raw["distance_feature"]
+        q.distance_feature = DistanceFeature(
+            field=str(dfq["field"]),
+            origin=_time_scalar(dfq["origin"], "distance_feature origin"),
+            pivot=_time_scalar(dfq["pivot"], "distance_feature pivot"),
+            boost=float(dfq.get("boost", 1.0)),
+        )
     if "prefix" in raw:
         q.prefix = _parse_term(raw["prefix"])
     if "fuzzy" in raw:
