@@ -109,6 +109,8 @@ class Engine:
         self._doc_rows: dict[str, list[tuple[int, str]]] = {}
         # live scroll cursors: scroll_id -> {index, body, after}
         self._scrolls: dict[str, dict] = {}
+        # percolator registry: index -> {query_id: raw query dict}
+        self._percolators: dict[str, dict[str, dict]] = {}
 
     # --- catalog ---------------------------------------------------------
     def create_index(self, name: str, df: DataFrame | None = None, **kw) -> None:
@@ -706,6 +708,97 @@ class Engine:
             extra_text_fields={},
         )
         return {"took": 1, "created": out.count(), "failures": []}
+
+    # --- percolation (reverse search) --------------------------------------
+    def register_percolator(self, index: str, query_id, query: dict) -> None:
+        """Store a percolator query under `index` (ES stores these as
+        documents with a `query`-mapped field; this engine keeps the
+        raw clause dict in a registry — parse/validation happens here
+        so a bad query fails at registration, not at percolate time)."""
+        model.parse_dsl({"query": query})  # validate eagerly
+        self._percolators.setdefault(index, {})[str(query_id)] = query
+
+    def percolate(
+        self, index: str, docs: dict | list[dict] | DataFrame
+    ) -> list[dict]:
+        """Reverse search (ES `percolate` query): which stored queries
+        match each candidate document. ALL stored queries evaluate in
+        ONE Catalyst projection — per query a boolean expression over
+        the doc relation, folded into an array_compact of matched ids —
+        so percolating a 10^9-doc stream against 10^4 stored queries is
+        one scan with N row-local expressions, never N passes.
+
+        Full-text `match` clauses evaluate as analyzed-term containment
+        (the index analyzer's tokens via the same Arrow tokenizer as
+        the index build; AND/OR per the clause operator) — matching
+        semantics only, no scores, exactly ES percolation. Returns
+        [{"_id"?: ..., "matched_queries": [qid, ...]}] in input order
+        for dict input; for a DataFrame input returns the collected
+        (id-cols..., matched_queries) rows."""
+        stored = self._percolators.get(index, {})
+        if not stored:
+            return []
+        if isinstance(docs, DataFrame):
+            df = docs
+            keep_cols = df.columns
+        else:
+            import pandas as pd
+
+            rows = [docs] if isinstance(docs, dict) else list(docs)
+            df = self.spark.createDataFrame(pd.DataFrame(rows))
+            keep_cols = list(df.columns)
+        df = df.withColumn("__row_id", F.monotonically_increasing_id())
+
+        # tokenize every text field any match clause targets, ONCE per doc
+        from gopensearch_spark.analysis import normalize_query_terms, tokens_udf
+
+        match_fields: set[str] = set()
+
+        def scan(q: dict) -> None:
+            for k, v in q.items():
+                if k == "match" and isinstance(v, dict):
+                    match_fields.update(strip_keyword(f) for f in v)
+                elif k == "bool" and isinstance(v, dict):
+                    for occ in ("must", "should", "filter", "must_not"):
+                        sub = v.get(occ) or []
+                        for s in (sub if isinstance(sub, list) else [sub]):
+                            if isinstance(s, dict):
+                                scan(s)
+
+        for q in stored.values():
+            scan(q)
+        tok_cols = {}
+        for f in match_fields:
+            if f in df.columns and dict(df.dtypes).get(f) == "string":
+                tok_cols[f] = f"__tok_{f}"
+                df = df.withColumn(f"__tok_{f}", tokens_udf(F.col(f)))
+
+        def fulltext(field: str, m, kind: str = "match", scoring: bool = True):
+            if kind != "match" or field not in tok_cols:
+                return None  # fall through to the relational compile
+            terms = normalize_query_terms(m.query)
+            parts = [F.array_contains(F.col(tok_cols[field]), t) for t in terms]
+            out = parts[0]
+            for p in parts[1:]:
+                out = out & p if m.operator.upper() == "AND" else out | p
+            return out
+
+        ctx = CompileContext(df=df, fulltext_predicate=fulltext)
+        flags = []
+        for qid, raw in stored.items():
+            q = model.parse_dsl({"query": raw}).query
+            pred = compile_query(ctx, q, scoring=False)
+            flags.append(F.when(F.coalesce(pred, F.lit(False)), F.lit(qid)))
+        matched = F.array_compact(F.array(*flags)).alias("matched_queries")
+        out_rows = (
+            df.select("__row_id", *keep_cols, matched)
+            .orderBy("__row_id")
+            .collect()
+        )
+        return [
+            {**{c: r[c] for c in keep_cols}, "matched_queries": list(r["matched_queries"])}
+            for r in out_rows
+        ]
 
     # --- search ----------------------------------------------------------
     def _context(self, index: str) -> tuple[IndexSpec, CompileContext, list]:
