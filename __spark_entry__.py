@@ -1040,6 +1040,36 @@ def _dsl_constant_score(spark, sf_dir):
     return hits.select("event_id", "score")
 
 
+def _dsl_vw_histogram(spark, sf_dir):
+    """variable_width_histogram (deterministic equi-depth
+    reinterpretation): exact quantile boundaries + row-local
+    assignment; buckets carry min/key(centroid)/max/doc_count."""
+    body = {"size": 0, "aggs": {"vw": {
+        "variable_width_histogram": {"field": "value", "buckets": 5}}}}
+    _, aggs, _ = _engine(spark, sf_dir).search_df("events", body)
+    _kind, df = aggs["vw"]
+    return df.select(
+        F.round("min", 6).alias("min"), F.round("key", 6).alias("key"),
+        F.round("max", 6).alias("max"), "doc_count",
+    )
+
+
+_DSL_VW_HISTOGRAM_ORACLE = """
+WITH v AS (SELECT value FROM events WHERE value IS NOT NULL),
+b AS (SELECT quantile_cont(value, 0.2) q1, quantile_cont(value, 0.4) q2,
+             quantile_cont(value, 0.6) q3, quantile_cont(value, 0.8) q4 FROM v),
+a AS (SELECT value,
+    (CASE WHEN value > b.q1 THEN 1 ELSE 0 END
+   + CASE WHEN value > b.q2 THEN 1 ELSE 0 END
+   + CASE WHEN value > b.q3 THEN 1 ELSE 0 END
+   + CASE WHEN value > b.q4 THEN 1 ELSE 0 END) AS bid
+  FROM v CROSS JOIN b)
+SELECT round(min(value), 6) AS min, round(avg(value), 6) AS key,
+       round(max(value), 6) AS max, count(*) AS doc_count
+FROM a GROUP BY bid ORDER BY bid
+"""
+
+
 def _dsl_rank_feature(spark, sf_dir):
     """rank_feature (saturation) + distance_feature in one bool should:
     the Column-valued "const" scoring entries (pure Catalyst arithmetic,
@@ -2730,6 +2760,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dsl_function_score's gated combine and the literal-const arm
         # is covered by pytest (tests/test_feature_queries.py)
         "dsl_rank_feature": _dsl_rank_feature,
+        # round-5e tail: variable_width_histogram (deterministic
+        # equi-depth construction) — value-exact quantile oracle,
+        # replica-verified
+        "dsl_vw_histogram": _dsl_vw_histogram,
         # - dsl_composite_agg: cursor predicate = in-window
         #   dsl_search_after's tuple_after machinery; the bucket walk =
         #   in-window dsl_terms_agg/dsl_subagg groupBy
@@ -2922,6 +2956,7 @@ def oracle_sql() -> dict[str, str]:
         "dsl_function_score": _function_score_oracle("spark", 50),
         "dsl_knn": _dsl_knn_oracle(),
         "dsl_rank_feature": _DSL_RANK_FEATURE_ORACLE,
+        "dsl_vw_histogram": _DSL_VW_HISTOGRAM_ORACLE,
         "hybrid_rrf": _hybrid_rrf_oracle(),
         "pack_chunks": """
 WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts,

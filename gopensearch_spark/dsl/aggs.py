@@ -706,6 +706,44 @@ def compile_agg(
             if any(s.bucket_sort is not None for s in pipe_subs.values()):
                 return "buckets", out
         return "buckets", out.orderBy(F.asc("key"))
+    if agg.variable_width_histogram is not None:
+        vw = agg.variable_width_histogram
+        col = ctx.resolve(vw.field).cast("double")
+        n = max(1, int(vw.buckets))
+        # Deterministic equi-depth reinterpretation of ES's best-effort
+        # clustering (see model.VariableWidthHistogram): exact
+        # interpolated quantile boundaries — ONE aggregate whose result
+        # is request-sized (n-1 scalars), never a global sort window —
+        # then a row-local boundary-count assignment and one groupBy.
+        vals = filtered.select(col.alias("__v")).where(F.col("__v").isNotNull())
+        row = vals.agg(
+            *[F.percentile("__v", i / n).alias(f"b{i}") for i in range(1, n)]
+        ).head()
+        bounds = sorted({row[f"b{i}"] for i in range(1, n)}) if (
+            row is not None and (n == 1 or row["b1"] is not None)
+        ) else []
+        if row is None or (n > 1 and row["b1"] is None):
+            # empty candidate set -> zero buckets (ES shape)
+            empty = filtered.sparkSession.createDataFrame(
+                [], "min double, key double, max double, doc_count long"
+            )
+            return "buckets", empty
+        bid = F.lit(0)
+        for bd in bounds:
+            bid = bid + F.when(col > F.lit(float(bd)), 1).otherwise(0)
+        out = (
+            filtered.where(col.isNotNull())
+            .groupBy(bid.alias("__b"))
+            .agg(
+                F.min(col).alias("min"),
+                F.avg(col).alias("key"),
+                F.max(col).alias("max"),
+                F.count("*").alias("doc_count"),
+            )
+            .orderBy(F.asc("__b"))
+            .select("min", "key", "max", "doc_count")
+        )
+        return "vw_buckets", out
     if agg.range is not None:
         r = agg.range
         col = ctx.resolve(r.field).cast("double")

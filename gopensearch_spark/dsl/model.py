@@ -328,6 +328,21 @@ class MultiTerms:
 
 
 @dataclass
+class VariableWidthHistogram:
+    """ES `variable_width_histogram`: at most `buckets` variable-width
+    buckets, each reporting min/key(=centroid)/max/doc_count. ES's
+    collector is best-effort online clustering (shard-order dependent,
+    explicitly non-deterministic); this engine substitutes a
+    DETERMINISTIC equi-depth construction — exact interpolated
+    quantile boundaries (one aggregate, request-sized result) and a
+    row-local boundary-count assignment — which keeps the contract
+    (≤ buckets, ordered, centroid keys) while being reproducible and
+    oracle-checkable. Documented divergence."""
+    field: str
+    buckets: int = 10
+
+
+@dataclass
 class AutoDateHistogram:
     """ES `auto_date_histogram`: pick the smallest interval from the ES
     rounding ladder such that the bucketed span fits in `buckets`
@@ -575,6 +590,7 @@ class Aggregate:
     composite: CompositeAgg | None = None
     date_histogram: DateHistogram | None = None
     histogram: Histogram | None = None
+    variable_width_histogram: "VariableWidthHistogram | None" = None
     avg: AggField | None = None
     max: AggField | None = None
     # ES-correct extensions beyond the reference's avg/max
@@ -763,7 +779,7 @@ KNOWN_QUERY_CLAUSES = frozenset({
     "span_near", "boosting", "more_like_this", "constant_score",
     "function_score", "dis_max", "nested", "term", "range", "bool",
     "query_string", "multi_match", "match_bool_prefix", "rank_feature",
-    "distance_feature",
+    "distance_feature", "intervals",
 })
 
 
@@ -928,6 +944,34 @@ def _parse_query(raw: dict) -> Query:
         (f, v), = raw["span_term"].items()
         val = v.get("value") if isinstance(v, dict) else v
         q.match[f] = Match(query=str(val))
+    if "intervals" in raw:
+        # ES `intervals` query, the match-rule subset: {"intervals":
+        # {field: {"match": {"query": "...", "max_gaps": g, "ordered":
+        # o}}}}. An intervals match rule IS a span-proximity constraint,
+        # so it parses straight onto the span_near model (same
+        # positional-index kernel; ES default max_gaps=-1/unordered is
+        # narrowed to explicit gaps — this engine requires a bounded
+        # window, matching its FTS5-pinned NEAR semantics).
+        (fld, spec), = raw["intervals"].items()
+        if "match" not in spec:
+            raise ValueError(
+                "only the intervals `match` rule is supported "
+                "(all_of/any_of/prefix rules are not)"
+            )
+        mr = spec["match"]
+        toks = str(mr.get("query", "")).split()
+        if not toks:
+            raise ValueError("intervals match requires a non-empty query")
+        gaps = int(mr.get("max_gaps", 0))
+        if gaps < 0:
+            raise ValueError(
+                "intervals max_gaps must be >= 0 (this engine requires a "
+                "bounded proximity window)"
+            )
+        q.span_near = SpanNear(
+            field=fld, terms=toks, slop=gaps,
+            in_order=bool(mr.get("ordered", False)),
+        )
     if "span_near" in raw:
         sn = raw["span_near"]
         fields, terms = [], []
@@ -1181,6 +1225,11 @@ def _parse_agg(raw: dict) -> Aggregate:
     if "date_range" in raw:
         r = raw["date_range"]
         a.date_range = RangeAgg(field=r["field"], ranges=list(r.get("ranges", [])))
+    if "variable_width_histogram" in raw:
+        v = raw["variable_width_histogram"]
+        a.variable_width_histogram = VariableWidthHistogram(
+            field=str(v["field"]), buckets=int(v.get("buckets", 10))
+        )
     if "rare_terms" in raw:
         r = raw["rare_terms"]
         a.rare_terms = RareTerms(

@@ -81,6 +81,18 @@ def _shape_agg(kind: str, rws) -> dict:
         if buckets:
             out["after_key"] = buckets[-1]["key"]
         return out
+    elif kind == "vw_buckets":
+        # variable_width_histogram: each bucket carries its own
+        # min/key(centroid)/max alongside doc_count (ES bucket shape)
+        return {"buckets": [
+            {
+                "min": _json_safe(r["min"]),
+                "key": _json_safe(r["key"]),
+                "max": _json_safe(r["max"]),
+                "doc_count": int(r["doc_count"]),
+            }
+            for r in rws
+        ]}
     elif kind == "extended_stats":
         if rws:
             r0 = rws[0].asDict()
