@@ -783,6 +783,59 @@ def compile_agg(
             .select("kv.key", "kv.doc_count")
         )
         return "buckets", out
+    if agg.ip_range is not None:
+        r = agg.ip_range
+        # dotted-quad string -> uint32 in ONE row-local projection
+        # (whole-stage codegen; no UDF), then the same single
+        # conditional-count pass + request-sized unpivot as `range`.
+        parts = F.split(ctx.resolve(r.field), r"\.")
+        col = (
+            parts.getItem(0).cast("long") * F.lit(16777216)
+            + parts.getItem(1).cast("long") * F.lit(65536)
+            + parts.getItem(2).cast("long") * F.lit(256)
+            + parts.getItem(3).cast("long")
+        )
+
+        def _ip2int(s: str) -> int:
+            a, b, c, d = (int(x) for x in str(s).split("."))
+            return (a << 24) | (b << 16) | (c << 8) | d
+
+        cnts, pairs = [], []
+        for i, rg in enumerate(r.ranges):
+            if "mask" in rg:
+                base, bits = str(rg["mask"]).split("/")
+                width = 32 - int(bits)
+                lo = _ip2int(base) & (~((1 << width) - 1) & 0xFFFFFFFF)
+                hi = lo + (1 << width)
+                key = rg.get("key") or str(rg["mask"])
+            else:
+                lo = _ip2int(rg["from"]) if rg.get("from") else None
+                hi = _ip2int(rg["to"]) if rg.get("to") else None
+                key = rg.get("key") or "{}-{}".format(
+                    rg.get("from") or "*", rg.get("to") or "*"
+                )
+            cond = col.isNotNull()
+            if lo is not None:
+                cond = cond & (col >= F.lit(lo))
+            if hi is not None:
+                cond = cond & (col < F.lit(hi))
+            cnts.append(
+                F.coalesce(
+                    F.sum(F.when(cond, 1).otherwise(0)), F.lit(0)
+                ).cast("long").alias(f"__ip{i}")
+            )
+            pairs.append(F.struct(
+                F.lit(key).alias("key"), F.col(f"__ip{i}").alias("doc_count")
+            ))
+        if not cnts:
+            raise ValueError("ip_range aggregation requires at least one range")
+        out = (
+            filtered.agg(*cnts)
+            .select(F.posexplode(F.array(*pairs)).alias("pos", "kv"))
+            .orderBy("pos")
+            .select("kv.key", "kv.doc_count")
+        )
+        return "buckets", out
     if agg.date_range is not None:
         from gopensearch_spark.dsl.compiler import _range_bound
 

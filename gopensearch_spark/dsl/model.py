@@ -607,6 +607,9 @@ class Aggregate:
     # ES `date_range`: same from-incl/to-excl contract as `range`, with
     # bounds as epoch numbers or date strings (template formats honored)
     date_range: RangeAgg | None = None
+    # ES `ip_range`: IPv4 from/to (from inclusive, to exclusive) or
+    # CIDR `mask` ranges over a dotted-quad string column
+    ip_range: RangeAgg | None = None
     # ES `rare_terms`: buckets with doc_count <= max_doc_count
     rare_terms: "RareTerms | None" = None
     filters: FiltersAgg | None = None
@@ -1225,6 +1228,9 @@ def _parse_agg(raw: dict) -> Aggregate:
     if "date_range" in raw:
         r = raw["date_range"]
         a.date_range = RangeAgg(field=r["field"], ranges=list(r.get("ranges", [])))
+    if "ip_range" in raw:
+        r = raw["ip_range"]
+        a.ip_range = RangeAgg(field=r["field"], ranges=list(r.get("ranges", [])))
     if "variable_width_histogram" in raw:
         v = raw["variable_width_histogram"]
         a.variable_width_histogram = VariableWidthHistogram(

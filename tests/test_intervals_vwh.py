@@ -109,3 +109,26 @@ def test_variable_width_histogram_empty_and_single(spark):
     bk = out2["aggregations"]["vw"]["buckets"]
     # identical values collapse the boundaries into a single bucket
     assert len(bk) == 1 and bk[0]["doc_count"] == 2 and bk[0]["key"] == 5.0
+
+
+def test_ip_range_agg(spark):
+    from gopensearch_spark.dsl import Engine
+
+    e = Engine(spark)
+    rows = [(i, f"10.0.{i % 4}.{i % 200}") for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, ip string")
+    e.create_index("ips", df, id_col="id")
+    out = e.search("ips", {"size": 0, "aggs": {"r": {"ip_range": {
+        "field": "ip", "ranges": [
+            {"to": "10.0.1.0"},
+            {"from": "10.0.1.0", "to": "10.0.3.0"},
+            {"mask": "10.0.3.0/24"},
+        ]}}}})
+    bk = out["aggregations"]["r"]["buckets"]
+    third = [ip.split(".")[2] for _, ip in rows]
+    assert [b["doc_count"] for b in bk] == [
+        third.count("0"), third.count("1") + third.count("2"),
+        third.count("3")]
+    # keys: default "from-to" form and the mask string verbatim
+    assert bk[0]["key"] == "*-10.0.1.0"
+    assert bk[2]["key"] == "10.0.3.0/24"
