@@ -135,6 +135,37 @@ class Engine:
     def list_indices(self) -> list[str]:
         return sorted(self.indices)
 
+    def index_exists(self, name: str) -> bool:
+        """`HEAD /{index}` — true for a concrete index OR an alias that
+        resolves to one (the ES exists contract)."""
+        return name in self.indices or name in self.aliases
+
+    def delete_index(self, name: str) -> dict:
+        """`DELETE /{index}`. Concrete names only (ES refuses to delete
+        through an alias); removes the registration, any doc-backed
+        rows, percolator registry, and every alias target pointing at
+        it (aliases left empty disappear — the ES behavior). The
+        DataFrame itself is lazy — nothing on disk is touched (built
+        inverted-index dirs are owned by their builders)."""
+        if name in self.aliases and name not in self.indices:
+            raise ValueError(
+                f"{name!r} is an alias; delete the concrete index instead"
+            )
+        if name not in self.indices:
+            raise KeyError(f"no such index: {name!r}")
+        del self.indices[name]
+        self._doc_rows.pop(name, None)
+        self._percolators.pop(name, None)
+        for alias in list(self.aliases):
+            kept = [t for t in self.aliases[alias] if t.get("index") != name]
+            if kept:
+                self.aliases[alias] = kept
+            else:
+                del self.aliases[alias]
+        if self.meta_dir:
+            self._save_aliases()
+        return {"acknowledged": True}
+
     def cat_indices(self) -> str:
         """`GET /_cat/indices` text shape — tab-separated exactly like the
         reference (admin.go:60-67: "%s\\t%s\\t%s\\n")."""

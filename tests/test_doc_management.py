@@ -137,3 +137,23 @@ def test_delete_by_fulltext_match(spark, docs_small, index_small):
     assert r["deleted"] == n > 0
     out = e.search("docs", {"query": {"match": {"text": "spark"}}, "size": 3})
     assert out["hits"]["hits"] == []
+
+
+def test_index_exists_and_delete(spark, events):
+    from gopensearch_spark.dsl import Engine
+
+    e = Engine(spark)
+    e.create_index("ev", events, id_col="event_id")
+    e.update_aliases({"actions": [
+        {"add": {"index": "ev", "alias": "ev_alias"}}]})
+    assert e.index_exists("ev") and e.index_exists("ev_alias")
+    assert not e.index_exists("nope")
+    with pytest.raises(ValueError, match="alias"):
+        e.delete_index("ev_alias")
+    r = e.delete_index("ev")
+    assert r == {"acknowledged": True}
+    assert not e.index_exists("ev")
+    # the alias lost its only target and disappeared with it
+    assert not e.index_exists("ev_alias")
+    with pytest.raises(KeyError):
+        e.delete_index("ev")
