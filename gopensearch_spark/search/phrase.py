@@ -126,7 +126,11 @@ def _make_phrase_tf_udf(phrase_terms: list[str]):
             [one(ts, ps) for ts, ps in zip(terms, poss)], dtype="int32"
         )
 
-    return phrase_tf
+    # asNondeterministic: the tf>0 filter over this UDF's output
+    # otherwise gets the UDF DUPLICATED below the pushed filter (one
+    # ArrowEvalPython to filter, another to project — guide §4.4);
+    # the kernel is pure, the flag only blocks that rewrite.
+    return phrase_tf.asNondeterministic()
 
 
 def phrase_match(
@@ -330,7 +334,8 @@ def _make_phrase_prefix_tf_udf(exact_terms: list[str], prefix: str):
             [one(ts, ps) for ts, ps in zip(terms, poss)], dtype="int32"
         )
 
-    return phrase_prefix_tf
+    # see _make_phrase_tf_udf: blocks filter-pushdown duplication
+    return phrase_prefix_tf.asNondeterministic()
 
 
 def phrase_prefix_match(

@@ -454,8 +454,9 @@ def test_simhash_too_few_bands_raises(docs_small):
         simhash_pairs(docs_small, max_hamming=3, n_bands=4, pair_bands=True)
 
 
-def test_topk_per_query_matches_single_window(spark, emb):
-    """Two-phase (salted) top-k == the naive per-query window, exactly."""
+def test_topk_per_query_matches_salted_reference(spark, emb):
+    """Single-window top-k == a hand-salted two-phase reference, exactly
+    (the r6 rewrite must not change results)."""
     from pyspark.sql import Window
     from gopensearch_spark.datapipe.similarity import cosine_expr, topk_per_query
 
@@ -464,12 +465,37 @@ def test_topk_per_query_matches_single_window(spark, emb):
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
     scored = e.crossJoin(q).select(
         "query_id", "vec_id", cosine_expr(F.col("embedding"), F.col("qv")).alias("cosine"))
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    naive = (scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 7)
-             .select("query_id", "vec_id", F.round("cosine", 9).alias("c")))
-    got = topk_per_query(scored, 7, n_salt=8).select(
+    order = [F.desc("cosine"), F.asc("vec_id")]
+    salted = scored.withColumn("s", F.pmod(F.xxhash64("vec_id"), F.lit(8)).cast("int"))
+    w1 = Window.partitionBy("query_id", "s").orderBy(*order)
+    w2 = Window.partitionBy("query_id").orderBy(*order)
+    ref = (salted.withColumn("rn", F.row_number().over(w1)).where(F.col("rn") <= 7)
+           .drop("rn", "s")
+           .withColumn("rn", F.row_number().over(w2)).where(F.col("rn") <= 7)
+           .select("query_id", "vec_id", F.round("cosine", 9).alias("c")))
+    got = topk_per_query(scored, 7).select(
         "query_id", "vec_id", F.round("cosine", 9).alias("c"))
-    assert sorted(map(tuple, naive.collect())) == sorted(map(tuple, got.collect()))
+    assert sorted(map(tuple, ref.collect())) == sorted(map(tuple, got.collect()))
+
+
+def test_topk_per_query_partial_below_exchange(spark, emb):
+    """The scale contract of the single-window top-k: Spark's rank-limit
+    pushdown (WindowGroupLimit) must place a PARTIAL top-k below the
+    window exchange, so the shuffle never carries the full scored
+    relation. If a Spark upgrade stopped pushing it, this fails and the
+    salted two-phase shape must come back."""
+    from gopensearch_spark.datapipe.similarity import cosine_expr, topk_per_query
+
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    q = e.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    scored = e.crossJoin(q).select(
+        "query_id", "vec_id", cosine_expr(F.col("embedding"), F.col("qv")).alias("cosine"))
+    plan = topk_per_query(scored, 7)._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    ex = next(i for i, l in enumerate(lines) if "Exchange hashpartitioning(query_id" in l)
+    below = "\n".join(lines[ex:])
+    assert "WindowGroupLimit" in below, plan
 
 
 def test_ivf_sample_fit_still_recalls(spark, emb):
