@@ -1819,7 +1819,10 @@ def _dedup_decontaminate(spark, sf_dir):
     bench = docs.where(F.col("doc_id") % 97 == 0).select(
         F.col("doc_id").alias("bench_id"), "text"
     )
-    return decontaminate(docs, bench, n=5).select(
+    # hash_shingles: join on xxhash64(shingle) instead of the string —
+    # same n_shared (collisions ~ n^2/2^65), ~20% less Arrow/broadcast
+    # traffic at bench scale, and the wire-size-correct choice at 100 TB
+    return decontaminate(docs, bench, n=5, hash_shingles=True).select(
         "doc_id", "bench_id", "n_shared"
     )
 

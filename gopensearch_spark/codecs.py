@@ -174,12 +174,63 @@ def _unpack_bits(buf: bytes, n: int, b: int) -> np.ndarray:
     return (bits << np.arange(b, dtype=np.uint64)).sum(axis=1, dtype=np.uint64)
 
 
+_PFOR_SMALL = 16  # below this, scalar Python beats numpy's per-call overhead
+
+
+def _varint_encode_scalar(vals) -> bytes:
+    """LEB128 for a small Python-int sequence — byte-identical to
+    varint_encode, ~20x less per-call overhead for a handful of values."""
+    out = bytearray()
+    for x in vals:
+        x = int(x)
+        while True:
+            b = x & 0x7F
+            x >>= 7
+            if x:
+                out.append(b | 0x80)
+            else:
+                out.append(b)
+                break
+    return bytes(out)
+
+
+def _pfor_encode_small(vals: list) -> bytes:
+    """Scalar pfor_encode for tiny blocks (the Zipf tail: most (term,
+    segment) runs hold a handful of postings). Byte-identical to the
+    vectorized path for values < 2^53 (the float-exponent bit-length
+    estimate is exact there); beyond that both paths produce valid,
+    mutually decodable encodings. ~15 numpy calls -> 0."""
+    n = len(vals)
+    bl = [max(1, v.bit_length()) for v in vals]
+    k = min(n - 1, int(-(-(_PFOR_TARGET * (n - 1)) // 1)))  # ceil
+    b = sorted(bl)[k]
+    b = max(1, min(b, 64))
+    mask = (1 << b) - 1
+    acc = 0
+    for i, v in enumerate(vals):
+        acc |= (v & mask) << (i * b)
+    packed = acc.to_bytes((n * b + 7) // 8, "little")
+    exc = [(i, v >> b) for i, v in enumerate(vals) if bl[i] > b]
+    header = bytes([b]) + _varint_encode_scalar((n, len(exc)))
+    if not exc:
+        return header + packed
+    idx_deltas = [exc[0][0]] + [exc[j][0] - exc[j - 1][0] for j in range(1, len(exc))]
+    return (
+        header
+        + packed
+        + _varint_encode_scalar(idx_deltas)
+        + _varint_encode_scalar([h for _, h in exc])
+    )
+
+
 def pfor_encode(values: np.ndarray) -> bytes:
     """PFor-encode a uint64 array (frame of reference = 0; callers delta
     first for sorted ids)."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
     if v.size == 0:
         return b""
+    if v.size <= _PFOR_SMALL:
+        return _pfor_encode_small([int(x) for x in v])
     bl = _bit_lengths(v)
     # quantile(..., method="higher") == k-th order statistic at
     # k = ceil(q*(n-1)); np.partition is O(n) and ~10x cheaper than the
@@ -220,6 +271,20 @@ def pfor_decode(buf: bytes) -> np.ndarray:
         vals.append(x)
     n, n_exc = vals
     packed_len = (n * b + 7) // 8
+    if n <= _PFOR_SMALL:
+        # scalar fast path (mirrors _pfor_encode_small): one
+        # int.from_bytes + per-value shifts instead of ~10 numpy calls
+        acc = int.from_bytes(buf[pos : pos + packed_len], "little")
+        mask = (1 << b) - 1
+        out = [(acc >> (i * b)) & mask for i in range(n)]
+        pos += packed_len
+        if n_exc:
+            rest = varint_decode(buf[pos:])
+            j = 0
+            for i in range(n_exc):
+                j += int(rest[i])
+                out[j] |= int(rest[n_exc + i]) << b
+        return np.array(out, dtype=np.uint64)
     low = _unpack_bits(buf[pos : pos + packed_len], n, b)
     pos += packed_len
     if n_exc:

@@ -38,7 +38,7 @@ _SEED = 42
 
 # keyed MinHash-signature cache: (normalized plan, params) -> cached sigs.
 # Bounded to _SIG_CACHE_MAX live relations; evictions unpersist.
-_sig_cache: "dict[tuple, DataFrame]" = {}
+_sig_cache: "dict[tuple, tuple[DataFrame, int]]" = {}  # ckey -> (cached sigs, row count)
 _SIG_CACHE_MAX = 2
 
 
@@ -521,17 +521,19 @@ def minhash_lsh_pairs(
     # mid-session; bounded to _SIG_CACHE_MAX relations (FIFO unpersist).
     key = _plan_key(df)
     ckey = (key, num_perm, shingle_n, text_col, id_col) if key is not None else None
-    sigs = _sig_cache.get(ckey) if ckey is not None else None
-    if sigs is None:
+    hit = _sig_cache.get(ckey) if ckey is not None else None
+    if hit is None:
         sigs = minhash_signatures(df, num_perm, shingle_n, text_col, id_col).cache()
         # materialize BEFORE the self-join: otherwise the join's two legs
         # race on the still-empty cache and the signature UDF (the one
         # Python stage here) runs twice on first action
-        sigs.count()
+        n_sigs = sigs.count()
         if ckey is not None:
             while len(_sig_cache) >= _SIG_CACHE_MAX:
-                _sig_cache.pop(next(iter(_sig_cache))).unpersist()
-            _sig_cache[ckey] = sigs
+                _sig_cache.pop(next(iter(_sig_cache)))[0].unpersist()
+            _sig_cache[ckey] = (sigs, n_sigs)
+    else:
+        sigs, n_sigs = hit
 
     def band_hash(band: int):
         # hash the r signature longs DIRECTLY (multi-arg F.hash) — no
@@ -568,9 +570,22 @@ def minhash_lsh_pairs(
     est = F.size(
         F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda z: z)
     ) / F.lit(float(num_perm))
+    # The two attach joins were the operator's warm-path wall: the sig
+    # relation's Catalyst size estimate (arrays) overshoots the 10 MB
+    # auto-broadcast threshold, so both joins planned as sort-merge —
+    # two exchanges + four sorts per pass. The exact row count is known
+    # from cache materialization, so broadcast DELIBERATELY while the
+    # signature bytes provably fit (n * num_perm * 8B < 128 MB, guide
+    # §3.1's "estimates are often badly wrong, hint when you know");
+    # beyond that the shuffle join is the correct 10^12-doc plan.
+    sig_bytes = n_sigs * num_perm * 8
+    attach_a = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    attach_b = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    if sig_bytes < 128 * 1024 * 1024:
+        attach_a, attach_b = F.broadcast(attach_a), F.broadcast(attach_b)
     cand = (
-        pairs.join(sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a")
-        .join(sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b")
+        pairs.join(attach_a, "id_a")
+        .join(attach_b, "id_b")
         .select("id_a", "id_b", est.alias("est_jaccard"))
     )
     return cand.where(F.col("est_jaccard") >= threshold)

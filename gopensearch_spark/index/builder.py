@@ -333,42 +333,49 @@ def _build_segment_blocks(
     starts = np.concatenate(([0], change))
     ends = np.concatenate((change, [len(terms)]))
 
-    rows = []
-    for s, e in zip(starts, ends):
-        term = terms[s]
-        for b, off in enumerate(range(s, e, BLOCK_SIZE)):
-            hi = min(off + BLOCK_SIZE, e)
-            ids_b = enc_ids(doc_ids[off:hi])
-            tfs_b = enc_vals(tfs[off:hi])
-            dls_b = enc_vals(dls[off:hi])
-            rows.append(
-                (
-                    term,
-                    seg_id,
-                    b,
-                    hi - off,
-                    int(doc_ids[off]),
-                    int(doc_ids[hi - 1]),
-                    # (max_tf, min_doc_len) -> per-block BM25 UPPER bound
-                    # (block-max WAND); (min_tf, max_doc_len) -> LOWER
-                    # bound, which lets the query layer derive a safe
-                    # top-k score floor WITHOUT decoding (wand._prefilter)
-                    int(tfs[off:hi].max()),
-                    int(dls[off:hi].min()),
-                    int(tfs[off:hi].min()),
-                    int(dls[off:hi].max()),
-                    ids_b,
-                    tfs_b,
-                    dls_b,
-                )
-            )
+    # Block tiling + per-block order stats, vectorized across ALL blocks
+    # of the group (a Zipf vocabulary means most runs are a single tiny
+    # block — per-block numpy slicing paid ~25us of call overhead per
+    # block before the three codec calls even started):
+    run_lens = ends - starts
+    nblocks = -(-run_lens // BLOCK_SIZE)
+    run_idx = np.repeat(np.arange(starts.size), nblocks)
+    first_of_run = np.concatenate(([0], np.cumsum(nblocks)[:-1]))
+    block_ids = np.arange(run_idx.size) - first_of_run[run_idx]
+    off = starts[run_idx] + block_ids * BLOCK_SIZE
+    hi = np.minimum(off + BLOCK_SIZE, ends[run_idx])
+    # blocks tile the sorted arrays contiguously, so `off` is a valid
+    # reduceat boundary list: segment i is [off[i], off[i+1]) (last to
+    # end) == exactly block i
+    # (max_tf, min_doc_len) -> per-block BM25 UPPER bound (block-max
+    # WAND); (min_tf, max_doc_len) -> LOWER bound for the query layer's
+    # no-decode top-k floor (wand._prefilter)
+    max_tf = np.maximum.reduceat(tfs, off)
+    min_tf = np.minimum.reduceat(tfs, off)
+    min_dl = np.minimum.reduceat(dls, off)
+    max_dl = np.maximum.reduceat(dls, off)
     return pd.DataFrame(
-        rows,
-        columns=[
-            "term", "seg_id", "block_id", "n", "min_doc_id", "max_doc_id",
-            "max_tf", "min_doc_len", "min_tf", "max_doc_len",
-            "doc_ids", "tfs", "doc_lens",
-        ],
+        {
+            "term": pd.Series(terms[off], dtype="object"),
+            "seg_id": pd.Series(np.full(off.size, seg_id, dtype=np.int32), dtype="int32"),
+            "block_id": pd.Series(block_ids.astype(np.int32), dtype="int32"),
+            "n": pd.Series((hi - off).astype(np.int32), dtype="int32"),
+            "min_doc_id": pd.Series(doc_ids[off].astype(np.int64), dtype="int64"),
+            "max_doc_id": pd.Series(doc_ids[hi - 1].astype(np.int64), dtype="int64"),
+            "max_tf": pd.Series(max_tf.astype(np.int32), dtype="int32"),
+            "min_doc_len": pd.Series(min_dl.astype(np.int32), dtype="int32"),
+            "min_tf": pd.Series(min_tf.astype(np.int32), dtype="int32"),
+            "max_doc_len": pd.Series(max_dl.astype(np.int32), dtype="int32"),
+            "doc_ids": pd.Series(
+                [enc_ids(doc_ids[o:h]) for o, h in zip(off, hi)], dtype="object"
+            ),
+            "tfs": pd.Series(
+                [enc_vals(tfs[o:h]) for o, h in zip(off, hi)], dtype="object"
+            ),
+            "doc_lens": pd.Series(
+                [enc_vals(dls[o:h]) for o, h in zip(off, hi)], dtype="object"
+            ),
+        }
     )
 
 
@@ -484,9 +491,12 @@ def build_postings(
         writer(doc_stats).partitionBy("batch_id").parquet(
             os.path.join(out_dir, "doc_stats")
         )
-        # batch-scoped term-df deltas (see docstring)
+        # batch-scoped term-df deltas (see docstring); clustered by the
+        # partition column so each bucket dir gets ONE file per batch
         (
-            writer(posts.groupBy("batch_id", "term_bucket", "term").agg(F.count("*").alias("df")))
+            writer(posts.groupBy("batch_id", "term_bucket", "term")
+                   .agg(F.count("*").alias("df"))
+                   .repartition(term_buckets, *post_parts))
             .partitionBy(*post_parts)
             .parquet(os.path.join(out_dir, "term_stats"))
         )
@@ -526,7 +536,7 @@ def build_postings(
                 F.pmod(F.xxhash64("term"), F.lit(term_buckets)).cast("int"),
             ).withColumn("batch_id", F.lit(int(batch_id)))
             (
-                writer(blocks)
+                writer(blocks.repartition(term_buckets, *post_parts))
                 .partitionBy(*post_parts)
                 .parquet(os.path.join(out_dir, "blocks"))
             )
@@ -582,6 +592,14 @@ def _write_blocks_from_postings(
     if batch_id is not None:
         blocks = blocks.withColumn("batch_id", F.lit(int(batch_id)))
         parts = ["batch_id", "term_bucket"]
+    # cluster by the partition column before the partitioned write: the
+    # kernel's (seg_id, term_bucket) tasks each hold rows of EVERY
+    # term_bucket, so a direct write fans out tasks x buckets tiny files
+    # (512 commits at bench scale — the write dominated the whole blocks
+    # phase). One task per bucket writes one file per dir instead; the
+    # blocks relation is ~1/BLOCK_SIZE of the postings, so this shuffle
+    # is noise next to the kernel exchange it follows.
+    blocks = blocks.repartition(term_buckets, *parts)
     blocks.write.mode("overwrite").partitionBy(*parts).parquet(blocks_path)
 
 
@@ -635,6 +653,9 @@ def finalize_stats(
         postings.where(F.col("term").isNotNull())
         .groupBy("term", "term_bucket")
         .agg(F.count("*").alias("df"))
+        # one writer task per bucket dir (see _write_blocks_from_postings:
+        # an unclustered partitioned write commits tasks x buckets files)
+        .repartition(term_buckets, "term_bucket")
         .write.mode("overwrite")
         .partitionBy("term_bucket")
         .parquet(os.path.join(out_dir, "term_stats"))
@@ -875,6 +896,7 @@ def build_index(
     core's memory share and the build stops scaling. Pass explicit
     values to pin either.
     """
+    n_docs_total = None
     if num_segments is None or term_buckets is None:
         n_docs_total = docs.count()
         if num_segments is None:
@@ -892,7 +914,9 @@ def build_index(
         part = docs if slices == 1 else docs.where(
             F.pmod(F.xxhash64(F.col(id_col)), F.lit(slices)) == s
         )
-        n_docs = part.count()
+        # single-slice builds that already counted for sizing reuse that
+        # count for the checkpoint record instead of a second full pass
+        n_docs = n_docs_total if (slices == 1 and n_docs_total is not None) else part.count()
         build_postings(
             part,
             out_dir,
