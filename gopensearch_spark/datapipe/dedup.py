@@ -897,6 +897,9 @@ def decontaminate(
     ~n^2/2^65 false pairs) — the wire-size option for when even the
     broadcast side's strings are too fat.
     """
+    from gopensearch_spark.util import ensure_parallelism
+
+    docs = ensure_parallelism(docs)  # spread single-file scans (shingle kernel)
     d_sh = F.array_distinct(_word_shingles(text_col, n))
     b_sh = F.array_distinct(_word_shingles(bench_text_col, n))
     d = docs.select(F.col(id_col).alias("doc_id"), F.explode(d_sh).alias("s"))

@@ -52,7 +52,15 @@ def scrub_pii(
     phone numbers with typed placeholder tokens.
 
     n_redactions is computed from the placeholder delta (length-based
-    counting of inserted tokens) — one pass, no second regex scan."""
+    counting of inserted tokens) — one pass, no second regex scan.
+
+    The regex chain is row-local but CPU-heavy; a single-file input
+    scans as ONE partition and serializes it, so under-partitioned
+    inputs are spread first (well-partitioned at-scale tables pass
+    through untouched)."""
+    from gopensearch_spark.util import ensure_parallelism
+
+    df = ensure_parallelism(df)
     clean = scrub_pii_col(F.col(text_col), kinds)
     tokens = list(dict.fromkeys(
         token for name, _, token in PII_PATTERNS
@@ -100,6 +108,9 @@ def gopher_rules(
     Symbols counted: '#' and the ellipsis character. Alphabetic test is
     ASCII letters (the SQL-portable subset; real CC pipelines run the
     same shape with a wider class)."""
+    from gopensearch_spark.util import ensure_parallelism
+
+    df = ensure_parallelism(df)  # spread single-file scans (see scrub_pii)
     p = {**GOPHER_DEFAULTS, **overrides}
     toks = F.split(F.col(text_col), " ")
     n = F.size(toks)

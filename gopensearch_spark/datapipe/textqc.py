@@ -31,6 +31,9 @@ def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     """(doc_id, n_tokens, n_chars, avg_token_len, n_types) —
     whitespace tokens + a BPE-ish subword estimate (chars/4 heuristic,
     the common rule-of-thumb for byte-level BPE)."""
+    from gopensearch_spark.util import ensure_parallelism
+
+    df = ensure_parallelism(df)  # spread single-file scans
     toks = _TOKENS(F.col(text_col))
     return df.select(
         F.col(id_col),
@@ -45,7 +48,11 @@ def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Gopher/C4-style quality signals + a composite score in [0, 1]:
     length band, type-token ratio, stopword presence, mean word length
-    band. Deterministic arithmetic only."""
+    band. Deterministic arithmetic only. Row-local but tokenize-heavy —
+    under-partitioned (single-file) inputs are spread first."""
+    from gopensearch_spark.util import ensure_parallelism
+
+    df = ensure_parallelism(df)
     toks = _TOKENS(F.col(text_col))
     n = F.size(toks)
     ttr = F.size(F.array_distinct(toks)) / n
@@ -144,7 +151,9 @@ def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     kernel, and the sorted-run formulation degrades O(n^2)). Same cost
     model as the index build's tokenize kernel; the DuckDB oracle pins
     the values exactly."""
-    return df.select(
+    from gopensearch_spark.util import ensure_parallelism
+
+    return ensure_parallelism(df).select(
         F.col(id_col), _repetition_udf(F.col(text_col)).alias("r")
     ).select(id_col, "r.*")
 

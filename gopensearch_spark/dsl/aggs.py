@@ -177,34 +177,51 @@ def _top_hits_arrays(
     tie-break when the request's sort doesn't already end with it."""
     from pyspark.sql import Window
 
+    from gopensearch_spark.util import ensure_parallelism
+
     out = None
     for label, th in th_subs.items():
+        src = th.source or [
+            c for c in filtered.columns if not c.startswith("__")
+        ]
+        # Project to what the window actually needs BEFORE the shuffle —
+        # bucket key, sort keys (materialized as computed columns) and
+        # the _source columns, never the whole row — and spread an
+        # under-partitioned scan: the map-side partial top-N
+        # (WindowGroupLimit) sorts per input partition, so a single-file
+        # table would otherwise sort the entire relation in ONE task.
+        proj = [keyc.alias("__th_key")]
+        ordcols = []
         if not th.sort:
             if "score" not in filtered.columns:
                 raise ValueError(
                     f"top_hits {label!r} requires an explicit `sort` "
                     "(no _score: the query is not full-text scored)"
                 )
-            ordcols = [F.desc("score")]
+            proj.append(F.col("score").alias("__ord_0"))
+            ordcols = [F.desc("__ord_0")]
             sorted_fields = ["score"]
         else:
-            ordcols = [
-                ctx.resolve(s.field).desc() if s.order.lower() == "desc"
-                else ctx.resolve(s.field).asc()
-                for s in th.sort
-            ]
+            for i, s in enumerate(th.sort):
+                proj.append(ctx.resolve(s.field).alias(f"__ord_{i}"))
+                ordcols.append(
+                    F.desc(f"__ord_{i}") if s.order.lower() == "desc"
+                    else F.asc(f"__ord_{i}")
+                )
             sorted_fields = [s.field for s in th.sort]
         if ctx.id_col and ctx.id_col not in sorted_fields:
             ordcols.append(F.asc(ctx.id_col))  # deterministic total order
-        w = Window.partitionBy(keyc).orderBy(*ordcols)
-        src = th.source or [
-            c for c in filtered.columns if not c.startswith("__")
-        ]
+        for c in src:
+            proj.append(F.col(c))
+        if ctx.id_col and ctx.id_col not in src:
+            proj.append(F.col(ctx.id_col))
+        narrowed = ensure_parallelism(filtered.select(*proj), factor=1)
+        w = Window.partitionBy(F.col("__th_key")).orderBy(*ordcols)
         ranked = (
-            filtered.withColumn("__rn", F.row_number().over(w))
+            narrowed.withColumn("__rn", F.row_number().over(w))
             .where(F.col("__rn") <= th.size)
         )
-        arr = ranked.groupBy(keyc.alias("key")).agg(
+        arr = ranked.groupBy(F.col("__th_key").alias("key")).agg(
             F.transform(
                 F.sort_array(F.collect_list(F.struct(
                     F.col("__rn").alias("rn"),
@@ -715,19 +732,24 @@ def compile_agg(
         # interpolated quantile boundaries — ONE aggregate whose result
         # is request-sized (n-1 scalars), never a global sort window —
         # then a row-local boundary-count assignment and one groupBy.
-        vals = filtered.select(col.alias("__v")).where(F.col("__v").isNotNull())
-        row = vals.agg(
-            *[F.percentile("__v", i / n).alias(f"b{i}") for i in range(1, n)]
-        ).head()
-        bounds = sorted({row[f"b{i}"] for i in range(1, n)}) if (
-            row is not None and (n == 1 or row["b1"] is not None)
-        ) else []
-        if row is None or (n > 1 and row["b1"] is None):
-            # empty candidate set -> zero buckets (ES shape)
-            empty = filtered.sparkSession.createDataFrame(
-                [], "min double, key double, max double, doc_count long"
-            )
-            return "buckets", empty
+        if n == 1:
+            # single bucket: no quantile boundaries to probe (an empty
+            # agg() would fail PySpark's exprs-not-empty assertion); the
+            # groupBy below yields zero rows on an empty candidate set,
+            # which is already the ES empty shape
+            bounds = []
+        else:
+            vals = filtered.select(col.alias("__v")).where(F.col("__v").isNotNull())
+            row = vals.agg(
+                *[F.percentile("__v", i / n).alias(f"b{i}") for i in range(1, n)]
+            ).head()
+            if row is None or row["b1"] is None:
+                # empty candidate set -> zero buckets (ES shape)
+                empty = filtered.sparkSession.createDataFrame(
+                    [], "min double, key double, max double, doc_count long"
+                )
+                return "buckets", empty
+            bounds = sorted({row[f"b{i}"] for i in range(1, n)})
         bid = F.lit(0)
         for bd in bounds:
             bid = bid + F.when(col > F.lit(float(bd)), 1).otherwise(0)

@@ -197,6 +197,30 @@ def _range_bound(ctx: CompileContext, field: str, value) -> tuple[Column, Column
     return col, F.lit(_literal(value) if isinstance(value, str) else value)
 
 
+def _numeric_or_epoch_millis(ctx: CompileContext, field: str) -> Column:
+    """Resolve a field for numeric score arithmetic (distance_feature):
+    date columns become epoch MILLIS doubles — the engine stores
+    template date fields as RFC3339 strings, which a bare double cast
+    nulls out (silently matching nothing, the primary distance_feature
+    use case is dates); native timestamps scale their epoch seconds."""
+    col = ctx.resolve(field)
+    fmt = ctx.date_fields.get(strip_keyword(field))
+    ftype = ctx.field_type(field)
+    if isinstance(ftype, (T.TimestampType, T.TimestampNTZType)):
+        # NTZ cannot cast to double directly; via timestamp (session TZ
+        # is pinned UTC, so the reinterpretation is the identity)
+        return col.cast("timestamp").cast("double") * F.lit(1000.0)
+    if fmt in ("epoch_millis", "epoch_second"):
+        # stored value: raw epoch number OR the write-time RFC3339
+        # string (same coercion rule as _range_bound)
+        s = col.cast("string")
+        num = s.cast("double") * (F.lit(1000.0) if fmt == "epoch_second" else F.lit(1.0))
+        return F.when(s.rlike("^-?[0-9]+$"), num).otherwise(
+            F.to_timestamp(s).cast("double") * F.lit(1000.0)
+        )
+    return col.cast("double")
+
+
 def _elem_get(e: Column, rest: str) -> Column:
     """Walk the remaining dotted path inside an array element (struct
     field or map key access — both via getItem)."""
@@ -589,7 +613,7 @@ def compile_query(ctx: CompileContext, q: model.Query | None, scoring: bool = Tr
         preds.append(pred)
     if q.distance_feature is not None:
         dfq = q.distance_feature
-        col = ctx.resolve(dfq.field).cast("double")
+        col = _numeric_or_epoch_millis(ctx, dfq.field)
         pred = col.isNotNull()
         if scoring and ctx.fulltext_predicate is not None:
             s = F.lit(dfq.boost) * F.lit(dfq.pivot) / (

@@ -153,6 +153,15 @@ class Engine:
             )
         if name not in self.indices:
             raise KeyError(f"no such index: {name!r}")
+        # drop live scroll cursors bound to this index (resolved through
+        # aliases BEFORE the registration disappears): a continuation
+        # must fail like ES's search_context_missing, not hit a KeyError
+        # or a stale recreated index
+        for sid in [
+            sid for sid, st in self._scrolls.items()
+            if self._scroll_targets(st.get("index", "")) == name
+        ]:
+            del self._scrolls[sid]
         del self.indices[name]
         self._doc_rows.pop(name, None)
         self._percolators.pop(name, None)
@@ -402,6 +411,16 @@ class Engine:
                     f"{a}\t{t['index']}\t{'*' if t.get('filter') else '-'}\n"
                 )
         return "".join(lines)
+
+    def _scroll_targets(self, name: str) -> str:
+        """Concrete index a stored scroll cursor resolves to (first
+        comma segment, alias resolution; never raises)."""
+        if "," in name:
+            name = name.split(",", 1)[0]
+        try:
+            return self._resolve_index(name)[0]
+        except Exception:
+            return name
 
     def _resolve_index(self, name: str) -> tuple[str, dict | None]:
         """alias -> (concrete index, optional alias filter DSL).
@@ -780,24 +799,52 @@ class Engine:
             keep_cols = list(df.columns)
         df = df.withColumn("__row_id", F.monotonically_increasing_id())
 
-        # tokenize every text field any match clause targets, ONCE per doc
+        # tokenize every text field any match clause targets, ONCE per doc.
+        # The walker recurses through EVERY composite clause shape —
+        # bool, constant_score, dis_max, function_score, boosting,
+        # nested — so a match buried under any of them tokenizes too
+        # (it previously degraded to whole-string equality silently).
         from gopensearch_spark.analysis import normalize_query_terms, tokens_udf
 
-        match_fields: set[str] = set()
+        _COMPOSITE_SUBS = {
+            "bool": ("must", "should", "filter", "must_not"),
+            "constant_score": ("filter", "query"),
+            "dis_max": ("queries",),
+            "function_score": ("query",),
+            "boosting": ("positive", "negative"),
+            "nested": ("query",),
+        }
+        # leaf clause types whose body is {field: spec} (first key = field)
+        _FIELD_LEAVES = (
+            "term", "terms", "match", "match_phrase", "match_phrase_prefix",
+            "match_bool_prefix", "prefix", "wildcard", "regexp", "fuzzy",
+            "range", "distance_feature", "rank_feature",
+        )
 
-        def scan(q: dict) -> None:
+        def walk(q: dict, match_fields: set, all_fields: set) -> None:
             for k, v in q.items():
-                if k == "match" and isinstance(v, dict):
-                    match_fields.update(strip_keyword(f) for f in v)
-                elif k == "bool" and isinstance(v, dict):
-                    for occ in ("must", "should", "filter", "must_not"):
+                if k in _COMPOSITE_SUBS and isinstance(v, dict):
+                    for occ in _COMPOSITE_SUBS[k]:
                         sub = v.get(occ) or []
                         for s in (sub if isinstance(sub, list) else [sub]):
                             if isinstance(s, dict):
-                                scan(s)
+                                walk(s, match_fields, all_fields)
+                elif k == "exists" and isinstance(v, dict):
+                    all_fields.add(strip_keyword(str(v.get("field", ""))))
+                elif k in ("distance_feature", "rank_feature") and isinstance(v, dict):
+                    if "field" in v:
+                        all_fields.add(strip_keyword(str(v["field"])))
+                elif k in _FIELD_LEAVES and isinstance(v, dict) and v:
+                    f = strip_keyword(next(iter(v)))
+                    all_fields.add(f)
+                    if k == "match":
+                        match_fields.add(f)
 
-        for q in stored.values():
-            scan(q)
+        match_fields: set[str] = set()
+        fields_by_qid: dict[str, set] = {}
+        for qid, q in stored.items():
+            fields_by_qid[qid] = set()
+            walk(q, match_fields, fields_by_qid[qid])
         tok_cols = {}
         for f in match_fields:
             if f in df.columns and dict(df.dtypes).get(f) == "string":
@@ -815,8 +862,20 @@ class Engine:
             return out
 
         ctx = CompileContext(df=df, fulltext_predicate=fulltext)
+        doc_cols = {c.split(".")[0] for c in df.columns}
         flags = []
         for qid, raw in stored.items():
+            # ES percolation: a query on a field the candidate docs don't
+            # carry simply doesn't match — heterogeneous docs are the
+            # normal percolate input. Compiling it anyway would send an
+            # unresolvable column reference to Catalyst and fail the
+            # WHOLE batch with UNRESOLVED_COLUMN.
+            missing = {
+                f.split(".")[0] for f in fields_by_qid[qid] if f
+            } - doc_cols
+            if missing:
+                flags.append(F.when(F.lit(False), F.lit(qid)))
+                continue
             q = model.parse_dsl({"query": raw}).query
             pred = compile_query(ctx, q, scoring=False)
             flags.append(F.when(F.coalesce(pred, F.lit(False)), F.lit(qid)))

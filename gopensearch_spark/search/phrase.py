@@ -198,10 +198,15 @@ def _group_docs_with_all_terms(posts: DataFrame, n_terms: int) -> DataFrame:
     rows; the fat shuffle then carries candidates only (the candidate
     side usually broadcasts — AQE decides).
     """
+    # count(*), not count_distinct: the postings table holds exactly one
+    # row per (term, doc_id) by construction (the builder's per-batch
+    # tf aggregation; the phrase kernels already rely on this when they
+    # dict the per-term position lists), and count_distinct plans a
+    # second exchange over the skinny rows that plain count avoids.
     cand = (
-        posts.select("doc_id", "term")
+        posts.select("doc_id")
         .groupBy("doc_id")
-        .agg(F.count_distinct("term").alias("nt"))
+        .agg(F.count("*").alias("nt"))
         .where(F.col("nt") == n_terms)
         .select("doc_id")
     )
@@ -410,7 +415,10 @@ def _phrase_prefix_match(
             F.col("term").startswith(prefix).cast("int").alias("pf"),
         )
         .groupBy("doc_id")
-        .agg(F.count_distinct("et").alias("ne"), F.max("pf").alias("hp"))
+        # count("et") skips nulls; rows are unique per (term, doc_id)
+        # (see _group_docs_with_all_terms), so it equals the distinct
+        # exact-term count without count_distinct's extra exchange
+        .agg(F.count("et").alias("ne"), F.max("pf").alias("hp"))
         .where((F.col("ne") == len(distinct_exact)) & (F.col("hp") == 1))
         .select("doc_id")
     )

@@ -157,3 +157,20 @@ def test_index_exists_and_delete(spark, events):
     assert not e.index_exists("ev_alias")
     with pytest.raises(KeyError):
         e.delete_index("ev")
+
+
+def test_delete_index_drops_live_scrolls(spark):
+    """delete_index must invalidate scroll cursors bound to the index:
+    a continuation fails like ES's search_context_missing instead of
+    KeyError / silently reading a recreated index (r6 ADVICE fix)."""
+    import pytest
+    from gopensearch_spark.dsl import Engine
+
+    e = Engine(spark)
+    df = spark.createDataFrame([(i, float(i)) for i in range(30)], "id long, v double")
+    e.create_index("sc", df, id_col="id")
+    r = e.scroll_search("sc", {"query": {"range": {"v": {"gte": 0}}}, "size": 5})
+    sid = r["_scroll_id"]
+    e.delete_index("sc")
+    with pytest.raises(ValueError, match="unknown or cleared"):
+        e.scroll(sid)

@@ -140,3 +140,49 @@ def test_match_bool_prefix_known_clause():
         {"match_bool_prefix": {"text": "a b"}}) == []
     assert unknown_query_clauses({"rank_feature": {"field": "v"}}) == []
     assert unknown_query_clauses({"distance_feature": {"field": "v"}}) == []
+
+
+def test_distance_feature_on_timestamp_column(spark, fengine, events):
+    """distance_feature on a native timestamp column must score by
+    epoch-millis distance, not silently null out (r6 ADVICE fix)."""
+    origin_row = events.orderBy("event_id").head()
+    origin_ms = int(origin_row["ts"].timestamp() * 1000)
+    out = fengine.search("ev", {
+        "query": {"distance_feature": {"field": "ts",
+                                       "origin": origin_ms,
+                                       "pivot": "1h"}},
+        "size": 3,
+    })
+    hits = out["hits"]["hits"]
+    assert hits, "date distance_feature matched nothing"
+    assert hits[0]["_score"] > 0.5  # best hit is at/near the origin
+    scores = [h["_score"] for h in hits]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_distance_feature_on_template_date_string(spark):
+    """distance_feature on a template-mapped date field stored as
+    RFC3339 STRINGS (the engine's bulk-ingest representation) must
+    still compute distances (r6 ADVICE fix)."""
+    from gopensearch_spark.dsl import Engine
+
+    e = Engine(spark)
+    e.put_template("dd_dates", {
+        "index_patterns": "dd*",
+        "properties": {"created": {"type": "date", "format": "epoch_millis"}},
+    })
+    df = spark.createDataFrame(
+        [(1, "2024-01-01T00:00:00Z"), (2, "2024-01-01T06:00:00Z"),
+         (3, "2024-01-02T00:00:00Z")],
+        "id long, created string",
+    )
+    e.create_index("dd", df, id_col="id")
+    origin = 1704067200000  # 2024-01-01T00:00:00Z
+    out = e.search("dd", {
+        "query": {"distance_feature": {"field": "created",
+                                       "origin": origin, "pivot": "12h"}},
+        "size": 3,
+    })
+    hits = out["hits"]["hits"]
+    assert [str(h["_id"]) for h in hits] == ["1", "2", "3"]
+    assert math.isclose(hits[0]["_score"], 1.0, rel_tol=1e-9)

@@ -132,3 +132,19 @@ def test_ip_range_agg(spark):
     # keys: default "from-to" form and the mask string verbatim
     assert bk[0]["key"] == "*-10.0.1.0"
     assert bk[2]["key"] == "10.0.3.0/24"
+
+
+def test_variable_width_histogram_buckets_1(spark):
+    """buckets=1 must be one bucket over everything, not an empty-agg
+    assertion crash (r6 ADVICE fix)."""
+    from gopensearch_spark.dsl import Engine
+
+    e = Engine(spark)
+    df = spark.createDataFrame([(1, 1.0), (2, 2.0), (3, 9.0)], "id long, v double")
+    e.create_index("t1b", df, id_col="id")
+    out = e.search("t1b", {"size": 0, "aggs": {"vw": {
+        "variable_width_histogram": {"field": "v", "buckets": 1}}}})
+    bk = out["aggregations"]["vw"]["buckets"]
+    assert len(bk) == 1
+    assert bk[0]["doc_count"] == 3
+    assert bk[0]["min"] == 1.0 and bk[0]["max"] == 9.0

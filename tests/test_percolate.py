@@ -75,3 +75,28 @@ def test_percolate_dataframe_input(perc, spark):
 def test_register_percolator_validates_eagerly(perc):
     with pytest.raises(Exception):
         perc.register_percolator("alerts", "bad", {"range": "not-a-dict"})
+
+
+def test_percolate_absent_field_doesnt_fail_batch(perc):
+    """A stored query on a field the candidate docs lack must not fail
+    the whole batch (ES: it simply doesn't match) — r6 ADVICE fix."""
+    out = perc.percolate("alerts", [{"amount": 1500}])
+    assert out[0]["matched_queries"] == ["high_value"]
+    # and a doc with NONE of the referenced fields matches nothing
+    out = perc.percolate("alerts", [{"other": "x"}])
+    assert out[0]["matched_queries"] == []
+
+
+def test_percolate_match_under_composite_tokenizes(perc):
+    """A match nested under constant_score/dis_max must tokenize like a
+    top-level match, not degrade to whole-string equality — r6 ADVICE
+    fix."""
+    perc.register_percolator("alerts", "cs_outage", {
+        "constant_score": {"filter": {"match": {"body": "outage"}}}})
+    perc.register_percolator("alerts", "dm_outage", {
+        "dis_max": {"queries": [{"match": {"body": "outage"}}]}})
+    out = perc.percolate(
+        "alerts", [{"amount": 0, "region": "us",
+                    "body": "major OUTAGE in progress"}])
+    assert "cs_outage" in out[0]["matched_queries"]
+    assert "dm_outage" in out[0]["matched_queries"]
