@@ -117,6 +117,37 @@ def delta_encode_chunks(flat: np.ndarray, lengths: np.ndarray) -> list[bytes]:
     return [buf[b0:b1] for b0, b1 in zip(chunk_b0, chunk_b1)]
 
 
+def delta_decode_chunks(bufs: list) -> list[np.ndarray]:
+    """Inverse of ``delta_encode_chunks`` for MANY buffers at once:
+    equivalent to ``[delta_decode(b) for b in bufs]`` but one vectorized
+    varint pass over the concatenation — the phrase/NEAR kernels decode
+    one position list per (candidate doc, term), where per-call numpy
+    overhead dominates tiny lists."""
+    n = len(bufs)
+    if n == 0:
+        return []
+    lens = np.fromiter((len(b) for b in bufs), dtype=np.int64, count=n)
+    cat = b"".join(bufs)
+    if not cat:
+        return [np.empty(0, dtype=np.uint64) for _ in range(n)]
+    a = np.frombuffer(cat, dtype=np.uint8)
+    is_last = ((a & 0x80) == 0).astype(np.int64)
+    cum_vals = np.concatenate(([0], np.cumsum(is_last)))
+    byte_bounds = np.concatenate(([0], np.cumsum(lens)))
+    vals_per_chunk = cum_vals[byte_bounds[1:]] - cum_vals[byte_bounds[:-1]]
+    deltas = varint_decode(cat)
+    g = np.cumsum(deltas, dtype=np.uint64)
+    starts = np.concatenate(([0], np.cumsum(vals_per_chunk)[:-1]))
+    out = []
+    for s, c in zip(starts, vals_per_chunk):
+        if c == 0:
+            out.append(np.empty(0, dtype=np.uint64))
+        else:
+            base = g[s - 1] if s > 0 else np.uint64(0)
+            out.append(g[s:s + c] - base)
+    return out
+
+
 def encode_postings(doc_ids: np.ndarray, tfs: np.ndarray) -> tuple[bytes, bytes]:
     """Encode one posting block: (delta+varint doc_ids, varint tfs)."""
     return delta_encode(doc_ids), varint_encode(tfs)

@@ -113,8 +113,14 @@ def _make_phrase_tf_udf(phrase_terms: list[str]):
 
     @F.pandas_udf(T.IntegerType())
     def phrase_tf(terms: pd.Series, poss: pd.Series) -> pd.Series:
-        def one(ts, ps) -> int:
-            pos = {t: codecs.delta_decode(bytes(p)).astype(np.int64) for t, p in zip(ts, ps)}
+        # batch-decode every position list of the Arrow batch in ONE
+        # vectorized varint pass (codecs.delta_decode_chunks): per-call
+        # decode overhead dominated the kernel on Zipf-tail candidates
+        flat = [bytes(p) for ps in poss for p in ps]
+        decoded = iter(codecs.delta_decode_chunks(flat))
+
+        def one(ts) -> int:
+            pos = {t: next(decoded).astype(np.int64) for t in ts}
             starts = pos[phrase_terms[0]]
             for i, t in enumerate(phrase_terms[1:], 1):
                 if starts.size == 0:
@@ -122,9 +128,7 @@ def _make_phrase_tf_udf(phrase_terms: list[str]):
                 starts = starts[np.isin(starts + i, pos[t])]
             return int(starts.size)
 
-        return pd.Series(
-            [one(ts, ps) for ts, ps in zip(terms, poss)], dtype="int32"
-        )
+        return pd.Series([one(ts) for ts in terms], dtype="int32")
 
     # asNondeterministic: the tf>0 filter over this UDF's output
     # otherwise gets the UDF DUPLICATED below the pushed filter (one
@@ -316,11 +320,15 @@ def _make_phrase_prefix_tf_udf(exact_terms: list[str], prefix: str):
 
     @F.pandas_udf(T.IntegerType())
     def phrase_prefix_tf(terms: pd.Series, poss: pd.Series) -> pd.Series:
-        def one(ts, ps) -> int:
+        # batch decode (see _make_phrase_tf_udf)
+        flat = [bytes(p) for ps in poss for p in ps]
+        decoded = iter(codecs.delta_decode_chunks(flat))
+
+        def one(ts) -> int:
             pos: dict = {}
             pref: list = []
-            for t, p in zip(ts, ps):
-                arr = codecs.delta_decode(bytes(p)).astype(np.int64)
+            for t in ts:
+                arr = next(decoded).astype(np.int64)
                 if t in exact_set:
                     pos[t] = arr
                 if t.startswith(prefix):
@@ -335,9 +343,7 @@ def _make_phrase_prefix_tf_udf(exact_terms: list[str], prefix: str):
             union = np.unique(np.concatenate(pref))
             return int(np.isin(starts + n, union).sum())
 
-        return pd.Series(
-            [one(ts, ps) for ts, ps in zip(terms, poss)], dtype="int32"
-        )
+        return pd.Series([one(ts) for ts in terms], dtype="int32")
 
     # see _make_phrase_tf_udf: blocks filter-pushdown duplication
     return phrase_prefix_tf.asNondeterministic()
@@ -570,8 +576,12 @@ def _near_match(
     def kernel(batches):
         for pdf in batches:
             rows = []
-            for doc_id, ts, ps, dl in zip(pdf["doc_id"], pdf["terms"], pdf["poss"], pdf["doc_len"]):
-                pos = {t: codecs.delta_decode(bytes(p)).astype(np.int64) for t, p in zip(ts, ps)}
+            # batch decode across the whole pandas frame (see
+            # _make_phrase_tf_udf)
+            flat = [bytes(p) for ps in pdf["poss"] for p in ps]
+            decoded = iter(codecs.delta_decode_chunks(flat))
+            for doc_id, ts, dl in zip(pdf["doc_id"], pdf["terms"], pdf["doc_len"]):
+                pos = {t: next(decoded).astype(np.int64) for t in ts}
                 ivs = []
                 ok = True
                 for u in units:
