@@ -899,7 +899,7 @@ def decontaminate(
     """
     from gopensearch_spark.util import ensure_parallelism
 
-    docs = ensure_parallelism(docs)  # spread single-file scans (shingle kernel)
+    docs = ensure_parallelism(docs, bytes_per_partition=256 << 10)  # spread single-file scans (shingle kernel)
     d_sh = F.array_distinct(_word_shingles(text_col, n))
     b_sh = F.array_distinct(_word_shingles(bench_text_col, n))
     d = docs.select(F.col(id_col).alias("doc_id"), F.explode(d_sh).alias("s"))

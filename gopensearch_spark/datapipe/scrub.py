@@ -60,7 +60,7 @@ def scrub_pii(
     through untouched)."""
     from gopensearch_spark.util import ensure_parallelism
 
-    df = ensure_parallelism(df)
+    df = ensure_parallelism(df, bytes_per_partition=128 << 10)
     clean = scrub_pii_col(F.col(text_col), kinds)
     tokens = list(dict.fromkeys(
         token for name, _, token in PII_PATTERNS
@@ -110,7 +110,7 @@ def gopher_rules(
     same shape with a wider class)."""
     from gopensearch_spark.util import ensure_parallelism
 
-    df = ensure_parallelism(df)  # spread single-file scans (see scrub_pii)
+    df = ensure_parallelism(df, bytes_per_partition=256 << 10)  # spread single-file scans (see scrub_pii)
     p = {**GOPHER_DEFAULTS, **overrides}
     toks = F.split(F.col(text_col), " ")
     n = F.size(toks)

@@ -33,7 +33,7 @@ def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     the common rule-of-thumb for byte-level BPE)."""
     from gopensearch_spark.util import ensure_parallelism
 
-    df = ensure_parallelism(df)  # spread single-file scans
+    df = ensure_parallelism(df, bytes_per_partition=256 << 10)  # spread single-file scans
     toks = _TOKENS(F.col(text_col))
     return df.select(
         F.col(id_col),
@@ -52,7 +52,7 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     under-partitioned (single-file) inputs are spread first."""
     from gopensearch_spark.util import ensure_parallelism
 
-    df = ensure_parallelism(df)
+    df = ensure_parallelism(df, bytes_per_partition=256 << 10)
     toks = _TOKENS(F.col(text_col))
     n = F.size(toks)
     ttr = F.size(F.array_distinct(toks)) / n
@@ -153,7 +153,7 @@ def repetition_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     the values exactly."""
     from gopensearch_spark.util import ensure_parallelism
 
-    return ensure_parallelism(df).select(
+    return ensure_parallelism(df, bytes_per_partition=1 << 20).select(
         F.col(id_col), _repetition_udf(F.col(text_col)).alias("r")
     ).select(id_col, "r.*")
 

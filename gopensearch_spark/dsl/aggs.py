@@ -215,7 +215,8 @@ def _top_hits_arrays(
             proj.append(F.col(c))
         if ctx.id_col and ctx.id_col not in src:
             proj.append(F.col(ctx.id_col))
-        narrowed = ensure_parallelism(filtered.select(*proj), factor=1)
+        narrowed = ensure_parallelism(filtered.select(*proj), factor=1,
+                                      bytes_per_partition=1 << 20)
         w = Window.partitionBy(F.col("__th_key")).orderBy(*ordcols)
         ranked = (
             narrowed.withColumn("__rn", F.row_number().over(w))
@@ -544,8 +545,17 @@ def compile_agg(
         # never per occurrence). Background df comes straight from the
         # index's term_stats — no postings scan, no full-corpus
         # re-tokenize. JLH exactly as significant_terms.
+        from gopensearch_spark.util import ensure_parallelism
+
+        # spread an under-partitioned hit set before the tokenizer —
+        # a single-file table scans as ONE partition and would run the
+        # Arrow kernel serially; only the text column rides the spread
+        fg_src = ensure_parallelism(
+            filtered.select(F.col(index_spec.text_field)),
+            factor=1, bytes_per_partition=256 << 10,
+        )
         fg = (
-            filtered.select(F.explode(F.array_distinct(
+            fg_src.select(F.explode(F.array_distinct(
                 tokens_udf(F.col(index_spec.text_field))
             )).alias("key"))
             .groupBy("key").agg(F.count("*").alias("doc_count"))
