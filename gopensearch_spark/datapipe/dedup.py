@@ -581,7 +581,12 @@ def minhash_lsh_pairs(
     sig_bytes = n_sigs * num_perm * 8
     attach_a = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
     attach_b = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
-    if sig_bytes < 128 * 1024 * 1024:
+    # Force only in the MISPLANNED range: below ~8 MB the planner's own
+    # broadcast decision is fine (and the explicit hint measured ~0.2s
+    # SLOWER there — two forced broadcast builds for joins AQE handles
+    # cheaply); above it Catalyst's array-size estimate overshoots the
+    # auto threshold and both joins fall to sort-merge unless hinted.
+    if 8 * 1024 * 1024 <= sig_bytes < 128 * 1024 * 1024:
         attach_a, attach_b = F.broadcast(attach_a), F.broadcast(attach_b)
     cand = (
         pairs.join(attach_a, "id_a")
