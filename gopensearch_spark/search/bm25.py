@@ -58,30 +58,6 @@ def term_buckets_for(spark: SparkSession, terms: list[str], n_buckets: int) -> d
     return {t: term_bucket(t, n_buckets) for t in terms}
 
 
-def load_postings_for_terms(
-    spark: SparkSession, index_dir: str, terms: list[str]
-) -> tuple[DataFrame, DataFrame, dict]:
-    """Postings + term_stats restricted to ``terms`` with partition pruning."""
-    from gopensearch_spark.search.readers import corpus_stats, index_table
-
-    stats = corpus_stats(index_dir)
-    buckets = sorted(set(term_buckets_for(spark, terms, stats["term_buckets"]).values()))
-    post = index_table(spark, index_dir, "postings").where(
-        F.col("term_bucket").isin(buckets) & F.col("term").isin(terms)
-    )
-    tstats = index_table(spark, index_dir, "term_stats").where(
-        F.col("term_bucket").isin(buckets) & F.col("term").isin(terms)
-    )
-    # a streaming index holds one df-delta row per micro-batch (it has a
-    # batch_id partition); SUM folds them. Batch builds keep the plain
-    # projection — no extra (tiny) exchange in the pinned serving plan.
-    if "batch_id" in tstats.columns:
-        tstats = tstats.groupBy("term").agg(F.sum("df").alias("df"))
-    else:
-        tstats = tstats.select("term", "df")
-    return post, tstats, stats
-
-
 def bm25_scores(
     spark: SparkSession,
     index_dir: str,
@@ -94,22 +70,39 @@ def bm25_scores(
 
     ``min_match``: keep only docs matching at least that many distinct
     query terms (the Lucene minimum-should-match floor; `more_like_this`
-    rides this). Ignored under mode='and' (which already requires all)."""
+    rides this). Ignored under mode='and' (which already requires all).
+
+    idfs resolve DRIVER-SIDE through the memoized term_dfs lookup (the
+    same values the WAND serving path uses — score identity with FTS5
+    and the flat/WAND cross-check is pinned in the rank-identity
+    suites), riding the postings scan as a literal term->idf map: no
+    per-query term_stats scan, no broadcast build job."""
     from gopensearch_spark.analysis import normalize_query_terms
+    from gopensearch_spark.search.readers import corpus_stats, index_table, term_dfs
 
     terms = sorted(set(normalize_query_terms(query)))
     if not terms:
         raise ValueError("empty query after tokenization")
-    post, tstats, stats = load_postings_for_terms(spark, index_dir, terms)
+    stats = corpus_stats(index_dir)
     n_docs, avgdl = stats["n_docs"], stats["avg_doc_len"]
-
-    idf_expr = F.log((F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
-    tstats = tstats.withColumn(
-        "idf", F.when(idf_expr > 0.0, idf_expr).otherwise(F.lit(1e-6))
+    all_dfs = term_dfs(spark, index_dir, terms)
+    idfs = {t: idf(n_docs, d) for t, d in all_dfs.items() if d > 0}
+    if not idfs or (mode == "and" and len(idfs) < len(terms)):
+        # absent term: AND can never satisfy all terms; OR over only
+        # absent terms matches nothing
+        return spark.createDataFrame([], "doc_id long, score double")
+    present = sorted(idfs)
+    buckets = sorted(set(
+        term_buckets_for(spark, present, stats["term_buckets"]).values()
+    ))
+    post = index_table(spark, index_dir, "postings").where(
+        F.col("term_bucket").isin(buckets) & F.col("term").isin(present)
     )
-    scored = post.join(F.broadcast(tstats), "term").withColumn(
-        "contrib", bm25_score_expr(avgdl)
-    )
+    kv = []
+    for t in present:
+        kv += [F.lit(t), F.lit(float(idfs[t]))]
+    idf_col = F.create_map(*kv)[F.col("term")]
+    scored = post.withColumn("contrib", bm25_score_expr(avgdl, idf_col))
     agg = scored.groupBy("doc_id").agg(
         F.sum("contrib").alias("score"), F.count("*").alias("n_terms")
     )

@@ -36,9 +36,11 @@ def test_positions_column_pruned(scores_plan):
     assert "positions" not in scores_plan
 
 
-def test_broadcast_join_and_single_shuffle(scores_plan):
-    assert "BroadcastHashJoin" in scores_plan
-    # one data exchange (doc_id agg); broadcast exchanges don't shuffle data
+def test_no_join_and_single_shuffle(scores_plan):
+    """r6: idfs resolve driver-side (memoized term_dfs) and ride the
+    postings scan as a literal map — the plan has NO join at all and
+    exactly one data exchange (the doc_id agg)."""
+    assert "Join" not in scores_plan, scores_plan
     n_exchanges = scores_plan.count("Exchange hashpartitioning")
     assert n_exchanges == 1, scores_plan
 
